@@ -1,0 +1,322 @@
+"""The extraction kernel (U1 boilerplate classify + U2 reading-order
+reassembly + U3 media preservation) as ONE vectorized Arrow pandas UDF.
+
+Design (SPEC.md §7):
+- The array<struct> column never crosses the Arrow boundary as structs:
+  Spark extracts field-wise arrays (``spans.kind`` -> array<string>, ...),
+  so the Python side receives numpy arrays per field — no list-of-dict
+  materialization.
+- Inside the UDF the batch is flattened to ONE columnar span table
+  (np.concatenate / np.repeat) and every rule of SPEC.md runs as numpy /
+  pandas column ops: no per-document Python in the hot path.
+- The result returns field-wise arrays; ``arrays_zip`` reassembles the
+  output span structs JVM-side.
+
+Reference behavior anchors (derived, not copied):
+/root/reference/app/services/docling_service.py:53-91 (convert + failure
+rows), :253-279 (reading order), :207-208 (media flags).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import KERNEL_RESULT_STRUCT
+from ..spec import (
+    ALL_KINDS,
+    HTML_BOILER_KINDS,
+    HTML_CANDIDATE_KINDS,
+    HTML_KINDS,
+    MEDIA_KINDS,
+    MIN_CONTENT_WORDS,
+    PDF_BOILER_KINDS,
+    PDF_KINDS,
+    REPEAT_MAX_WORDS,
+    REPEAT_MIN_COUNT,
+)
+
+# flavor codes
+_HTML, _PDF, _PLAIN, _FAILED = 0, 1, 2, 3
+
+
+def _empty_result(n: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "kinds": [np.array([], dtype=object)] * n,
+            "texts": [np.array([], dtype=object)] * n,
+            "media_refs": [np.array([], dtype=object)] * n,
+            "orders": [np.array([], dtype=np.int32)] * n,
+            "status": ["completed"] * n,
+            "error": [None] * n,
+            "word_count": np.zeros(n, dtype=np.int64),
+            "char_count": np.zeros(n, dtype=np.int64),
+            "has_images": np.zeros(n, dtype=bool),
+            "has_tables": np.zeros(n, dtype=bool),
+        }
+    )
+
+
+def extract_batch(
+    kinds_s: pd.Series, texts_s: pd.Series, refs_s: pd.Series, offs_s: pd.Series
+) -> pd.DataFrame:
+    """Pure-pandas implementation of SPEC.md over one Arrow batch."""
+    n = len(kinds_s)
+    if n == 0:
+        return _empty_result(0)
+
+    lens = np.fromiter((len(a) for a in kinds_s), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return _empty_result(n)
+
+    d = np.repeat(np.arange(n, dtype=np.int64), lens)
+    k = np.concatenate([np.asarray(a, dtype=object) for a in kinds_s])
+    t = np.concatenate([np.asarray(a, dtype=object) for a in texts_s])
+    r = np.concatenate([np.asarray(a, dtype=object) for a in refs_s])
+    o = np.concatenate([np.asarray(a, dtype=np.int64) for a in offs_s])
+
+    # sort by (doc, offset) — stored order is untrusted
+    idx = np.lexsort((o, d))
+    d, k, t, r, o = d[idx], k[idx], t[idx], r[idx], o[idx]
+
+    f = pd.DataFrame({"d": d, "k": k, "t": t, "r": r, "o": o})
+    kk = f["k"]
+
+    is_media = kk.isin(MEDIA_KINDS).to_numpy()
+    is_html_kind = kk.isin(HTML_KINDS).to_numpy()
+    is_pdf_kind = kk.isin(PDF_KINDS).to_numpy()
+    is_known = kk.isin(ALL_KINDS).to_numpy()
+
+    # ---- flavor / failure per doc (SPEC §2)
+    has_unknown = np.bincount(d[~is_known], minlength=n) > 0
+    has_html = np.bincount(d[is_html_kind], minlength=n) > 0
+    has_pdf = np.bincount(d[is_pdf_kind], minlength=n) > 0
+    flavor = np.full(n, _PLAIN, dtype=np.int8)
+    flavor[has_pdf] = _PDF
+    flavor[has_html] = _HTML
+    flavor[has_unknown] = _FAILED
+
+    # first unknown kind per failed doc (rows are offset-sorted)
+    errors: dict[int, str] = {}
+    if has_unknown.any():
+        bad = f[~is_known]
+        firsts = bad.groupby("d", sort=False)["k"].first()
+        errors = {int(di): f"unknown kind: {kv}" for di, kv in firsts.items()}
+
+    row_flavor = flavor[d]
+
+    # ---- classification
+    words = f["t"].str.count(r"\S+").to_numpy()
+
+    keep = np.zeros(total, dtype=bool)
+
+    # plain flavor: everything is content
+    keep |= row_flavor == _PLAIN
+
+    # HTML flavor (SPEC §3.1)
+    mh = row_flavor == _HTML
+    if mh.any():
+        # pass-1 labels: 1 content, 0 boiler, 2 undecided, 3 media
+        lab = np.full(total, -1, dtype=np.int8)
+        lab[mh & is_media] = 3
+        lab[mh & kk.isin(HTML_BOILER_KINDS).to_numpy()] = 0
+        lab[mh & kk.isin({"h1", "h2", "h3", "caption"}).to_numpy()] = 1
+        cand = mh & kk.isin(HTML_CANDIDATE_KINDS).to_numpy()
+        lab[cand & (words >= MIN_CONTENT_WORDS)] = 1
+        lab[cand & (words < MIN_CONTENT_WORDS)] = 2
+
+        # neighborhood smoothing over decided non-media labels
+        dec = pd.Series(np.where((lab == 0) | (lab == 1), lab, np.nan), index=f.index)
+        g = dec.groupby(f["d"])
+        prev_dec = g.shift(1).groupby(f["d"]).ffill().fillna(0.0).to_numpy()
+        next_dec = g.shift(-1).groupby(f["d"]).bfill().fillna(0.0).to_numpy()
+        undec = lab == 2
+        lab[undec & (prev_dec == 1.0) & (next_dec == 1.0)] = 1
+        lab[lab == 2] = 0
+        keep |= mh & ((lab == 1) | (lab == 3))
+
+    # PDF flavor (SPEC §3.2 pass 1)
+    mp = row_flavor == _PDF
+    if mp.any():
+        nm = mp & ~is_media
+        # exact-text repetition count among non-media rows of each pdf doc
+        rep = np.zeros(total, dtype=np.int64)
+        sub = f[nm]
+        if len(sub):
+            rep_sub = sub.groupby(["d", "t"], sort=False)["t"].transform("size").to_numpy()
+            rep[nm] = rep_sub
+        pdf_boiler = kk.isin(PDF_BOILER_KINDS).to_numpy() | (
+            (rep >= REPEAT_MIN_COUNT) & (words <= REPEAT_MAX_WORDS)
+        )
+        keep |= mp & (is_media | ~pdf_boiler)
+
+    keep &= row_flavor != _FAILED
+
+    # ---- hyphen merge over kept non-media rows (SPEC §3.2)
+    kept = f[keep].copy()
+    kept["is_media"] = is_media[keep]
+    kept["flavor"] = row_flavor[keep]
+    textrows = kept[~kept["is_media"]].copy()
+
+    if len(textrows):
+        rt = textrows["t"].str.rstrip()
+        hyph = (
+            (textrows["k"] == "body")
+            & (rt.str.len() > 1)
+            & rt.str.endswith("-")
+            & (textrows["flavor"] == _PDF)
+        )
+        prev_hyph = hyph.groupby(textrows["d"]).shift(1, fill_value=False)
+        joins = (prev_hyph & (textrows["k"] == "body")).to_numpy()
+        gid = np.cumsum(~joins)
+        textrows["gid"] = gid
+
+        if joins.any():
+            is_last = np.empty(len(textrows), dtype=bool)
+            is_last[:-1] = ~joins[1:]
+            is_last[-1] = True
+            is_first = ~joins
+            piece = textrows["t"].copy()
+            m_mid = ~is_first & ~is_last
+            m_head = is_first & ~is_last
+            m_tail = ~is_first & is_last
+            piece[m_mid] = textrows["t"][m_mid].str.strip().str.slice(0, -1)
+            piece[m_head] = textrows["t"][m_head].str.rstrip().str.slice(0, -1)
+            piece[m_tail] = textrows["t"][m_tail].str.lstrip()
+            textrows["t"] = piece
+            # collapse multi-piece groups (rare): python join over small subset
+            sizes = np.bincount(gid)[gid]
+            multi = sizes > 1
+            if multi.any():
+                sub = textrows[multi]
+                agg = sub.groupby("gid").agg(
+                    d=("d", "first"), k=("k", "first"), t=("t", "".join),
+                    r=("r", "first"), o=("o", "first"),
+                )
+                agg["is_media"] = False
+                singles = textrows[~multi][["d", "k", "t", "r", "o", "is_media"]]
+                textrows = pd.concat([singles, agg[["d", "k", "t", "r", "o", "is_media"]]])
+
+    final = pd.concat(
+        [
+            textrows[["d", "k", "t", "r", "o", "is_media"]],
+            kept[kept["is_media"]][["d", "k", "t", "r", "o", "is_media"]],
+        ]
+    ).sort_values(["d", "o"], kind="stable")
+
+    # ---- per-doc assembly
+    fd = final["d"].to_numpy()
+    cnts = np.bincount(fd, minlength=n)
+    cuts = np.cumsum(cnts)[:-1]
+    k_out = np.split(final["k"].to_numpy(), cuts)
+    t_out = np.split(final["t"].to_numpy(), cuts)
+    r_out = np.split(final["r"].to_numpy(), cuts)
+    orders = np.split(
+        (np.arange(len(final)) - np.repeat(np.concatenate([[0], np.cumsum(cnts)[:-1]]), cnts)).astype(np.int32),
+        cuts,
+    )
+
+    nonmedia_final = ~final["is_media"].to_numpy()
+    w_final = final["t"].str.count(r"\S+").to_numpy()
+    c_final = final["t"].str.len().to_numpy()
+    word_count = np.bincount(fd[nonmedia_final], weights=w_final[nonmedia_final], minlength=n).astype(np.int64)
+    n_text = np.bincount(fd[nonmedia_final], minlength=n)
+    char_count = (
+        np.bincount(fd[nonmedia_final], weights=c_final[nonmedia_final], minlength=n).astype(np.int64)
+        + np.maximum(n_text - 1, 0)
+    )
+    has_img = np.bincount(fd[(final["k"] == "image").to_numpy()], minlength=n) > 0
+    has_tab = np.bincount(fd[(final["k"] == "table").to_numpy()], minlength=n) > 0
+
+    status = np.where(flavor == _FAILED, "failed", "completed")
+    err = [errors.get(i) for i in range(n)]
+    # failed docs: force empty output + zero counters
+    for i in np.nonzero(flavor == _FAILED)[0]:
+        k_out[i] = np.array([], dtype=object)
+        t_out[i] = np.array([], dtype=object)
+        r_out[i] = np.array([], dtype=object)
+        orders[i] = np.array([], dtype=np.int32)
+    word_count[flavor == _FAILED] = 0
+    char_count[flavor == _FAILED] = 0
+    has_img[flavor == _FAILED] = False
+    has_tab[flavor == _FAILED] = False
+
+    return pd.DataFrame(
+        {
+            "kinds": k_out,
+            "texts": t_out,
+            "media_refs": r_out,
+            "orders": orders,
+            "status": status,
+            "error": err,
+            "word_count": word_count,
+            "char_count": char_count,
+            "has_images": has_img,
+            "has_tables": has_tab,
+        }
+    )
+
+
+@F.pandas_udf(KERNEL_RESULT_STRUCT)
+def _extract_kernel(
+    kinds_s: pd.Series, texts_s: pd.Series, refs_s: pd.Series, offs_s: pd.Series
+) -> pd.DataFrame:
+    return extract_batch(kinds_s, texts_s, refs_s, offs_s)
+
+
+def extract(df: DataFrame) -> DataFrame:
+    """documents_spans -> extracted (EXTRACTED_SCHEMA shape).
+
+    Input: (doc_id string, spans array<struct<kind,text,media_ref,offset>>).
+    Output: (doc_id, spans array<struct<kind,text,media_ref,order>>, status,
+    metadata map<string,string>).
+    """
+    import pyspark.sql.types as T
+
+    try:
+        spans_type = df.schema["spans"].dataType
+        fields = {f.name for f in spans_type.elementType.fields}  # type: ignore[union-attr]
+    except (KeyError, AttributeError) as exc:
+        raise ValueError(
+            "extract() expects a 'spans' column of type "
+            "array<struct<kind,text,media_ref,offset>>; got: "
+            f"{df.schema.simpleString()}"
+        ) from exc
+    missing = {"kind", "text", "media_ref", "offset"} - fields
+    if missing or not isinstance(spans_type, T.ArrayType):
+        raise ValueError(f"extract(): spans struct missing fields {sorted(missing)}")
+
+    res = df.select(
+        "doc_id",
+        _extract_kernel(
+            F.col("spans.kind"),
+            F.col("spans.text"),
+            F.col("spans.media_ref"),
+            F.col("spans.offset"),
+        ).alias("r"),
+    )
+    spans = F.arrays_zip(
+        F.col("r.kinds").alias("kind"),
+        F.col("r.texts").alias("text"),
+        F.col("r.media_refs").alias("media_ref"),
+        F.col("r.orders").alias("order"),
+    ).alias("spans")
+    metadata = (
+        F.when(
+            F.col("r.status") == "failed",
+            F.create_map(F.lit("error"), F.col("r.error")),
+        )
+        .otherwise(
+            F.create_map(
+                F.lit("word_count"), F.col("r.word_count").cast("string"),
+                F.lit("char_count"), F.col("r.char_count").cast("string"),
+                F.lit("has_images"), F.when(F.col("r.has_images"), "true").otherwise("false"),
+                F.lit("has_tables"), F.when(F.col("r.has_tables"), "true").otherwise("false"),
+            )
+        )
+        .alias("metadata")
+    )
+    return res.select("doc_id", spans, F.col("r.status").alias("status"), metadata)

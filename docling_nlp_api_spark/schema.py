@@ -1,0 +1,81 @@
+"""Spark schemas for the engine (SURVEY.md §1.4, SPEC.md §1/§4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+SPAN_STRUCT = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("offset", T.IntegerType(), False),
+    ]
+)
+
+DOCUMENTS_SPANS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(SPAN_STRUCT, containsNull=False), False),
+    ]
+)
+
+OUT_SPAN_STRUCT = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("order", T.IntegerType(), False),
+    ]
+)
+
+EXTRACTED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(OUT_SPAN_STRUCT, containsNull=False), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), False),
+    ]
+)
+
+# Field-wise (column-per-field) result of the extraction kernel, before
+# arrays_zip re-assembly — this is what crosses the Arrow boundary.
+KERNEL_RESULT_STRUCT = T.StructType(
+    [
+        T.StructField("kinds", T.ArrayType(T.StringType(), False), False),
+        T.StructField("texts", T.ArrayType(T.StringType(), False), False),
+        T.StructField("media_refs", T.ArrayType(T.StringType(), False), False),
+        T.StructField("orders", T.ArrayType(T.IntegerType(), False), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("error", T.StringType(), True),
+        T.StructField("word_count", T.LongType(), False),
+        T.StructField("char_count", T.LongType(), False),
+        T.StructField("has_images", T.BooleanType(), False),
+        T.StructField("has_tables", T.BooleanType(), False),
+    ]
+)
+
+CHECKPOINT_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("rows_in", T.LongType(), False),
+        T.StructField("rows_out", T.LongType(), False),
+        T.StructField("started_at", T.TimestampType(), False),
+        T.StructField("committed_at", T.TimestampType(), True),
+    ]
+)
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("docs_in", T.LongType(), False),
+        T.StructField("docs_out", T.LongType(), False),
+        T.StructField("docs_failed", T.LongType(), False),
+        T.StructField("spans_in", T.LongType(), False),
+        T.StructField("spans_out", T.LongType(), False),
+        T.StructField("wall_sec", T.DoubleType(), False),
+    ]
+)
