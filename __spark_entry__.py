@@ -1,38 +1,51 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship extraction query at sf0.001.
+- ``queries()``: one entry per implemented operator (SURVEY.md §2 + the
+  training-pipeline planes), each (spark, sf_dir) -> DataFrame.
+- ``oracle_sql()``: exact DuckDB equivalents (see catalog.py parity rules).
+  Extraction-plane entries are non-SQL-expressible (custom vectorized
+  kernels); they are rows-only here and exactness is proven by the pytest
+  span-equality suite against the single-node oracle.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from docling_nlp_api_spark.catalog import ORACLE, QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extract sf0.001 spans tier end-to-end, return completed
+    docs with their word counts and media flags (the reference's
+    ProcessingResponse plane, SURVEY §3.1)."""
+    from pyspark.sql import functions as F
+
+    from docling_nlp_api_spark.datagen import spans_df
+    from docling_nlp_api_spark.operators.exports import full_text_col
+    from docling_nlp_api_spark.operators.extract import extract
+
+    out = extract(spans_df(spark, 500))
+    return out.select(
+        "doc_id",
+        "status",
+        F.size("spans").alias("n_spans"),
+        F.col("metadata")["word_count"].cast("long").alias("word_count"),
+        (F.col("metadata")["has_images"] == "true").alias("has_images"),
+        F.length(full_text_col(F.col("spans"))).alias("text_len"),
+    ).filter(F.col("status") == "completed")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE)

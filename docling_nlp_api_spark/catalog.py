@@ -1,0 +1,532 @@
+"""Query catalog: every implemented operator from SURVEY.md §2 (plus the
+training-pipeline planes) as (spark, sf_dir) -> DataFrame, each paired with
+an exact DuckDB oracle SQL (ANSI, over the driver's pre-registered views).
+
+Parity rules (so value-hashes match):
+- every computed column aliased identically on both sides
+- doubles rounded explicitly on both sides
+- hashes are md5/sha256 hex (portable); never engine-specific hash()
+- dates emitted as 'yyyy-MM-dd' strings; ties in every top-k pinned
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import analytics as A
+from .operators import dedup as D
+from .operators import multimodal as M
+from .operators import nlp as N
+from .operators import relational as R
+from .operators import similarity as S
+from .operators import textquality as Q
+from .spec import STOPWORDS_40, TOKEN_RE
+
+# ---------------------------------------------------------------------------
+# shared literals (mirrored verbatim into SQL)
+
+STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS_40)
+TOKS = f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"  # DuckDB-side tokenizer
+NOW = A.NOW_TS
+ANCHOR = A.ANCHOR_DATE
+LO7, LO30, LO90 = "2024-01-24", "2024-01-01", "2023-11-02"
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# relational plane (TPC-H-ish; SURVEY §2.3-2.4)
+
+q("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                             AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                        AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)     AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4)                             AS avg_qty,
+       COUNT(*)                                              AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")(R.pricing_summary)
+
+q("q5_revenue_by_nation", """
+SELECT n_name, r_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND r_name IN ('ASIA', 'EUROPE')
+GROUP BY n_name, r_name
+""")(R.revenue_by_nation)
+
+q("j_semi_big_items", """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+GROUP BY o_orderpriority
+""")(R.orders_with_big_items)
+
+q("j_anti_customers_without_orders", """
+SELECT c_mktsegment, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS acctbal_sum
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+""")(R.customers_without_orders)
+
+q("j_broadcast_part_stats", """
+SELECT p_brand, COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""")(R.part_type_stats)
+
+q("f2_size_guard", """
+SELECT lang,
+       SUM(CASE WHEN n_chars <= 400 THEN 1 ELSE 0 END) AS accepted,
+       SUM(CASE WHEN n_chars >  400 THEN 1 ELSE 0 END) AS rejected
+FROM documents GROUP BY lang
+""")(R.size_guard_filter)
+
+# ---------------------------------------------------------------------------
+# analytics plane (events; SURVEY §2.4-2.5, J1-J2, F4-F5, T3, X8)
+
+q("a1_daily_rollup", """
+SELECT user_id, strftime(ts, '%Y-%m-%d') AS date,
+       COUNT(*) AS api_calls,
+       ROUND(SUM(value), 2) AS total_value,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_count
+FROM events GROUP BY 1, 2
+""")(lambda s, d: A.daily_rollup(events(s, d)))
+
+q("a5_type_counts", """
+SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+""")(lambda s, d: A.type_counts(events(s, d)))
+
+q("a3_range_rollup", """
+SELECT user_id, api_calls, total_value, error_count,
+       CASE WHEN api_calls > 0
+            THEN ROUND((api_calls - error_count) * 100.0 / api_calls, 2)
+            ELSE 0.0 END AS success_rate
+FROM (
+  SELECT user_id, COUNT(*) AS api_calls, ROUND(SUM(value), 2) AS total_value,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_count
+  FROM events
+  WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-21'
+  GROUP BY user_id
+)
+""")(lambda s, d: A.range_rollup(events(s, d), "2024-01-08", "2024-01-21"))
+
+q("a10_today_stats", f"""
+SELECT COUNT(*) AS api_calls,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+       ROUND(SUM(value) / 1024.0, 4) AS value_kb
+FROM events WHERE strftime(ts, '%Y-%m-%d') = '{ANCHOR}'
+""")(lambda s, d: A.today_stats(events(s, d)))
+
+q("a11_multi_window", f"""
+SELECT user_id,
+       SUM(CASE WHEN date BETWEEN '{LO7}'  AND '{ANCHOR}' THEN 1 ELSE 0 END) AS calls_7d,
+       SUM(CASE WHEN date BETWEEN '{LO30}' AND '{ANCHOR}' THEN 1 ELSE 0 END) AS calls_30d,
+       SUM(CASE WHEN date BETWEEN '{LO90}' AND '{ANCHOR}' THEN 1 ELSE 0 END) AS calls_90d,
+       ROUND(SUM(CASE WHEN date BETWEEN '{LO7}'  AND '{ANCHOR}' THEN value ELSE 0 END), 2) AS value_7d,
+       ROUND(SUM(CASE WHEN date BETWEEN '{LO30}' AND '{ANCHOR}' THEN value ELSE 0 END), 2) AS value_30d
+FROM (SELECT user_id, strftime(ts, '%Y-%m-%d') AS date, value FROM events)
+GROUP BY user_id
+""")(lambda s, d: A.multi_window_dashboard(events(s, d)))
+
+q("j1_dense_date_trend", f"""
+WITH spine AS (
+  SELECT strftime(d, '%Y-%m-%d') AS date
+  FROM generate_series(DATE '{A.SPINE_START}', DATE '{A.SPINE_END}', INTERVAL 1 DAY) AS t(d)
+), daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS date, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total_value
+  FROM events GROUP BY 1
+)
+SELECT spine.date, COALESCE(cnt, 0) AS cnt, COALESCE(total_value, 0.0) AS total_value
+FROM spine LEFT JOIN daily USING (date)
+""")(lambda s, d: A.dense_date_trend(s, events(s, d)))
+
+q("j2_two_stream_zip", """
+WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS date, COUNT(*) AS clicks
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+     p AS (SELECT strftime(ts, '%Y-%m-%d') AS date, COUNT(*) AS purchases
+           FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT COALESCE(c.date, p.date) AS date,
+       COALESCE(clicks, 0) AS clicks, COALESCE(purchases, 0) AS purchases
+FROM c FULL JOIN p ON c.date = p.date
+""")(lambda s, d: A.two_stream_zip(events(s, d)))
+
+q("w1_top_event_types", """
+SELECT user_id, event_type, cnt, rk FROM (
+  SELECT user_id, event_type, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type ASC) AS rk
+  FROM events GROUP BY user_id, event_type
+) WHERE rk <= 3
+""")(lambda s, d: A.top_event_types_per_user(events(s, d)))
+
+q("f4_date_range", """
+SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+FROM events
+WHERE user_id <= 75 AND strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-05' AND '2024-01-15'
+GROUP BY user_id
+""")(lambda s, d: A.date_range_filter(events(s, d), 75, "2024-01-05", "2024-01-15"))
+
+q("f5_ttl_expiry", f"""
+SELECT event_type, COUNT(*) AS alive
+FROM events
+WHERE TIMESTAMP '{NOW}' < ts + to_seconds(CAST(floor(value) AS BIGINT))
+GROUP BY event_type
+""")(lambda s, d: A.ttl_filter(events(s, d)))
+
+q("t3_hour_histogram", """
+SELECT hour(ts) AS hour, COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS users
+FROM events GROUP BY 1
+""")(lambda s, d: A.hour_histogram(events(s, d)))
+
+# ---------------------------------------------------------------------------
+# NLP plane (documents; SURVEY §2.8, A6-A8, W2, X3-X7)
+
+q("a6_doc_counts", f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+')) AS word_count,
+       length(text) AS char_count,
+       len({TOKS}) AS token_count
+FROM documents
+""")(lambda s, d: N.doc_counts(docs(s, d)))
+
+q("a8_corpus_keywords", f"""
+WITH toks AS (SELECT unnest({TOKS}) AS word FROM documents),
+counts AS (SELECT word, COUNT(*) AS cnt FROM toks
+           WHERE word NOT IN ({STOP_SQL}) GROUP BY word)
+SELECT word, cnt, rk FROM (
+  SELECT word, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) AS rk FROM counts
+) WHERE rk <= 20
+""")(lambda s, d: N.corpus_keywords(docs(s, d)))
+
+q("w2_per_doc_keywords", f"""
+WITH base AS (SELECT doc_id, unnest({TOKS}) AS word, len({TOKS}) AS total FROM documents),
+counts AS (SELECT doc_id, word, total, COUNT(*) AS cnt FROM base
+           WHERE word NOT IN ({STOP_SQL}) GROUP BY doc_id, word, total)
+SELECT doc_id, word, cnt, ROUND(cnt * 1.0 / total, 6) AS score, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, word ASC) AS rk FROM counts
+) WHERE rk <= 3
+""")(lambda s, d: N.per_doc_keywords(docs(s, d)))
+
+q("x6_x7_hashes", """
+SELECT doc_id, substr(md5(text), 1, 8) AS name_hash, sha256(text) AS content_hash
+FROM documents
+""")(lambda s, d: N.hashes(docs(s, d)))
+
+q("j4_stopword_anti", f"""
+SELECT word, COUNT(*) AS cnt
+FROM (SELECT unnest({TOKS}) AS word FROM documents)
+WHERE word NOT IN ({STOP_SQL})
+GROUP BY word HAVING COUNT(*) >= 50
+""")(lambda s, d: N.stopword_anti_join(s, docs(s, d)))
+
+# ---------------------------------------------------------------------------
+# text-quality plane (training-pipeline ops)
+
+_MARKER_SQL = {
+    lang: r"\b(" + "|".join(words) + r")\b" for lang, words in Q.LANG_MARKERS.items()
+}
+
+q("tq_lang_id", f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '{_MARKER_SQL["en"]}')) AS s_en,
+         len(regexp_extract_all(lower(text), '{_MARKER_SQL["de"]}')) AS s_de,
+         len(regexp_extract_all(lower(text), '{_MARKER_SQL["fr"]}')) AS s_fr,
+         len(regexp_extract_all(lower(text), '{_MARKER_SQL["es"]}')) AS s_es,
+         len(regexp_extract_all(text, '[一-鿿]')) > 0 AS has_cjk
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN has_cjk THEN 'zh'
+            WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       s_en, s_de, s_fr, s_es
+FROM scored
+""")(lambda s, d: Q.lang_id(docs(s, d)))
+
+q("tq_quality_score", f"""
+WITH raw AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\S+')) AS words,
+         len({TOKS}) AS n_toks,
+         len(list_filter({TOKS}, w -> w IN ({STOP_SQL}))) AS n_stop,
+         len(regexp_extract_all(text, '[.!?,;:]')) AS punct,
+         length(text) AS chars
+  FROM documents
+), ratios AS (
+  SELECT doc_id, words,
+         CASE WHEN n_toks > 0 THEN n_stop * 1.0 / n_toks ELSE 0.0 END AS sr,
+         CASE WHEN chars > 0 THEN punct * 1.0 / chars ELSE 0.0 END AS pr
+  FROM raw
+)
+SELECT doc_id, words, ROUND(sr, 4) AS stop_ratio, ROUND(pr, 4) AS punct_ratio,
+       ROUND(0.5 * least(words / 100.0, 1.0) + 0.3 * (1.0 - sr)
+             + 0.2 * (1.0 - least(pr * 10, 1.0)), 4) AS quality
+FROM ratios
+""")(lambda s, d: Q.quality_score(docs(s, d)))
+
+q("tq_token_count", f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+')) AS ws_tokens,
+       len(regexp_extract_all(text, '{Q.BPE_RE}')) AS bpe_tokens
+FROM documents
+""")(lambda s, d: Q.token_count_bpe(docs(s, d)))
+
+q("tq_fingerprint", """
+WITH n AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS nt FROM documents)
+SELECT doc_id,
+       list_aggregate(list_transform(generate_series(1, greatest(length(nt) - 7, 1)),
+                                     i -> md5(substr(nt, i, 8))), 'min') AS min_gram_hash,
+       md5(nt) AS doc_hash
+FROM n
+""")(lambda s, d: Q.fingerprint(docs(s, d)))
+
+# ---------------------------------------------------------------------------
+# dedup plane
+
+_NEAR_DUPS = f"""
+all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, substr(text, 1, length(text) - {D.PLANT_TRUNC}) AS text
+  FROM documents WHERE doc_id % {D.PLANT_EVERY} = 0
+)"""
+
+_EXACT_DUPS = """
+all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+)"""
+
+_SHINGLES = f"""
+tok AS (SELECT doc_id, {TOKS} AS toks FROM all_docs),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       FROM tok WHERE len(toks) >= 3)"""
+
+_SIG = (
+    "sig AS (SELECT doc_id, "
+    + ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS mh{i}"
+        for i in range(D.N_MINHASH)
+    )
+    + " FROM sh WHERE len(sh) > 0)"
+)
+
+
+def _exact_docs(s, d):
+    base = docs(s, d).select("doc_id", "text")
+    dups = base.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return base.unionByName(dups)
+
+
+q("dedup_exact", f"""
+WITH {_EXACT_DUPS}
+SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS representative
+FROM all_docs GROUP BY md5(text) HAVING COUNT(*) > 1
+""")(lambda s, d: D.exact_dedup(_exact_docs(s, d)))
+
+q("dedup_minhash_signatures", f"""
+WITH {_NEAR_DUPS}, {_SHINGLES}, {_SIG}
+SELECT * FROM sig
+""")(lambda s, d: D.minhash_signatures(D.with_planted_dups(docs(s, d))))
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT {b} AS band, md5(mh{2*b} || mh{2*b+1}) AS bucket, doc_id FROM sig"
+    for b in range(D.BANDS)
+)
+
+q("dedup_lsh_buckets", f"""
+WITH {_NEAR_DUPS}, {_SHINGLES}, {_SIG}
+SELECT band, bucket, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM ({_BANDS_SQL})
+GROUP BY band, bucket HAVING COUNT(*) > 1
+""")(lambda s, d: D.lsh_buckets(D.with_planted_dups(docs(s, d))))
+
+q("dedup_jaccard_pairs", f"""
+WITH {_NEAR_DUPS}, {_SHINGLES}, {_SIG},
+b0 AS (SELECT doc_id, md5(mh0 || mh1) AS bucket FROM sig),
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM b0 a JOIN b0 b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         ROUND(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+               (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+  FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+) WHERE jaccard >= 0.5
+""")(lambda s, d: D.candidate_pairs_jaccard(D.with_planted_dups(docs(s, d))))
+
+_SIMHASH_BITS = ", ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(16)
+)
+_SIMHASH_PACK = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+
+q("dedup_simhash", f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS w FROM documents),
+h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) AS h FROM tok),
+b AS (SELECT doc_id, {_SIMHASH_BITS} FROM h GROUP BY doc_id)
+SELECT doc_id, {_SIMHASH_PACK} AS simhash FROM b
+""")(lambda s, d: D.simhash(docs(s, d)))
+
+# ---------------------------------------------------------------------------
+# similarity plane (embeddings)
+
+_COS = (
+    "ROUND(list_dot_product(qe, ce) / "
+    "(sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 4)"
+)
+
+q("ann_bruteforce_topk", f"""
+WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id % 100 = 0),
+cs AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+scored AS (SELECT query_id, cand_id, {_COS} AS cosine
+           FROM qs, cs WHERE query_id != cand_id)
+SELECT query_id, cand_id, cosine, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 5
+""")(lambda s, d: S.brute_force_topk(s, d))
+
+q("ann_ivf_topk", f"""
+WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe, label AS ql
+            FROM embeddings WHERE vec_id % 100 = 0),
+cs AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS ce, label AS cl FROM embeddings),
+scored AS (SELECT query_id, cand_id, {_COS} AS cosine
+           FROM qs JOIN cs ON ql = cl WHERE query_id != cand_id)
+SELECT query_id, cand_id, cosine, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 3
+""")(lambda s, d: S.ivf_topk(s, d))
+
+
+def _plane_sql_literal(plane: list[float]) -> str:
+    return "CAST([" + ",".join(str(v) for v in plane) + "] AS DOUBLE[])"
+
+
+_LSH_BUCKET = " + ".join(
+    f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {_plane_sql_literal(p)}) > 0 "
+    f"THEN {1 << i} ELSE 0 END)"
+    for i, p in enumerate(S.hyperplanes())
+)
+
+q("ann_lsh_buckets", f"""
+SELECT bucket, COUNT(*) AS n_vecs
+FROM (SELECT {_LSH_BUCKET} AS bucket FROM embeddings)
+GROUP BY bucket
+""")(lambda s, d: S.lsh_bucket_histogram(s, d))
+
+q("dedup_embedding_cosine", f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.emb, b.emb) /
+               (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cosine
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cosine >= 0.40
+""")(lambda s, d: D.embedding_near_dup(s, d))
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (SQL-expressible projection)
+
+q("mm_media_metadata", """
+SELECT doc_id,
+       (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       CASE WHEN doc_id % 3 = 0
+            THEN CAST(64 + CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) % 192 AS INT) END AS width,
+       CASE WHEN doc_id % 3 = 0
+            THEN CAST(64 + CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) % 192 AS INT) END AS height
+FROM documents
+""")(lambda s, d: M.media_meta_sql_equivalent(docs(s, d)))
+
+# ---------------------------------------------------------------------------
+# extraction plane (non-SQL-expressible: rows-only driver check; exactness
+# is guaranteed by the pytest span-equality suite vs the single-node oracle)
+
+_TIER_BY_SF = {"sf0.001": 500, "sf0.01": 5000, "sf0.1": 50000}
+
+
+def _n_docs_for(sf_dir: str) -> int:
+    for tier, n in _TIER_BY_SF.items():
+        if sf_dir.rstrip("/").endswith(tier):
+            return n
+    return 500
+
+
+def extract_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction over the deterministic spans tier; flat scalar output."""
+    from .datagen import spans_df
+    from .operators.extract import extract
+
+    out = extract(spans_df(spark, _n_docs_for(sf_dir)))
+    return out.select(
+        "doc_id",
+        "status",
+        F.size("spans").alias("n_spans"),
+        F.col("metadata")["word_count"].alias("word_count"),
+        F.col("metadata")["char_count"].alias("char_count"),
+        F.col("metadata")["has_images"].alias("has_images"),
+    )
+
+
+def extract_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction + all export renders, hashed (deterministic rows)."""
+    from .datagen import spans_df
+    from .operators.exports import with_exports
+    from .operators.extract import extract
+
+    out = with_exports(extract(spans_df(spark, min(_n_docs_for(sf_dir), 2000))))
+    return out.select(
+        "doc_id",
+        F.md5("export_text").alias("text_md5"),
+        F.md5("export_markdown").alias("md_md5"),
+        F.md5("export_html").alias("html_md5"),
+        F.md5("export_doctags").alias("doctags_md5"),
+        F.md5("export_json").alias("json_md5"),
+    )
+
+
+QUERIES["u1_u3_extract_spans"] = extract_flat
+QUERIES["s4_s8_extract_render"] = extract_render

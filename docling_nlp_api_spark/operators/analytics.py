@@ -1,0 +1,178 @@
+"""Analytics/metrics plane (SURVEY.md §2.2-2.7) over the `events` fact
+table — the reference's Firestore rollups/trends/top-k re-expressed as
+single-pass Spark SQL aggregations.
+
+Reference anchors: daily rollups analytics_service.py:133-235, range
+rollups :302-402, trends :409-450, dashboard :452-492, today :494-525,
+top-10 :322-326, TTL db.py:100-120, date-range filter :290-296.
+
+Scale notes: every groupBy here keys on (user_id[, date]) — at 100 TB these
+are high-cardinality, evenly distributed keys; Spark's partial (map-side)
+aggregation bounds the shuffle to one row per key per task. The dense-date
+trend join broadcasts the tiny date spine. No driver-side loops (the
+reference's 2-RPC-per-day N+1 at :425-431 becomes one ranged scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# Fixed analysis anchors (events span 2024-01-01 .. 2024-01-30; TESTDATA seed=42)
+NOW_TS = "2024-01-15 00:00:00"
+ANCHOR_DATE = "2024-01-30"
+SPINE_START, SPINE_END = "2024-01-01", "2024-01-30"
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def with_date_hour(events: DataFrame) -> DataFrame:
+    """X8: derived ISO date + hour columns (analytics_service.py:78-79)."""
+    return events.withColumn("date", F.date_format("ts", "yyyy-MM-dd")).withColumn(
+        "hour", F.hour("ts")
+    )
+
+
+def daily_rollup(events: DataFrame) -> DataFrame:
+    """A1: per (user_id, date) incremental rollup, one hash aggregation."""
+    return (
+        with_date_hour(events)
+        .groupBy("user_id", "date")
+        .agg(
+            F.count("*").alias("api_calls"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("error_count"),
+        )
+    )
+
+
+def type_counts(events: DataFrame) -> DataFrame:
+    """A5: the map-merge aggregation, exploded form (endpoint->count)."""
+    return events.groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+
+def range_rollup(events: DataFrame, start: str, end: str) -> DataFrame:
+    """A3: date-range roll-up with div-by-zero-guarded derived metrics
+    (the reference's ternaries at analytics_service.py:312,331)."""
+    e = with_date_hour(events).filter(F.col("date").between(start, end))
+    agg = e.groupBy("user_id").agg(
+        F.count("*").alias("api_calls"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("error_count"),
+    )
+    return agg.select(
+        "user_id",
+        "api_calls",
+        "total_value",
+        "error_count",
+        F.when(
+            F.col("api_calls") > 0,
+            F.round((F.col("api_calls") - F.col("error_count")) * 100.0 / F.col("api_calls"), 2),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("success_rate"),
+    )
+
+
+def today_stats(events: DataFrame, today: str = ANCHOR_DATE) -> DataFrame:
+    """A10: point aggregate of one day (the 'real-time' plane)."""
+    e = with_date_hour(events).filter(F.col("date") == today)
+    return e.agg(
+        F.count("*").alias("api_calls"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errors"),
+        F.round(F.sum("value") / 1024.0, 4).alias("value_kb"),
+    )
+
+
+def multi_window_dashboard(events: DataFrame, anchor: str = ANCHOR_DATE) -> DataFrame:
+    """A11: 7/30/90-day windows in ONE scan via conditional aggregation —
+    the reference recomputes 3 overlapping ranges (analytics_service.py:452-492)."""
+    e = with_date_hour(events)
+    d = F.col("date")
+
+    def win(days: int, col, name):
+        lo = F.date_format(F.date_sub(F.lit(anchor).cast("date"), days - 1), "yyyy-MM-dd")
+        return F.sum(F.when((d >= lo) & (d <= anchor), col).otherwise(F.lit(0))).alias(name)
+
+    return e.groupBy("user_id").agg(
+        win(7, F.lit(1), "calls_7d"),
+        win(30, F.lit(1), "calls_30d"),
+        win(90, F.lit(1), "calls_90d"),
+        F.round(win(7, F.col("value"), "_v7"), 2).alias("value_7d"),
+        F.round(win(30, F.col("value"), "_v30"), 2).alias("value_30d"),
+    )
+
+
+def dense_date_trend(spark: SparkSession, events: DataFrame,
+                     start: str = SPINE_START, end: str = SPINE_END) -> DataFrame:
+    """J1: dense date spine LEFT JOIN daily counts with zero-fill — replaces
+    the reference's 2-RPC-per-day loop (analytics_service.py:421-444).
+    The spine is tiny -> broadcast to avoid shuffling the fact side."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(F.lit(start).cast("date"), F.lit(end).cast("date"))
+        ).alias("d")
+    ).select(F.date_format("d", "yyyy-MM-dd").alias("date"))
+    daily = (
+        with_date_hour(events)
+        .groupBy("date")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "date", "left")
+        .select(
+            "date",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+def two_stream_zip(events: DataFrame) -> DataFrame:
+    """J2: per-day counts of two event streams, full-outer zipped by date."""
+    e = with_date_hour(events)
+    clicks = e.filter(F.col("event_type") == "click").groupBy("date").agg(F.count("*").alias("clicks"))
+    purchases = e.filter(F.col("event_type") == "purchase").groupBy("date").agg(F.count("*").alias("purchases"))
+    return clicks.join(purchases, "date", "full").select(
+        "date",
+        F.coalesce("clicks", F.lit(0)).alias("clicks"),
+        F.coalesce("purchases", F.lit(0)).alias("purchases"),
+    )
+
+
+def top_event_types_per_user(events: DataFrame, k: int = 3) -> DataFrame:
+    """W1: top-k endpoints per user; ties pinned (cnt DESC, event_type ASC)."""
+    counts = events.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def date_range_filter(events: DataFrame, user_max: int, start: str, end: str) -> DataFrame:
+    """F4: user + ISO-date-string range predicate (string compare, like the
+    reference); prunes partitions when the table is date-partitioned."""
+    e = with_date_hour(events)
+    return (
+        e.filter((F.col("user_id") <= user_max) & F.col("date").between(start, end))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def ttl_filter(events: DataFrame, now: str = NOW_TS) -> DataFrame:
+    """F5: keep rows iff now < ts + value-seconds (strict, like db.py:116);
+    `value` doubles as the per-row expire_in_seconds, floored."""
+    keep = F.lit(now).cast("timestamp") < (
+        F.col("ts") + F.expr("make_interval(0,0,0,0,0,0, CAST(floor(value) AS INT))")
+    )
+    return events.filter(keep).groupBy("event_type").agg(F.count("*").alias("alive"))
+
+
+def hour_histogram(events: DataFrame) -> DataFrame:
+    """T3: tumbling 1-day/1-hour window counts ≡ groupBy derived cols."""
+    return with_date_hour(events).groupBy("hour").agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("user_id").alias("users"),
+    )

@@ -1,0 +1,161 @@
+"""Deduplication plane — exact, MinHash+LSH, SimHash, n-gram Jaccard —
+first-class training-pipeline ops (driver brief).
+
+Portability design: every hash is md5-hex based (identical in Spark and
+DuckDB) so each operator has an exact SQL oracle; `hash()` builtins are
+engine-specific and never used. Near-duplicates are *planted*
+deterministically (a truncated copy of every 10th doc) so the operators
+demonstrably find pairs on the synthetic corpus.
+
+Scale notes: MinHash/LSH is the linear-cost path at 10^12 docs — signatures
+are a narrow projection, the band-bucket groupBy shuffles only
+(band, bucket, doc_id) tuples, and candidate verification joins stay within
+buckets. The O(n^2) jaccard is only ever run on LSH candidates."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..spec import TOKEN_RE
+
+N_MINHASH = 6          # minhash functions
+BANDS = 3              # 3 bands x 2 rows
+PLANT_EVERY = 10       # every 10th doc gets a planted near-dup
+PLANT_TRUNC = 25       # near-dup = text minus last 25 chars
+
+
+def with_planted_dups(docs: DataFrame) -> DataFrame:
+    """Append deterministic near-duplicates: doc_id+1000000, text truncated."""
+    dups = (
+        docs.filter(F.col("doc_id") % PLANT_EVERY == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr(f"substr(text, 1, length(text) - {PLANT_TRUNC})").alias("text"),
+        )
+    )
+    return docs.select("doc_id", "text").unionByName(dups)
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup via content-hash groupBy; representative = min doc_id.
+    At scale this is one shuffle on a well-distributed hash key."""
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("representative"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles_expr():
+    """3-word shingles over X3 tokens (docs with <3 tokens get none).
+    NB: Spark SQL string literals eat backslashes — escape the regex."""
+    toks = f"regexp_extract_all(lower(text), '{TOKEN_RE.replace(chr(92), chr(92) * 2)}', 0)"
+    return F.expr(
+        f"CASE WHEN size({toks}) >= 3 THEN "
+        f"array_distinct(transform(sequence(0, size({toks}) - 3), "
+        f"i -> concat_ws(' ', {toks}[i], {toks}[i+1], {toks}[i+2]))) "
+        f"ELSE array() END"
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = N_MINHASH) -> DataFrame:
+    """MinHash: mh_i = min over shingles of md5(i || ':' || shingle).
+    md5-hex min is engine-portable (lexicographic on hex strings)."""
+    sig = docs.select("doc_id", shingles_expr().alias("sh")).filter(F.size("sh") > 0)
+
+    def mh(i: int):
+        prefix = f"{i}:"
+        # one-arg lambda: a two-arg lambda would make transform() pass the
+        # array index as the second argument
+        return F.array_min(
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        ).alias(f"mh{i}")
+
+    return sig.select("doc_id", *[mh(i) for i in range(k)])
+
+
+def lsh_buckets(docs: DataFrame) -> DataFrame:
+    """LSH banding: 3 bands of 2 rows; bucket sizes > 1 are candidates."""
+    sig = minhash_signatures(docs)
+    bands = []
+    for b in range(BANDS):
+        bands.append(
+            sig.select(
+                F.lit(b).alias("band"),
+                F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}"))).alias("bucket"),
+                "doc_id",
+            )
+        )
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionByName(b)
+    return (
+        allb.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"), F.max("doc_id").alias("max_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def candidate_pairs_jaccard(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """n-gram Jaccard verification of LSH candidates: pairs sharing any
+    band bucket, exact jaccard over distinct 3-shingles."""
+    sig = minhash_signatures(docs)
+    shing = docs.select("doc_id", shingles_expr().alias("sh"))
+    band0 = sig.select("doc_id", F.md5(F.concat("mh0", "mh1")).alias("bucket"))
+    a = band0.alias("a")
+    b = band0.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = shing.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = shing.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash over X3 tokens: bit j of md5's first 16 bits, majority vote
+    weighted by token frequency. Returns the packed signature."""
+    toks = docs.select(
+        "doc_id", F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)).alias("w")
+    )
+    h = F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long")
+    toks = toks.select("doc_id", h.alias("h"))
+    aggs = [
+        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*aggs)
+    packed = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return per_doc.select("doc_id", packed.alias("simhash"))
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str, threshold: float = 0.40) -> DataFrame:
+    """Embedding-cosine near-dup: pairs above threshold. Buckets by label
+    (coarse cluster) first so the pairwise join never goes all-vs-all."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dot = "aggregate(zip_with(a.e, b.e, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    norm = "sqrt(aggregate({c}.e, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e"), "label").alias("a")
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e"), "label").alias("b")
+    pairs = a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.id_a") < F.col("b.id_b")))
+    cos = F.expr(f"{dot} / ({norm.format(c='a')} * {norm.format(c='b')})")
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

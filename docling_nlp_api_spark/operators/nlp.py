@@ -1,0 +1,99 @@
+"""NLP plane over plain-text document tables (SURVEY.md §2.8 X1-X4, A6-A8,
+W2) — built-in JVM functions only (regexp_extract_all / split / explode),
+whole-stage-codegen friendly; no Python in the hot path.
+
+Reference anchors: tokenizer docling_service.py:341, keyword top-k :335-353,
+word counts :200-201, paragraph/sentence splits :283,296-298."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..spec import STOPWORDS_40, TOKEN_RE, TOP_K_KEYWORDS
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def tokens_col(text=None):
+    """X3: regex word tokenizer (lowercased, >=3 latin letters)."""
+    text = F.col("text") if text is None else text
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
+
+
+def word_count_col(text=None):
+    """A6/X4: Python str.split() parity — count of \\S+ runs."""
+    text = F.col("text") if text is None else text
+    return F.size(F.regexp_extract_all(text, F.lit(r"\S+"), 0))
+
+
+def doc_counts(docs: DataFrame) -> DataFrame:
+    """A6/A7: per-doc word/char counts."""
+    return docs.select(
+        "doc_id",
+        word_count_col().alias("word_count"),
+        F.length("text").alias("char_count"),
+        F.size(tokens_col()).alias("token_count"),
+    )
+
+
+def corpus_keywords(docs: DataFrame, k: int = TOP_K_KEYWORDS) -> DataFrame:
+    """A8 corpus-level: tokenize -> stopword filter -> hash agg -> top-k.
+    Ties pinned (cnt DESC, word ASC). The stopword filter is an isin on a
+    40-term literal set (broadcast-anti-join equivalent, F9/J4)."""
+    toks = docs.select(F.explode(tokens_col()).alias("word"))
+    filtered = toks.filter(~F.col("word").isin(*STOPWORDS_40))
+    counts = filtered.groupBy("word").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    return counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def per_doc_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
+    """W2: top-k keywords per doc with frequency score (score = cnt/total
+    pre-stopword tokens, like the reference's freq/len(words))."""
+    base = docs.select("doc_id", F.explode(tokens_col()).alias("word"),
+                       F.size(tokens_col()).alias("total"))
+    counts = (
+        base.filter(~F.col("word").isin(*STOPWORDS_40))
+        .groupBy("doc_id", "word", "total")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("word"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "word", "cnt", F.round(F.col("cnt") / F.col("total"), 6).alias("score"), "rk")
+    )
+
+
+def sentence_split(docs: DataFrame) -> DataFrame:
+    """X2/W4: sentences with per-doc position ids (posexplode)."""
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    return docs.select("doc_id", F.posexplode(sents).alias("sentence_id", "sentence"))
+
+
+def hashes(docs: DataFrame) -> DataFrame:
+    """X6/X7: md5 naming prefix + sha256 content hash."""
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5(F.col("text")), 1, 8).alias("name_hash"),
+        F.sha2(F.col("text"), 256).alias("content_hash"),
+    )
+
+
+def stopword_anti_join(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """J4/F9 as an explicit broadcast LEFT ANTI join against a stopword
+    dimension (the join-shaped form of the isin filter)."""
+    stop = spark.createDataFrame([(w,) for w in STOPWORDS_40], ["word"])
+    toks = docs.select(F.explode(tokens_col()).alias("word"))
+    return (
+        toks.join(F.broadcast(stop), "word", "left_anti")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 50)
+    )

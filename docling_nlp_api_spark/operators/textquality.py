@@ -1,0 +1,101 @@
+"""Training-data text analysis: language-ID heuristic, quality scoring,
+BPE-ish token counting, winnowing-style fingerprinting — first-class
+pipeline ops for a 100 TB corpus (driver brief: text analysis plane).
+
+All built-in column expressions (codegen'd); each has an exact DuckDB
+oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..spec import STOPWORDS_40
+
+# marker word lists for the n-gram/marker language heuristic — shared with
+# the SQL oracle via catalog.py
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+}
+
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _marker_count(lang: str):
+    pat = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), 0))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language ID; CJK short-circuits to zh. Deterministic
+    argmax with lexicographic tiebreak."""
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        _marker_count("en").alias("s_en"),
+        _marker_count("de").alias("s_de"),
+        _marker_count("fr").alias("s_fr"),
+        _marker_count("es").alias("s_es"),
+        (F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[一-鿿]"), 0)) > 0).alias("has_cjk"),
+    )
+    best = F.greatest("s_en", "s_de", "s_fr", "s_es")
+    pred = (
+        F.when(F.col("has_cjk"), "zh")
+        .when(best == 0, "unknown")
+        .when(F.col("s_de") == best, "de")  # lexicographic: de < en < es < fr
+        .when(F.col("s_en") == best, "en")
+        .when(F.col("s_es") == best, "es")
+        .otherwise("fr")
+    )
+    return scored.select("doc_id", "lang", pred.alias("pred_lang"), "s_en", "s_de", "s_fr", "s_es")
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality score in [0,1]."""
+    words = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\b[a-zA-Z]{3,}\b"), 0)
+    n_toks = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS_40)))
+    punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?,;:]"), 0))
+    chars = F.length("text")
+    stop_ratio = F.when(n_toks > 0, n_stop / n_toks).otherwise(F.lit(0.0))
+    punct_ratio = F.when(chars > 0, punct / chars).otherwise(F.lit(0.0))
+    length_score = F.least(words / F.lit(100.0), F.lit(1.0))
+    score = F.round(
+        0.5 * length_score + 0.3 * (1.0 - stop_ratio) + 0.2 * (1.0 - F.least(punct_ratio * 10, F.lit(1.0))),
+        4,
+    )
+    return docs.select(
+        "doc_id",
+        words.alias("words"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        score.alias("quality"),
+    )
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """Whitespace words + BPE-ish regex token count."""
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)).alias("bpe_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Winnowing-style fingerprint: min md5 over character 8-gram shingles
+    of the whitespace-normalized text, plus a whole-doc hash."""
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - 7, F.lit(1))),
+        lambda i: F.md5(norm.substr(i, F.lit(8))),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_min(grams).alias("min_gram_hash"),
+        F.md5(norm).alias("doc_hash"),
+    )
