@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+ "sf": ..., "extraction": {docs, spans, sec, docs_per_sec}, "cores": N}
+
+The extraction number is the north-star metric (docs/sec end-to-end over
+the interleaved spans table, FIXTURES.md tier sf0.1 = 50k docs incl. ~50
+mega-docs). Datagen is cached to .data/ and excluded from timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from docling_nlp_api_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q5_revenue_by_nation",
+    "j_broadcast_part_stats",
+    "a1_daily_rollup",
+    "a11_multi_window",
+    "j1_dense_date_trend",
+    "w1_top_event_types",
+    "a8_corpus_keywords",
+    "tq_quality_score",
+    "tq_fingerprint",
+    "dedup_minhash_signatures",
+    "dedup_lsh_buckets",
+    "dedup_simhash",
+    "ann_bruteforce_topk",
+    "ann_lsh_buckets",
+]
+
+
+def sf_of(path: str) -> float:
+    for tier, v in (("sf0.001", 0.001), ("sf0.01", 0.01), ("sf0.1", 0.1)):
+        if path.rstrip("/").endswith(tier):
+            return v
+    return 0.1
+
+
+def tier_of(path: str) -> str:
+    return "sf" + str(sf_of(path))
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from docling_nlp_api_spark.catalog import QUERIES
+    from docling_nlp_api_spark.datagen import TIER_DOCS, ensure_spans_parquet
+    from docling_nlp_api_spark.operators.extract import extract
+
+    spark = get_spark("bench", cores=CORES, shuffle_partitions=CORES)
+
+    # --- extraction (north star): cached spans parquet -> extract -> noop sink
+    tier = tier_of(SF_DIR)
+    n_docs = TIER_DOCS.get(tier, 50000)
+    spans_path = ensure_spans_parquet(spark, tier)
+    spans = spark.read.parquet(spans_path)
+    n_spans = spans.selectExpr("sum(size(spans)) s").collect()[0]["s"]
+
+    t0 = time.time()
+    run_noop(extract(spans))
+    ex_sec = time.time() - t0
+
+    # --- catalog queries
+    qtimes: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        run_noop(fn(spark, SF_DIR))
+        qtimes[name] = round(time.time() - t0, 3)
+    qtimes["extract_spans"] = round(ex_sec, 3)
+
+    total = round(sum(qtimes.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": sf_of(SF_DIR),
+                "cores": CORES,
+                "extraction": {
+                    "docs": n_docs,
+                    "spans": int(n_spans),
+                    "sec": round(ex_sec, 3),
+                    "docs_per_sec": round(n_docs / ex_sec, 1),
+                    "spans_per_sec": round(int(n_spans) / ex_sec, 1),
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,194 @@
+"""End-to-end extraction pipeline with per-partition checkpoint / lineage /
+metrics and exactly-once resume (north rule).
+
+Layout (Iceberg in production; partitioned parquet + checkpoint dir in the
+sandbox — same commit protocol):
+
+    <out>/extracted/part_id=K/*.parquet     output, hash-partitioned by doc_id
+    <out>/_checkpoints/*.parquet            (run_id, partition_id, status,
+                                             rows_in, rows_out, started_at,
+                                             committed_at)
+    <out>/_metrics/*.parquet                per-partition docs/spans/wall_sec
+
+Commit protocol (mirrors Iceberg MERGE semantics with plain files):
+1. pending = all partition ids LEFT ANTI JOIN committed checkpoint rows
+2. per batch of partitions: dynamic-partition-overwrite the output dirs
+   (idempotent on re-run of an uncommitted partition), then append
+   checkpoint + metrics rows.
+3. a crash between (2a) and (2b) re-processes that batch only; committed
+   partitions are never touched again -> no double-counted metrics.
+
+Skew (mega-docs): docs with size(spans) > MEGA_SPAN_THRESHOLD are routed
+through a dedicated pass that spreads one doc per task; the Arrow batch cap
+(session.py) bounds per-batch memory for the rest. At cluster scale the
+same split becomes a salted repartition — a doc is never split (span order
+is per-doc), only re-balanced.
+
+Reference anchor: the reference absorbs per-document failures into data
+rather than failing the request (docling_service.py:82-91); this pipeline
+does the same at partition granularity and never fails the job for a doc.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import CHECKPOINT_SCHEMA, METRICS_SCHEMA
+from ..spec import MEGA_SPAN_THRESHOLD
+from ..operators.extract import extract
+
+
+class ExtractionPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        run_id: str = "run0",
+        n_partitions: int = 16,
+        batch_size: int = 8,
+    ):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.run_id = run_id
+        self.n_partitions = n_partitions
+        self.batch_size = batch_size
+        self.extracted_dir = os.path.join(out_dir, "extracted")
+        self.ckpt_dir = os.path.join(out_dir, "_checkpoints")
+        self.metrics_dir = os.path.join(out_dir, "_metrics")
+
+    # -- checkpoint table ---------------------------------------------------
+    def committed_partitions(self) -> set[int]:
+        if not os.path.isdir(self.ckpt_dir):
+            return set()
+        df = self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(self.ckpt_dir)
+        rows = (
+            df.filter((F.col("run_id") == self.run_id) & (F.col("status") == "committed"))
+            .select("partition_id")
+            .distinct()
+            .collect()
+        )
+        return {r["partition_id"] for r in rows}
+
+    def pending_partitions(self) -> list[int]:
+        """All partition ids anti-joined against committed ones. The id set
+        is tiny (metadata), so the anti-join is a set difference here; on a
+        real catalog it is `pending LEFT ANTI JOIN committed`."""
+        return sorted(set(range(self.n_partitions)) - self.committed_partitions())
+
+    # -- run ----------------------------------------------------------------
+    def run(self, input_df: DataFrame, fail_after_batches: int | None = None) -> dict:
+        """Process all pending partitions in commit batches. Returns a
+        summary dict. `fail_after_batches` injects a crash (tests)."""
+        spark = self.spark
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+        src = input_df.withColumn(
+            "part_id", F.pmod(F.xxhash64("doc_id"), F.lit(self.n_partitions)).cast("int")
+        )
+
+        pending = self.pending_partitions()
+        batches = [
+            pending[i : i + self.batch_size] for i in range(0, len(pending), self.batch_size)
+        ]
+        done = 0
+        total_docs = 0
+        for bi, batch in enumerate(batches):
+            t0 = time.time()
+            started_at = datetime.now(timezone.utc).replace(tzinfo=None)
+            chunk = src.filter(F.col("part_id").isin(batch))
+
+            # skew split: mega-docs one-per-task, normal docs hash-balanced
+            is_mega = F.size("spans") > MEGA_SPAN_THRESHOLD
+            normal = chunk.filter(~is_mega)
+            mega = chunk.filter(is_mega)
+
+            ext_n = extract(normal.repartition(max(len(batch) * 2, 2), "doc_id")).join(
+                normal.select("doc_id", "part_id"), "doc_id"
+            )
+            ext_m = extract(mega.repartition(8)).join(mega.select("doc_id", "part_id"), "doc_id")
+            result = ext_n.unionByName(ext_m)
+
+            # one pass: write output + collect per-partition metrics
+            result = result.persist()
+            try:
+                (
+                    result.withColumn("n_spans_out", F.size("spans"))
+                    .write.mode("overwrite")
+                    .partitionBy("part_id")
+                    .parquet(self.extracted_dir)
+                )
+                stats = {
+                    r["part_id"]: r
+                    for r in result.groupBy("part_id")
+                    .agg(
+                        F.count("*").alias("docs"),
+                        F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("failed"),
+                        F.sum(F.size("spans")).alias("spans_out"),
+                    )
+                    .collect()
+                }
+                ins = {
+                    r["part_id"]: r
+                    for r in chunk.groupBy("part_id")
+                    .agg(F.count("*").alias("docs_in"), F.sum(F.size("spans")).alias("spans_in"))
+                    .collect()
+                }
+            finally:
+                result.unpersist()
+
+            wall = time.time() - t0
+            committed_at = datetime.now(timezone.utc).replace(tzinfo=None)
+            ck_rows, mt_rows = [], []
+            for pid in batch:
+                s = stats.get(pid)
+                i = ins.get(pid)
+                docs_in = int(i["docs_in"]) if i else 0
+                docs_out = int(s["docs"]) if s else 0
+                ck_rows.append(
+                    (self.run_id, pid, "committed", docs_in, docs_out, started_at, committed_at)
+                )
+                mt_rows.append(
+                    (
+                        self.run_id,
+                        pid,
+                        docs_in,
+                        docs_out,
+                        int(s["failed"]) if s else 0,
+                        int(i["spans_in"]) if i else 0,
+                        int(s["spans_out"]) if s else 0,
+                        wall / max(len(batch), 1),
+                    )
+                )
+                total_docs += docs_out
+            spark.createDataFrame(ck_rows, CHECKPOINT_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(self.ckpt_dir)
+            spark.createDataFrame(mt_rows, METRICS_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(self.metrics_dir)
+            done += 1
+            if fail_after_batches is not None and done >= fail_after_batches:
+                raise RuntimeError(f"injected failure after {done} batches")
+
+        return {
+            "run_id": self.run_id,
+            "batches": done,
+            "partitions_done": len(self.committed_partitions()),
+            "docs_out": total_docs,
+        }
+
+    def read_output(self) -> DataFrame:
+        return self.spark.read.parquet(self.extracted_dir)
+
+    def read_metrics(self) -> DataFrame:
+        return self.spark.read.schema(METRICS_SCHEMA).parquet(self.metrics_dir)
+
+
+def new_run_id() -> str:
+    return uuid.uuid4().hex[:12]

@@ -1,0 +1,62 @@
+"""Checkpoint/resume semantics (north rule, SURVEY §5.2(4)):
+crash mid-run -> re-run -> identical final table, no double-counted metrics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_nlp_api_spark.datagen import spans_df
+from docling_nlp_api_spark.plans.pipeline import ExtractionPipeline
+
+N_DOCS = 300
+N_PARTS = 8
+BATCH = 2  # 4 commit batches
+
+
+@pytest.fixture()
+def input_df(spark):
+    return spans_df(spark, N_DOCS).cache()
+
+
+def _signature(df):
+    """Order-insensitive content signature of the extracted table."""
+    return sorted(
+        (r["doc_id"], r["status"], len(r["spans"]), r["metadata"].get("word_count"))
+        for r in df.select("doc_id", "status", "spans", "metadata").collect()
+    )
+
+
+def test_crash_resume_identical(spark, tmp_path, input_df):
+    # reference run: no failure
+    ref = ExtractionPipeline(spark, str(tmp_path / "ref"), n_partitions=N_PARTS, batch_size=BATCH)
+    ref.run(input_df)
+    ref_sig = _signature(ref.read_output())
+    assert len(ref_sig) == N_DOCS
+
+    # crash after 1 batch, then resume
+    p = ExtractionPipeline(spark, str(tmp_path / "out"), n_partitions=N_PARTS, batch_size=BATCH)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        p.run(input_df, fail_after_batches=1)
+    committed_after_crash = p.committed_partitions()
+    assert 0 < len(committed_after_crash) < N_PARTS
+
+    summary = p.run(input_df)  # resume
+    assert summary["partitions_done"] == N_PARTS
+    assert _signature(p.read_output()) == ref_sig
+
+    # metrics: exactly one row per partition, no double counting
+    m = p.read_metrics()
+    per_part = m.groupBy("partition_id").count().collect()
+    assert len(per_part) == N_PARTS
+    assert all(r["count"] == 1 for r in per_part)
+    assert m.agg(F.sum("docs_in")).collect()[0][0] == N_DOCS
+    assert m.agg(F.sum("docs_out")).collect()[0][0] == N_DOCS
+
+
+def test_rerun_is_noop(spark, tmp_path, input_df):
+    p = ExtractionPipeline(spark, str(tmp_path / "out2"), n_partitions=4, batch_size=4)
+    p.run(input_df)
+    sig1 = _signature(p.read_output())
+    summary = p.run(input_df)  # everything committed -> nothing to do
+    assert summary["batches"] == 0
+    assert _signature(p.read_output()) == sig1
+    assert p.read_metrics().count() == 4
