@@ -21,6 +21,7 @@ from .operators import dedup as D
 from .operators import multimodal as M
 from .operators import nlp as N
 from .operators import relational as R
+from .operators import scalars as X
 from .operators import similarity as S
 from .operators import textquality as Q
 from .spec import STOPWORDS_40, TOKEN_RE
@@ -211,6 +212,144 @@ SELECT hour(ts) AS hour, COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS users
 FROM events GROUP BY 1
 """)(lambda s, d: A.hour_histogram(events(s, d)))
 
+_COUNT_JSON = (
+    "'{' || string_agg('\"' || event_type || '\":' || cnt, ',' ORDER BY event_type) || '}'"
+)
+
+q("a2_daily_rollup_maps", f"""
+WITH per_type AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS date, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT user_id, date, SUM(cnt) AS api_calls, {_COUNT_JSON} AS event_types
+FROM per_type GROUP BY user_id, date
+""")(lambda s, d: A.daily_rollup_maps(events(s, d)))
+
+q("a5_map_merge", f"""
+WITH per_day AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS date, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2, 3
+), merged AS (
+  SELECT user_id, event_type, SUM(cnt) AS cnt FROM per_day GROUP BY 1, 2
+)
+SELECT user_id, {_COUNT_JSON} AS event_types, SUM(cnt) AS api_calls
+FROM merged GROUP BY user_id
+""")(lambda s, d: A.map_merge(events(s, d)))
+
+q("s10_merge_upsert", """
+WITH e AS (SELECT user_id, event_type, strftime(ts, '%Y-%m-%d') AS date, value FROM events),
+existing AS (
+  SELECT user_id, event_type, COUNT(*) AS calls, ROUND(SUM(value), 2) AS total_value
+  FROM e WHERE date < '2024-01-15' GROUP BY 1, 2
+), batch AS (
+  SELECT user_id, event_type, COUNT(*) AS calls, ROUND(SUM(value), 2) AS total_value
+  FROM e WHERE date >= '2024-01-15' GROUP BY 1, 2
+)
+SELECT COALESCE(ex.user_id, ba.user_id) AS user_id,
+       COALESCE(ex.event_type, ba.event_type) AS event_type,
+       COALESCE(ex.calls, 0) + COALESCE(ba.calls, 0) AS calls,
+       ROUND(COALESCE(ex.total_value, 0) + COALESCE(ba.total_value, 0), 2) AS total_value
+FROM existing ex FULL JOIN batch ba USING (user_id, event_type)
+""")(lambda s, d: A.merge_upsert(events(s, d)))
+
+q("w3_latest_per_user", """
+SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, rk FROM (
+  SELECT user_id, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+) WHERE rk <= 2
+""")(lambda s, d: A.latest_per_user(events(s, d)))
+
+# ---------------------------------------------------------------------------
+# scalar / predicate / auth plane (SURVEY §2.2, §2.8)
+
+_EXT_POOL_SQL = "['" + "','".join(
+    e.upper() if i % 2 else e for i, e in enumerate(X.EXT_POOL)
+) + "']"
+_ALLOWED_SQL = ", ".join(f"'{e}'" for e in X.ALLOWED_EXTS)
+
+q("f1_x5_extension_gate", f"""
+WITH named AS (
+  SELECT lower(regexp_extract(
+           'doc_' || doc_id || ({_EXT_POOL_SQL})[CAST(doc_id % {len(X.EXT_POOL)} + 1 AS INT)],
+           '(\\.[^.]+)$', 1)) AS ext
+  FROM documents
+)
+SELECT ext, COUNT(*) AS n, MAX(ext IN ({_ALLOWED_SQL})) AS allowed
+FROM named GROUP BY ext
+""")(lambda s, d: X.extension_gate(docs(s, d)))
+
+q("f3_path_exclusion", f"""
+WITH p AS (SELECT '/' || event_type || '/' || user_id AS path FROM events)
+SELECT regexp_extract(path, '^/([^/]+)/', 1) AS event_type, COUNT(*) AS n
+FROM p
+WHERE NOT ({" OR ".join(f"starts_with(path, '{pre}')" for pre in X.EXCLUDED_PREFIXES)})
+GROUP BY 1
+""")(lambda s, d: X.path_exclusion(events(s, d)))
+
+q("x9_iso_roundtrip", """
+WITH r AS (
+  SELECT event_type,
+         CAST(epoch(strptime(replace(strftime(ts, '%Y-%m-%dT%H:%M:%SZ'), 'Z', '+00:00'),
+                             '%Y-%m-%dT%H:%M:%S%z')) AS BIGINT) AS parsed_epoch,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS true_epoch
+  FROM events
+)
+SELECT event_type, MIN(parsed_epoch) AS min_epoch, MAX(parsed_epoch) AS max_epoch,
+       SUM(CASE WHEN parsed_epoch = true_epoch THEN 1 ELSE 0 END) AS n_roundtrip_ok
+FROM r GROUP BY event_type
+""")(lambda s, d: X.iso_roundtrip(events(s, d)))
+
+q("f6_x10_token_expiry", f"""
+WITH t AS (
+  SELECT sha256(CAST(user_id AS VARCHAR)) AS token_hash,
+         (event_type != 'error'
+          AND TIMESTAMP '{NOW}' <= ts + to_days(CAST(1 + CAST(floor(value) AS BIGINT) % 30 AS INT))) AS valid
+  FROM events
+)
+SELECT token_hash,
+       SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS n_valid,
+       SUM(CASE WHEN valid THEN 0 ELSE 1 END) AS n_expired
+FROM t GROUP BY token_hash
+""")(lambda s, d: X.token_expiry(events(s, d)))
+
+q("x13_json_props", """
+SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10) AS INT) AS k_decile,
+       COUNT(*) AS n, SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum
+FROM events GROUP BY 1
+""")(lambda s, d: X.json_props_decode(events(s, d)))
+
+q("x14_filename_from_header", """
+WITH h AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'attachment; filename="f' || doc_id || '.pdf"'
+              WHEN doc_id % 3 = 1 THEN 'attachment; filename=f' || doc_id || '.html'
+         END AS cd,
+         'http://host/a/b/file' || doc_id || '.bin' AS url
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN regexp_extract(cd, 'filename="?([^";]+)"?', 1) != ''
+            THEN regexp_extract(cd, 'filename="?([^";]+)"?', 1)
+            ELSE str_split(url, '/')[-1] END AS filename
+FROM h
+""")(lambda s, d: X.filename_from_header(docs(s, d)))
+
+q("f7_f8_auth_coalesce", """
+WITH a AS (
+  SELECT CASE WHEN event_type IN ('click', 'view') THEN user_id END AS api_uid,
+         CASE WHEN value > 5.0 THEN user_id + 100000 END AS fb_uid,
+         CASE WHEN event_type = 'error' THEN 'failed' ELSE 'completed' END AS status
+  FROM events
+)
+SELECT CASE WHEN api_uid IS NOT NULL THEN 'api_token'
+            WHEN fb_uid IS NOT NULL THEN 'firebase'
+            ELSE 'anonymous' END AS auth_source,
+       status, COUNT(*) AS n,
+       COUNT(DISTINCT COALESCE(api_uid, fb_uid, -1)) AS n_uids
+FROM a GROUP BY 1, 2
+""")(lambda s, d: X.auth_coalesce(events(s, d)))
+
 # ---------------------------------------------------------------------------
 # NLP plane (documents; SURVEY §2.8, A6-A8, W2, X3-X7)
 
@@ -239,6 +378,46 @@ SELECT doc_id, word, cnt, ROUND(cnt * 1.0 / total, 6) AS score, rk FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, word ASC) AS rk FROM counts
 ) WHERE rk <= 3
 """)(lambda s, d: N.per_doc_keywords(docs(s, d)))
+
+def _para_docs(s, d):
+    # the synthetic docs have no blank lines; derive paragraph breaks
+    # deterministically (every ' table ' separator) on BOTH sides
+    return docs(s, d).withColumn("text", F.regexp_replace("text", " table ", "\n\n"))
+
+
+q("x1_paragraph_split", """
+WITH n AS (
+  SELECT doc_id,
+         list_filter(list_transform(str_split(regexp_replace(text, ' table ', chr(10) || chr(10), 'g'),
+                                              chr(10) || chr(10)), s -> trim(s)),
+                     s -> s != '') AS paras
+  FROM documents
+)
+SELECT doc_id,
+       unnest(generate_series(1, len(paras))) - 1 AS paragraph_id,
+       unnest(paras) AS paragraph
+FROM n
+""")(lambda s, d: N.paragraph_split(_para_docs(s, d)))
+
+def _sent_docs(s, d):
+    # derive sentence terminators deterministically (every ' row ' -> '. ')
+    # on BOTH sides — the synthetic docs carry no punctuation
+    return docs(s, d).withColumn("text", F.regexp_replace("text", " row ", ". "))
+
+
+q("x2_sentence_split", """
+WITH n AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(regexp_replace(text, ' row ', '. ', 'g'),
+                                                          '[.!?]+'), s -> trim(s)),
+                     s -> s != '') AS sents
+  FROM documents
+)
+SELECT doc_id,
+       unnest(generate_series(1, len(sents))) - 1 AS sentence_id,
+       unnest(sents) AS sentence
+FROM n
+""")(lambda s, d: N.sentence_split(_sent_docs(s, d)))
 
 q("x6_x7_hashes", """
 SELECT doc_id, substr(md5(text), 1, 8) AS name_hash, sha256(text) AS content_hash
@@ -480,6 +659,23 @@ SELECT doc_id,
             THEN CAST(64 + CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) % 192 AS INT) END AS height
 FROM documents
 """)(lambda s, d: M.media_meta_sql_equivalent(docs(s, d)))
+
+q("mm_decode_mapinpandas", """
+SELECT doc_id,
+       (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       CASE WHEN doc_id % 3 = 0
+            THEN CAST(64 + CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) % 192 AS INT) END AS width,
+       CASE WHEN doc_id % 3 = 0
+            THEN CAST(64 + CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) % 192 AS INT) END AS height,
+       CASE WHEN doc_id % 3 != 0
+            THEN 1000 + CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 60000 END AS duration_ms
+FROM documents
+""")(
+    lambda s, d: M.extract_media_metadata(M.as_media_table(docs(s, d))).select(
+        "doc_id", "media_type", "n_bytes", "width", "height", "duration_ms"
+    )
+)
 
 # ---------------------------------------------------------------------------
 # extraction plane (non-SQL-expressible: rows-only driver check; exactness

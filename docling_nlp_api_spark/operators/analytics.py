@@ -170,6 +170,107 @@ def ttl_filter(events: DataFrame, now: str = NOW_TS) -> DataFrame:
     return events.filter(keep).groupBy("event_type").agg(F.count("*").alias("alive"))
 
 
+def _sorted_count_json(key_col: str, cnt_col: str):
+    """Deterministic JSON rendering of a count-map: entries sorted by key.
+    Used instead of MapType output so the DuckDB oracle can build the
+    byte-identical string with string_agg(... ORDER BY key)."""
+    return F.concat(
+        F.lit("{"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col(key_col), F.col(cnt_col)))),
+                lambda e: F.concat(F.lit('"'), e[key_col], F.lit('":'), e[cnt_col].cast("string")),
+            ),
+            ",",
+        ),
+        F.lit("}"),
+    )
+
+
+def daily_rollup_maps(events: DataFrame) -> DataFrame:
+    """A2: per (user_id, date) rollup with a map-typed breakdown column
+    (the reference's `endpoints: {name: count}` Firestore field,
+    analytics_service.py:152-169). Two-level aggregation: count per
+    (user, date, type), then fold the types into one sorted-JSON map per
+    (user, date) — partial aggregation bounds both shuffles."""
+    per_type = (
+        with_date_hour(events)
+        .groupBy("user_id", "date", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return per_type.groupBy("user_id", "date").agg(
+        F.sum("cnt").alias("api_calls"),
+        _sorted_count_json("event_type", "cnt").alias("event_types"),
+    )
+
+
+def map_merge(events: DataFrame) -> DataFrame:
+    """A5: merge the per-day count-maps of A2 across days by summing values
+    per key (analytics_service.py:314-320) — explode-regroup, the scalable
+    form (never collects a whole map column to the driver)."""
+    per_day = (
+        with_date_hour(events)
+        .groupBy("user_id", "date", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    merged = per_day.groupBy("user_id", "event_type").agg(F.sum("cnt").alias("cnt"))
+    return merged.groupBy("user_id").agg(
+        _sorted_count_json("event_type", "cnt").alias("event_types"),
+        F.sum("cnt").alias("api_calls"),
+    )
+
+
+def merge_upsert(events: DataFrame, split: str = "2024-01-15") -> DataFrame:
+    """S10/T5: keyed read-modify-write upsert semantics as a relational
+    expression — `existing` (days < split) merged with `batch`
+    (days >= split) on (user_id, date)-like key (user_id, event_type):
+    matched keys add counters, unmatched insert. This is the logical form
+    of the pipeline's Iceberg `MERGE INTO`; full-outer + coalesce is its
+    engine-portable equivalent."""
+    e = with_date_hour(events)
+    existing = (
+        e.filter(F.col("date") < split)
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("calls"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    batch = (
+        e.filter(F.col("date") >= split)
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("calls"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    ex = existing.alias("ex")
+    ba = batch.alias("ba")
+    return (
+        ex.join(ba, ["user_id", "event_type"], "full")
+        .select(
+            "user_id",
+            "event_type",
+            (F.coalesce(F.col("ex.calls"), F.lit(0)) + F.coalesce(F.col("ba.calls"), F.lit(0))).alias("calls"),
+            F.round(
+                F.coalesce(F.col("ex.total_value"), F.lit(0.0))
+                + F.coalesce(F.col("ba.total_value"), F.lit(0.0)),
+                2,
+            ).alias("total_value"),
+        )
+    )
+
+
+def latest_per_user(events: DataFrame, k: int = 2) -> DataFrame:
+    """W3: most-recent k rows per user (ORDER BY created_at DESC per user,
+    api_token_service.py:150-156); ties pinned by event_id desc."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+            "rk",
+        )
+    )
+
+
 def hour_histogram(events: DataFrame) -> DataFrame:
     """T3: tumbling 1-day/1-hour window counts ≡ groupBy derived cols."""
     return with_date_hour(events).groupBy("hour").agg(

@@ -47,22 +47,38 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles_expr():
+def with_shingles(docs: DataFrame) -> DataFrame:
     """3-word shingles over X3 tokens (docs with <3 tokens get none).
-    NB: Spark SQL string literals eat backslashes — escape the regex."""
-    toks = f"regexp_extract_all(lower(text), '{TOKEN_RE.replace(chr(92), chr(92) * 2)}', 0)"
-    return F.expr(
-        f"CASE WHEN size({toks}) >= 3 THEN "
-        f"array_distinct(transform(sequence(0, size({toks}) - 3), "
-        f"i -> concat_ws(' ', {toks}[i], {toks}[i+1], {toks}[i+2]))) "
-        f"ELSE array() END"
+
+    Two-phase projection: the regex tokenizer is materialized as its own
+    column FIRST, then the shingle transform indexes that column. Folding
+    the tokenizer into the transform lambda re-evaluates the regex on the
+    whole text per element access (higher-order functions are interpreted,
+    no common-subexpression elimination) — ~3 full tokenizations per
+    shingle, catastrophic at 100 TB."""
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0).alias("toks"),
+    )
+    return toks.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(toks) >= 3 THEN "
+            "array_distinct(transform(sequence(0, size(toks) - 3), "
+            "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) "
+            "ELSE array() END"
+        ).alias("sh"),
     )
 
 
 def minhash_signatures(docs: DataFrame, k: int = N_MINHASH) -> DataFrame:
     """MinHash: mh_i = min over shingles of md5(i || ':' || shingle).
     md5-hex min is engine-portable (lexicographic on hex strings)."""
-    sig = docs.select("doc_id", shingles_expr().alias("sh")).filter(F.size("sh") > 0)
+    return minhash_from_shingles(with_shingles(docs), k)
+
+
+def minhash_from_shingles(shing: DataFrame, k: int = N_MINHASH) -> DataFrame:
+    sig = shing.filter(F.size("sh") > 0)
 
     def mh(i: int):
         prefix = f"{i}:"
@@ -76,20 +92,24 @@ def minhash_signatures(docs: DataFrame, k: int = N_MINHASH) -> DataFrame:
 
 
 def lsh_buckets(docs: DataFrame) -> DataFrame:
-    """LSH banding: 3 bands of 2 rows; bucket sizes > 1 are candidates."""
+    """LSH banding: 3 bands of 2 rows; bucket sizes > 1 are candidates.
+
+    Single pass: bands explode from one signature row (a 3-way union of
+    selects over the same subtree would re-run the tokenize+minhash scan
+    once per band)."""
     sig = minhash_signatures(docs)
-    bands = []
-    for b in range(BANDS):
-        bands.append(
-            sig.select(
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
                 F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}"))).alias("bucket"),
-                "doc_id",
             )
-        )
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionByName(b)
+            for b in range(BANDS)
+        ]
+    )
+    allb = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), "doc_id"
+    )
     return (
         allb.groupBy("band", "bucket")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"), F.max("doc_id").alias("max_doc"))
@@ -100,8 +120,8 @@ def lsh_buckets(docs: DataFrame) -> DataFrame:
 def candidate_pairs_jaccard(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """n-gram Jaccard verification of LSH candidates: pairs sharing any
     band bucket, exact jaccard over distinct 3-shingles."""
-    sig = minhash_signatures(docs)
-    shing = docs.select("doc_id", shingles_expr().alias("sh"))
+    shing = with_shingles(docs)
+    sig = minhash_from_shingles(shing)
     band0 = sig.select("doc_id", F.md5(F.concat("mh0", "mh1")).alias("bucket"))
     a = band0.alias("a")
     b = band0.alias("b")

@@ -46,8 +46,12 @@ def corpus_keywords(docs: DataFrame, k: int = TOP_K_KEYWORDS) -> DataFrame:
     toks = docs.select(F.explode(tokens_col()).alias("word"))
     filtered = toks.filter(~F.col("word").isin(*STOPWORDS_40))
     counts = filtered.groupBy("word").agg(F.count("*").alias("cnt"))
+    # distributed top-k (TakeOrderedAndProject) instead of a global window,
+    # which would shuffle every distinct word to one partition; the rank
+    # window then runs over only k rows
+    topk = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(k)
     w = Window.orderBy(F.desc("cnt"), F.asc("word"))
-    return counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return topk.withColumn("rk", F.row_number().over(w))
 
 
 def per_doc_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
@@ -66,6 +70,17 @@ def per_doc_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rk") <= k)
         .select("doc_id", "word", "cnt", F.round(F.col("cnt") / F.col("total"), 6).alias("score"), "rk")
     )
+
+
+def paragraph_split(docs: DataFrame) -> DataFrame:
+    """X1/W4: paragraphs (split on blank line, trimmed, empties dropped)
+    with per-doc position ids via posexplode (reference
+    docling_service.py:283 enumerate)."""
+    paras = F.filter(
+        F.transform(F.split(F.col("text"), r"\n\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    return docs.select("doc_id", F.posexplode(paras).alias("paragraph_id", "paragraph"))
 
 
 def sentence_split(docs: DataFrame) -> DataFrame:
