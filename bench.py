@@ -25,7 +25,11 @@ CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "q5_revenue_by_nation",
+    "t4_sliding_window_rate",
     "j_broadcast_part_stats",
     "a1_daily_rollup",
     "a11_multi_window",

@@ -97,9 +97,46 @@ GROUP BY o_orderpriority
 q("j_anti_customers_without_orders", """
 SELECT c_mktsegment, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS acctbal_sum
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
 GROUP BY c_mktsegment
 """)(R.customers_without_orders)
+
+q("q3_shipping_priority", """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-18 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-06-18 00:00:00'
+GROUP BY l_orderkey, orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+""")(R.shipping_priority)
+
+q("q6_forecast_revenue", """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue, COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")(R.forecast_revenue)
+
+q("q10_returned_items", """
+SELECT c_custkey, c_name, c_mktsegment,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+""")(R.returned_items)
 
 q("j_broadcast_part_stats", """
 SELECT p_brand, COUNT(*) AS n_items,
@@ -259,6 +296,41 @@ SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, rk FROM (
   FROM events
 ) WHERE rk <= 2
 """)(lambda s, d: A.latest_per_user(events(s, d)))
+
+q("t4_sliding_window_rate", """
+WITH starts AS (
+  SELECT s AS ws
+  FROM generate_series(TIMESTAMP '2024-01-15 00:00:00',
+                       TIMESTAMP '2024-01-15 23:45:00', INTERVAL 15 MINUTE) t(s)
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS users
+FROM starts JOIN events ON ts >= ws AND ts < ws + INTERVAL 1 HOUR
+GROUP BY ws
+""")(lambda s, d: A.sliding_window_rate(events(s, d)))
+
+q("t2_late_data_watermark", """
+SELECT user_id,
+       SUM(CASE WHEN ts >= mx - INTERVAL 3 DAY THEN 1 ELSE 0 END) AS kept,
+       SUM(CASE WHEN ts <  mx - INTERVAL 3 DAY THEN 1 ELSE 0 END) AS dropped
+FROM (SELECT user_id, ts, MAX(ts) OVER (PARTITION BY user_id) AS mx FROM events)
+GROUP BY user_id
+""")(lambda s, d: A.late_data_watermark(events(s, d)))
+
+q("set_ops_weeks", """
+WITH w1 AS (SELECT DISTINCT user_id, event_type FROM events
+            WHERE strftime(ts, '%Y-%m-%d') <= '2024-01-07'),
+     w2 AS (SELECT DISTINCT user_id, event_type FROM events
+            WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-14')
+SELECT 'union' AS op,
+       (SELECT COUNT(*) FROM (SELECT * FROM w1 UNION SELECT * FROM w2)) AS n
+UNION ALL
+SELECT 'intersect',
+       (SELECT COUNT(*) FROM (SELECT * FROM w1 INTERSECT SELECT * FROM w2))
+UNION ALL
+SELECT 'except',
+       (SELECT COUNT(*) FROM (SELECT * FROM w1 EXCEPT SELECT * FROM w2))
+""")(lambda s, d: A.set_ops_weeks(events(s, d)))
 
 # ---------------------------------------------------------------------------
 # scalar / predicate / auth plane (SURVEY §2.2, §2.8)
@@ -430,6 +502,46 @@ FROM (SELECT unnest({TOKS}) AS word FROM documents)
 WHERE word NOT IN ({STOP_SQL})
 GROUP BY word HAVING COUNT(*) >= 50
 """)(lambda s, d: N.stopword_anti_join(s, docs(s, d)))
+
+q("w4_token_positions", f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id % 25 = 0)
+SELECT doc_id,
+       unnest(generate_series(1, len(toks))) - 1 AS pos,
+       unnest(toks) AS token
+FROM t
+""")(lambda s, d: N.token_positions(docs(s, d)))
+
+q("x15_page_concat", """
+WITH r AS (
+  SELECT doc_id,
+         array_to_string(regexp_extract_all(text, '\\S+'), ' ') || ' ' AS page_text
+  FROM documents
+)
+SELECT doc_id, length(page_text) AS page_text_len, md5(page_text) AS page_text_md5
+FROM r
+""")(lambda s, d: N.page_concat(docs(s, d)))
+
+q("a4_doc_range_rollup", """
+WITH agg AS (
+  SELECT lang, COUNT(*) AS documents_processed, SUM(n_chars) AS total_chars,
+         SUM(len(regexp_extract_all(text, '\\S+'))) AS total_words,
+         SUM(CASE WHEN n_chars <= 400 THEN 1 ELSE 0 END) AS successful
+  FROM documents GROUP BY lang
+)
+SELECT lang, documents_processed, total_chars, total_words,
+       CASE WHEN documents_processed > 0
+            THEN ROUND(successful * 100.0 / documents_processed, 2) ELSE 0.0 END AS success_rate,
+       CASE WHEN documents_processed > 0
+            THEN ROUND(total_words * 1.0 / documents_processed, 4) ELSE 0.0 END AS avg_words
+FROM agg
+""")(lambda s, d: N.doc_range_rollup(docs(s, d)))
+
+q("x16_aes_roundtrip", """
+SELECT doc_id,
+       CAST((octet_length(encode(text)) // 16 + 1) * 16 AS INT) AS ct_len,
+       TRUE AS roundtrip_ok
+FROM documents
+""")(lambda s, d: X.aes_roundtrip(docs(s, d)))
 
 # ---------------------------------------------------------------------------
 # text-quality plane (training-pipeline ops)
@@ -724,5 +836,14 @@ def extract_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def binaryfile_ingest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S3 ingest plumbing (rows-only: raw file bytes are outside the
+    oracle's table views). Distributed binaryFile scan + governance split."""
+    from .sources import ingest_summary
+
+    return ingest_summary(spark, sf_dir)
+
+
 QUERIES["u1_u3_extract_spans"] = extract_flat
 QUERIES["s4_s8_extract_render"] = extract_render
+QUERIES["s1_s3_binaryfile_ingest"] = binaryfile_ingest_summary

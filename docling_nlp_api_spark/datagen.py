@@ -18,7 +18,9 @@ import numpy as np
 from .spec import MEDIA_KINDS  # noqa: F401  (vocabulary sanity)
 
 SEED = 42
-TIER_DOCS = {"sf0.001": 500, "sf0.01": 5000, "sf0.1": 50000}
+# sf0.5 is the scaling-bench tier: large enough that per-trial compute
+# dominates fixed job overhead at 32 cores (Amdahl-honest measurement)
+TIER_DOCS = {"sf0.001": 500, "sf0.01": 5000, "sf0.1": 50000, "sf0.5": 250000}
 MEGA_MOD = 997
 
 

@@ -277,3 +277,57 @@ def hour_histogram(events: DataFrame) -> DataFrame:
         F.count("*").alias("cnt"),
         F.countDistinct("user_id").alias("users"),
     )
+
+
+def sliding_window_rate(events: DataFrame, day: str = "2024-01-15") -> DataFrame:
+    """T4: sliding-window rate counts (the reference's per-min/hour/day
+    rate limits, rate_limit.py:113-129) — 1-hour window sliding every
+    15 min via the built-in `window()` generator; each event lands in 4
+    overlapping windows (one shuffle-free projection + hash agg).
+    Restricted to one day of window starts so the oracle range-join stays
+    small; window_start pins row identity."""
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (
+        events.select(w.alias("w"), "user_id")
+        .withColumn("window_start", F.date_format("w.start", "yyyy-MM-dd HH:mm:ss"))
+        .filter(
+            F.col("window_start").between(f"{day} 00:00:00", f"{day} 23:45:00")
+        )
+        .groupBy("window_start")
+        .agg(F.count("*").alias("cnt"), F.countDistinct("user_id").alias("users"))
+    )
+
+
+def late_data_watermark(events: DataFrame, delay_days: int = 3) -> DataFrame:
+    """T2: batch form of watermark/late-data semantics — per user, events
+    older than (max event-time - delay) count as dropped. In a streaming
+    variant this is `withWatermark(ts, '3 days')`; the batch equivalent is
+    one analytic max + a conditional aggregate (no second scan)."""
+    w = Window.partitionBy("user_id")
+    mark = F.max("ts").over(w) - F.expr(f"INTERVAL {delay_days} DAYS")
+    return (
+        events.withColumn("late", F.col("ts") < mark)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(~F.col("late"), 1).otherwise(0)).alias("kept"),
+            F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("dropped"),
+        )
+    )
+
+
+def set_ops_weeks(events: DataFrame) -> DataFrame:
+    """§2.7 set operations: distinct (user_id, event_type) activity pairs
+    of week 1 vs week 2 combined via UNION / INTERSECT / EXCEPT — the
+    checkpoint-resume primitive (`committed ∪ newly_done`) plus its dual
+    forms. Each distinct is a hash agg; counts returned as one tiny frame."""
+    e = with_date_hour(events)
+    w1 = e.filter(F.col("date") <= "2024-01-07").select("user_id", "event_type").distinct()
+    w2 = (
+        e.filter(F.col("date").between("2024-01-08", "2024-01-14"))
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    u = w1.union(w2).distinct().agg(F.count("*").alias("n")).select(F.lit("union").alias("op"), "n")
+    i = w1.intersect(w2).agg(F.count("*").alias("n")).select(F.lit("intersect").alias("op"), "n")
+    x = w1.exceptAll(w2).agg(F.count("*").alias("n")).select(F.lit("except").alias("op"), "n")
+    return u.unionByName(i).unionByName(x)

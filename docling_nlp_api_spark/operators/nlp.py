@@ -112,3 +112,52 @@ def stopword_anti_join(spark: SparkSession, docs: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= 50)
     )
+
+
+def token_positions(docs: DataFrame, every: int = 25) -> DataFrame:
+    """W4: explicit posexplode enumeration — (doc_id, pos, token) for a
+    deterministic doc sample; position ids come from array order, no window
+    shuffle (the reference's enumerate at docling_service.py:284-307)."""
+    return docs.filter(F.col("doc_id") % every == 0).select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "token")
+    )
+
+
+def page_concat(docs: DataFrame) -> DataFrame:
+    """X15: the reference's `page_text += text + " "` concat — every item
+    contributes `text + ' '`, leaving a trailing space (docling_service.py
+    :272). Re-split the doc into \\S+ items and rebuild byte-identically;
+    md5 keeps the comparison payload small."""
+    items = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    page_text = F.concat(F.array_join(items, " "), F.lit(" "))
+    return docs.select(
+        "doc_id",
+        F.length(page_text).alias("page_text_len"),
+        F.md5(page_text).alias("page_text_md5"),
+    )
+
+
+def doc_range_rollup(docs: DataFrame) -> DataFrame:
+    """A4: document-processing range roll-up per lang — doc counts, size
+    and word totals, success rate with div-by-zero guard (the reference's
+    ternaries, analytics_service.py:375-378); 'success' = doc fits the
+    400-char size guard (F2)."""
+    ok = F.when(F.col("n_chars") <= 400, 1).otherwise(0)
+    agg = docs.groupBy("lang").agg(
+        F.count("*").alias("documents_processed"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(word_count_col()).alias("total_words"),
+        F.sum(ok).alias("successful"),
+    )
+    rate = F.when(
+        F.col("documents_processed") > 0,
+        F.round(F.col("successful") * 100.0 / F.col("documents_processed"), 2),
+    ).otherwise(0.0)
+    avg_words = F.when(
+        F.col("documents_processed") > 0,
+        F.round(F.col("total_words") * 1.0 / F.col("documents_processed"), 4),
+    ).otherwise(0.0)
+    return agg.select(
+        "lang", "documents_processed", "total_chars", "total_words",
+        rate.alias("success_rate"), avg_words.alias("avg_words"),
+    )

@@ -145,3 +145,24 @@ def auth_coalesce(events: DataFrame) -> DataFrame:
         .groupBy("auth_source", "status")
         .agg(F.count("*").alias("n"), F.count_distinct(F.col("uid")).alias("n_uids"))
     )
+
+
+AES_KEY = "0123456789abcdef"  # 16-byte test key; ECB => deterministic
+
+
+def aes_roundtrip(docs: DataFrame) -> DataFrame:
+    """X16: AES encrypt/decrypt (encryption_utils.py:10-56). The reference
+    uses CBC with a random IV — nondeterministic by design — so the
+    invariant checked here is the deterministic part: ECB/PKCS7 ciphertext
+    length ((bytes//16+1)*16) and exact decrypt(encrypt(x)) == x roundtrip,
+    via the built-in JVM aes_encrypt/aes_decrypt (Spark >= 3.3)."""
+    ct = F.expr(f"aes_encrypt(text, '{AES_KEY}', 'ECB', 'PKCS')")
+    pt = F.expr(
+        f"cast(aes_decrypt(aes_encrypt(text, '{AES_KEY}', 'ECB', 'PKCS'),"
+        f" '{AES_KEY}', 'ECB', 'PKCS') as string)"
+    )
+    return docs.select(
+        "doc_id",
+        F.length(ct).alias("ct_len"),
+        (pt == F.col("text")).alias("roundtrip_ok"),
+    )

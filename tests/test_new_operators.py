@@ -1,0 +1,88 @@
+"""Unit checks for the round-1 widening: T2/T4 window semantics, set ops,
+X15/X16 scalar parity quirks, A4 guards, S1-S3 ingest plumbing, and the
+TPC-H-shaped additions (pinned-tie top-k)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from docling_nlp_api_spark.operators import analytics as A
+from docling_nlp_api_spark.operators import nlp as N
+from docling_nlp_api_spark.operators import relational as R
+from docling_nlp_api_spark.operators import scalars as X
+
+
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_sliding_window_overlap(spark, sf_dir):
+    """Every event inside the day lands in exactly 4 overlapping 1h/15min
+    windows, so sum(cnt) ~= 4 * events-of-day (edges excluded)."""
+    out = A.sliding_window_rate(events(spark, sf_dir)).agg(F.sum("cnt")).collect()[0][0]
+    day_events = (
+        events(spark, sf_dir)
+        .filter(F.date_format("ts", "yyyy-MM-dd") == "2024-01-15")
+        .count()
+    )
+    # >= because windows starting 23:xx reach into the 16th; <= 4x + edge
+    assert 3 * day_events <= out <= 4 * day_events + 3 * day_events // 10
+
+
+def test_late_data_watermark_totals(spark, sf_dir):
+    e = events(spark, sf_dir)
+    out = A.late_data_watermark(e)
+    tot = out.agg(F.sum(F.col("kept") + F.col("dropped"))).collect()[0][0]
+    assert tot == e.count()
+    # watermark = max ts per user minus 3 days over a 30-day stream: most rows drop
+    kept = out.agg(F.sum("kept")).collect()[0][0]
+    assert 0 < kept < tot
+
+
+def test_set_ops_algebra(spark, sf_dir):
+    rows = {r["op"]: r["n"] for r in A.set_ops_weeks(events(spark, sf_dir)).collect()}
+    assert set(rows) == {"union", "intersect", "except"}
+    # |w1 ∪ w2| = |w1 \ w2| + |w1 ∩ w2| + |w2 \ w1| >= each part
+    assert rows["union"] >= rows["intersect"] + rows["except"]
+
+
+def test_aes_roundtrip_exact(spark, sf_dir):
+    out = X.aes_roundtrip(docs(spark, sf_dir).limit(50))
+    rows = out.collect()
+    assert all(r["roundtrip_ok"] for r in rows)
+    assert all(r["ct_len"] % 16 == 0 for r in rows)
+
+
+def test_page_concat_trailing_space(spark):
+    df = spark.createDataFrame([(1, "  a   b c ")], ["doc_id", "text"])
+    row = N.page_concat(df).collect()[0]
+    # reference semantics: items joined with single spaces + trailing space
+    assert row["page_text_len"] == len("a b c ")
+
+
+def test_doc_range_rollup_guards(spark, sf_dir):
+    out = N.doc_range_rollup(docs(spark, sf_dir))
+    for r in out.collect():
+        assert 0.0 <= r["success_rate"] <= 100.0
+        assert r["total_words"] > 0
+
+
+def test_topk_ties_pinned(spark, sf_dir):
+    a = R.shipping_priority(spark, sf_dir).collect()
+    b = R.shipping_priority(spark, sf_dir).collect()
+    assert a == b and len(a) == 10
+
+
+def test_binaryfile_ingest(spark, sf_dir):
+    from docling_nlp_api_spark.sources import binaryfile_ingest
+
+    out = binaryfile_ingest(spark, f"{sf_dir}/*.parquet").collect()
+    n_files = len([f for f in os.listdir(sf_dir) if f.endswith(".parquet")])
+    assert len(out) == n_files
+    # .parquet is not on the reference allow-list -> quarantined, not dropped
+    assert all(not r["accepted"] for r in out)
+    assert all(r["stored_name"].startswith(r["content_md5"][:8] + "_") for r in out)
