@@ -75,6 +75,10 @@ def main() -> None:
     spans = spark.read.parquet(spans_path)
     n_spans = spans.selectExpr("sum(size(spans)) s").collect()[0]["s"]
 
+    # untimed warm-up (JIT, codegen, Python worker pool, page cache) so the
+    # recorded number reflects steady-state capability, not JVM cold start
+    run_noop(extract(spans))
+
     t0 = time.time()
     run_noop(extract(spans))
     ex_sec = time.time() - t0

@@ -602,7 +602,7 @@ FROM documents
 q("tq_fingerprint", """
 WITH n AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS nt FROM documents)
 SELECT doc_id,
-       list_aggregate(list_transform(generate_series(1, greatest(length(nt) - 7, 1)),
+       list_aggregate(list_transform(generate_series(1, greatest(length(nt) - 7, 1), 4),
                                      i -> md5(substr(nt, i, 8))), 'min') AS min_gram_hash,
        md5(nt) AS doc_hash
 FROM n
@@ -634,12 +634,15 @@ sh AS (SELECT doc_id,
        FROM tok WHERE len(toks) >= 3)"""
 
 _SIG = (
+    "hs AS (SELECT doc_id, "
+    "list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS hs "
+    "FROM sh WHERE len(sh) > 0), "
     "sig AS (SELECT doc_id, "
     + ", ".join(
-        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS mh{i}"
+        f"list_aggregate(list_transform(hs, h -> ({D.MH_A[i]} * h + {D.MH_B[i]}) % {D.MH_P}), 'min') AS mh{i}"
         for i in range(D.N_MINHASH)
     )
-    + " FROM sh WHERE len(sh) > 0)"
+    + " FROM hs)"
 )
 
 
@@ -662,8 +665,12 @@ WITH {_NEAR_DUPS}, {_SHINGLES}, {_SIG}
 SELECT * FROM sig
 """)(lambda s, d: D.minhash_signatures(D.with_planted_dups(docs(s, d))))
 
+_BUCKET = {
+    b: f"md5(CAST(mh{2*b} AS VARCHAR) || ':' || CAST(mh{2*b+1} AS VARCHAR))"
+    for b in range(D.BANDS)
+}
 _BANDS_SQL = " UNION ALL ".join(
-    f"SELECT {b} AS band, md5(mh{2*b} || mh{2*b+1}) AS bucket, doc_id FROM sig"
+    f"SELECT {b} AS band, {_BUCKET[b]} AS bucket, doc_id FROM sig"
     for b in range(D.BANDS)
 )
 
@@ -676,7 +683,7 @@ GROUP BY band, bucket HAVING COUNT(*) > 1
 
 q("dedup_jaccard_pairs", f"""
 WITH {_NEAR_DUPS}, {_SHINGLES}, {_SIG},
-b0 AS (SELECT doc_id, md5(mh0 || mh1) AS bucket FROM sig),
+b0 AS (SELECT doc_id, md5(CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)) AS bucket FROM sig),
 pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM b0 a JOIN b0 b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, jaccard FROM (

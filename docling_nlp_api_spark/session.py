@@ -30,6 +30,11 @@ def get_spark(
         # above MEGA_SPAN_THRESHOLD go through the pipeline's dedicated
         # one-doc-per-task pass, so a batch's span total stays bounded
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # sandbox inputs are hundreds of MB: 16 MB splits keep all local[N]
+        # cores busy (128 MB default would pack a 357 MB table into ~3
+        # partitions). At real 100 TB scale splits are plentiful; a cluster
+        # deployment overrides this back up via extra_conf/spark-submit
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.python.worker.reuse", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
