@@ -36,7 +36,7 @@ for _b in b" \t\n\r\v\f":
     _SPACE_BYTES[_b] = True
 
 
-def _count_words(obj_values) -> np.ndarray:
+def _count_words(values) -> np.ndarray:
     """Count \\S+ runs per element — the kernel's hottest operation (two
     full passes over every span text). Both the pandas object path
     (per-element re.findall) and pyarrow's RE2 count_substring_regex
@@ -45,13 +45,14 @@ def _count_words(obj_values) -> np.ndarray:
     non-space byte at a string start or after a space byte. Byte-level is
     exact for ASCII whitespace (SPEC pins the fixture alphabet); UTF-8
     continuation bytes are never space bytes, so multi-byte chars count
-    as non-space exactly like Python's \\S."""
-    n = len(obj_values)
+    as non-space exactly like Python's \\S. Accepts an object ndarray or
+    a pyarrow StringArray (zero-copy for the Arrow-native kernel)."""
+    n = len(values)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
     if pa is None:
-        return pd.Series(obj_values).str.count(r"\S+").to_numpy()
-    arr = pa.array(obj_values, type=pa.string())
+        return pd.Series(values).str.count(r"\S+").to_numpy()
+    arr = values if isinstance(values, pa.Array) else pa.array(values, type=pa.string())
     offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
         arr.offset : arr.offset + n + 1
     ].astype(np.int64)
@@ -79,15 +80,17 @@ def _str_len(obj_values) -> np.ndarray:
     return pd.Series(obj_values).str.len().to_numpy()
 
 
-def _ends_hyphen(obj_values) -> np.ndarray:
+def _ends_hyphen(values) -> np.ndarray:
     """rstrip(text) ends with '-' and has length > 1 — hyphen-continuation
-    test (SPEC §3.2), vectorized in Arrow for the PDF-body subset."""
+    test (SPEC §3.2), vectorized in Arrow for the PDF-body subset.
+    Accepts an object ndarray or a pyarrow StringArray."""
     if pc is not None:
-        rt = pc.utf8_rtrim_whitespace(pa.array(obj_values, type=pa.string()))
+        arr = values if isinstance(values, pa.Array) else pa.array(values, type=pa.string())
+        rt = pc.utf8_rtrim_whitespace(arr)
         return pc.and_(
             pc.greater(pc.utf8_length(rt), 1), pc.ends_with(rt, pattern="-")
         ).to_numpy(zero_copy_only=False)
-    rt = pd.Series(obj_values).str.rstrip()
+    rt = pd.Series(values).str.rstrip()
     return ((rt.str.len() > 1) & rt.str.endswith("-")).to_numpy()
 
 from ..schema import KERNEL_RESULT_STRUCT
@@ -360,34 +363,53 @@ def extract(df: DataFrame) -> DataFrame:
     if missing or not isinstance(spans_type, T.ArrayType):
         raise ValueError(f"extract(): spans struct missing fields {sorted(missing)}")
 
-    res = df.select(
-        "doc_id",
-        _extract_kernel(
-            F.col("spans.kind"),
-            F.col("spans.text"),
-            F.col("spans.media_ref"),
-            F.col("spans.offset"),
-        ).alias("r"),
-    )
+    if pa is not None:
+        # Arrow-native path: spans stay Arrow buffers end to end (no
+        # Python string materialization at the UDF boundary, which is
+        # ~75% of the pandas_udf route's wall time)
+        from .extract_arrow import OUT_SPARK_SCHEMA, extract_map_in_arrow
+
+        res = df.select("doc_id", "spans").mapInArrow(
+            extract_map_in_arrow, schema=OUT_SPARK_SCHEMA
+        )
+        r = {name: F.col(name) for name in (
+            "kinds", "texts", "media_refs", "orders", "status", "error",
+            "word_count", "char_count", "has_images", "has_tables",
+        )}
+    else:  # pragma: no cover - pyarrow ships with pyspark
+        res = df.select(
+            "doc_id",
+            _extract_kernel(
+                F.col("spans.kind"),
+                F.col("spans.text"),
+                F.col("spans.media_ref"),
+                F.col("spans.offset"),
+            ).alias("rr"),
+        ).select("doc_id", "rr.*")
+        r = {name: F.col(name) for name in (
+            "kinds", "texts", "media_refs", "orders", "status", "error",
+            "word_count", "char_count", "has_images", "has_tables",
+        )}
+
     spans = F.arrays_zip(
-        F.col("r.kinds").alias("kind"),
-        F.col("r.texts").alias("text"),
-        F.col("r.media_refs").alias("media_ref"),
-        F.col("r.orders").alias("order"),
+        r["kinds"].alias("kind"),
+        r["texts"].alias("text"),
+        r["media_refs"].alias("media_ref"),
+        r["orders"].alias("order"),
     ).alias("spans")
     metadata = (
         F.when(
-            F.col("r.status") == "failed",
-            F.create_map(F.lit("error"), F.col("r.error")),
+            r["status"] == "failed",
+            F.create_map(F.lit("error"), r["error"]),
         )
         .otherwise(
             F.create_map(
-                F.lit("word_count"), F.col("r.word_count").cast("string"),
-                F.lit("char_count"), F.col("r.char_count").cast("string"),
-                F.lit("has_images"), F.when(F.col("r.has_images"), "true").otherwise("false"),
-                F.lit("has_tables"), F.when(F.col("r.has_tables"), "true").otherwise("false"),
+                F.lit("word_count"), r["word_count"].cast("string"),
+                F.lit("char_count"), r["char_count"].cast("string"),
+                F.lit("has_images"), F.when(r["has_images"], "true").otherwise("false"),
+                F.lit("has_tables"), F.when(r["has_tables"], "true").otherwise("false"),
             )
         )
         .alias("metadata")
     )
-    return res.select("doc_id", spans, F.col("r.status").alias("status"), metadata)
+    return res.select("doc_id", spans, r["status"].alias("status"), metadata)
