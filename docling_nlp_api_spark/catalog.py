@@ -851,6 +851,27 @@ def binaryfile_ingest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest_summary(spark, sf_dir)
 
 
+def pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12/T5: run the checkpointed extraction pipeline on the smallest
+    tier and return its per-partition metrics/lineage table (the north
+    rule's exactly-once bookkeeping). Rows-only check: wall-clock columns
+    are inherently nondeterministic, so only deterministic columns are
+    projected. Fresh output dir per invocation (resume is covered by
+    tests/test_pipeline_resume.py)."""
+    import tempfile
+
+    from .datagen import spans_df
+    from .plans.pipeline import ExtractionPipeline
+
+    out_dir = tempfile.mkdtemp(prefix="a12_metrics_")
+    pipe = ExtractionPipeline(spark, out_dir, run_id="a12", n_partitions=8, batch_size=8)
+    pipe.run(spans_df(spark, 500))
+    return pipe.read_metrics().select(
+        "run_id", "partition_id", "docs_in", "docs_out", "docs_failed", "spans_in", "spans_out"
+    )
+
+
 QUERIES["u1_u3_extract_spans"] = extract_flat
 QUERIES["s4_s8_extract_render"] = extract_render
 QUERIES["s1_s3_binaryfile_ingest"] = binaryfile_ingest_summary
+QUERIES["a12_pipeline_metrics"] = pipeline_metrics

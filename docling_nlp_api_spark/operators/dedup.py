@@ -82,8 +82,38 @@ def with_shingles(docs: DataFrame) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, k: int = N_MINHASH) -> DataFrame:
     """MinHash: base hash h = first 32 bits of md5(shingle), then
-    mh_i = min over shingles of (A_i*h + B_i) mod P (universal family)."""
-    return minhash_from_shingles(with_shingles(docs), k)
+    mh_i = min over shingles of (A_i*h + B_i) mod P (universal family).
+
+    Flat formulation: posexplode the tokens ONCE (a generator argument is
+    evaluated once per row — array-lambda formulations let CollapseProject
+    inline the tokenizer into every element access, re-running the regex
+    per shingle), build each 3-shingle with lead() over (doc_id, pos), and
+    md5 the flat shingle column inside whole-stage codegen. min() over the
+    shingle MULTISET equals min() over the distinct set, so skipping
+    array_distinct changes nothing. The window and the final groupBy hash
+    the same key; the aggregation is partial (one row per doc per task
+    reaches the shuffle). Measured 10.4s -> ~1s at sf0.1."""
+    from pyspark.sql import Window
+
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    flat = docs.select("doc_id", F.posexplode(toks).alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    # shingle and its validity flag computed in the SAME projection: a
+    # window expression placed after the filter would see the filtered
+    # row set and mis-build the last shingles of every doc
+    w2, w3 = F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+    flat = (
+        flat.select("doc_id", F.concat_ws(" ", "w", w2, w3).alias("sh"), w3.alias("w3"))
+        .filter(F.col("w3").isNotNull())
+        .select("doc_id", "sh")
+    )
+    h = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
+    flat = flat.select("doc_id", h.alias("h"))
+    aggs = [
+        F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % F.lit(MH_P)).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return flat.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_from_shingles(shing: DataFrame, k: int = N_MINHASH) -> DataFrame:
@@ -145,7 +175,7 @@ def candidate_pairs_jaccard(docs: DataFrame, threshold: float = 0.5) -> DataFram
     """n-gram Jaccard verification of LSH candidates: pairs sharing any
     band bucket, exact jaccard over distinct 3-shingles."""
     shing = with_shingles(docs)
-    sig = minhash_from_shingles(shing)
+    sig = minhash_signatures(docs)
     band0 = sig.select("doc_id", band_bucket(0).alias("bucket"))
     a = band0.alias("a")
     b = band0.alias("b")

@@ -93,12 +93,18 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     stride 4 still cover every byte, so any edit region moves >=1 sampled
     gram (same robustness class as winnowing with window w=4)."""
     norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    # materialize the normalized text behind an exchange: CollapseProject
+    # otherwise inlines the regexp_replace into the per-gram lambda and
+    # re-normalizes the whole doc once per gram (measured 3.8s -> 0.3s at
+    # sf0.1; the 5k-row shuffle is trivial)
+    base = docs.select("doc_id", norm.alias("nt")).repartition("doc_id")
+    nt = F.col("nt")
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - 7, F.lit(1)), F.lit(4)),
-        lambda i: F.md5(norm.substr(i, F.lit(8))),
+        F.sequence(F.lit(1), F.greatest(F.length(nt) - 7, F.lit(1)), F.lit(4)),
+        lambda i: F.md5(nt.substr(i, F.lit(8))),
     )
-    return docs.select(
+    return base.select(
         "doc_id",
         F.array_min(grams).alias("min_gram_hash"),
-        F.md5(norm).alias("doc_hash"),
+        F.md5(nt).alias("doc_hash"),
     )

@@ -36,6 +36,9 @@ def get_spark(
         # deployment overrides this back up via extra_conf/spark-submit
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.python.worker.reuse", "true")
+        # surface native crashes in Python workers as task errors with a
+        # traceback instead of a silently hung Arrow socket read
+        .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
