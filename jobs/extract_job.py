@@ -25,7 +25,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# local runs find the package from the repo checkout; cluster runs get it
+# from --py-files and this insert is a harmless no-op
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> int:
