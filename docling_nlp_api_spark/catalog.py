@@ -755,12 +755,16 @@ FROM (SELECT {_LSH_BUCKET} AS bucket FROM embeddings)
 GROUP BY bucket
 """)(lambda s, d: S.lsh_bucket_histogram(s, d))
 
-q("dedup_embedding_cosine", f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings)
+q("dedup_embedding_cosine", """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), v -> v * v)))) AS en
+  FROM embeddings
+)
 SELECT id_a, id_b, cosine FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         ROUND(list_dot_product(a.emb, b.emb) /
-               (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cosine
+         ROUND(list_sum(list_transform(range(1, len(a.en) + 1), i -> a.en[i] * b.en[i])), 4) AS cosine
   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 ) WHERE cosine >= 0.40
 """)(lambda s, d: D.embedding_near_dup(s, d))
