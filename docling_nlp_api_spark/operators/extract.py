@@ -65,7 +65,13 @@ def _count_words(values) -> np.ndarray:
     prev_space = np.empty(len(chunk), dtype=bool)
     prev_space[0] = True
     prev_space[1:] = is_space[:-1]
-    prev_space[offsets[:-1].clip(max=len(chunk) - 1)] = True
+    # mark string starts as word-start candidates — but ONLY offsets that
+    # lie inside the buffer: a trailing empty/null string's start offset
+    # equals len(chunk), and clipping it into the buffer would mark the
+    # final byte of the PREVIOUS string as a false word start
+    # (_count_words(['ab','']) must be [1,0], not [2,0])
+    starts_in = offsets[:-1]
+    prev_space[starts_in[starts_in < len(chunk)]] = True
     starts = (~is_space) & prev_space
     # histogram the start positions into the per-string offset bins;
     # ~5x cheaper than a cumsum over the whole byte buffer

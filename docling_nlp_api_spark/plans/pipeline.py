@@ -108,10 +108,14 @@ class ExtractionPipeline:
             normal = chunk.filter(~is_mega)
             mega = chunk.filter(is_mega)
 
-            ext_n = extract(normal.repartition(max(len(batch) * 2, 2), "doc_id")).join(
-                normal.select("doc_id", "part_id"), "doc_id"
+            # part_id is a pure function of doc_id — recompute it on the
+            # extract output instead of joining back to the input (the join
+            # was a full shuffle of the extracted spans per commit batch)
+            part_col = F.pmod(F.xxhash64("doc_id"), F.lit(self.n_partitions)).cast("int")
+            ext_n = extract(normal.repartition(max(len(batch) * 2, 2), "doc_id")).withColumn(
+                "part_id", part_col
             )
-            ext_m = extract(mega.repartition(8)).join(mega.select("doc_id", "part_id"), "doc_id")
+            ext_m = extract(mega.repartition(8)).withColumn("part_id", part_col)
             result = ext_n.unionByName(ext_m)
 
             # one pass: write output + collect per-partition metrics

@@ -25,13 +25,60 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # kill -0.0 and fold near-equal doubles produced by either engine
         if v == 0:
-            return "0"
-        return f"{v:.9g}"
+            return "0.0"  # fold -0.0 only; otherwise exact (driver hashes exact values)
+        return repr(v)
     if isinstance(v, bool):
         return str(v).lower()
     return str(v)
+
+
+# DuckDB logical types whose pandas/Arrow rendering differs from the python
+# ints Spark emits — the driver converts through pandas, so ANY of these in an
+# oracle output is a guaranteed hash mismatch even when values are identical
+# (round-1 lesson: SUM(<integer>) -> HUGEINT -> '2014.0' != '2014').
+_BAD_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+_INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT", "USMALLINT",
+              "UINTEGER", "UBIGINT"}
+
+
+def _duck_class(t: str) -> str:
+    t = str(t).upper()
+    if t in _INT_TYPES:
+        return "int"
+    if t in ("DOUBLE", "FLOAT"):
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "VARCHAR":
+        return "str"
+    return t.lower()
+
+
+def _spark_class(t: str) -> str:
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if t in ("double", "float"):
+        return "float"
+    if t == "boolean":
+        return "bool"
+    if t == "string":
+        return "str"
+    return t
+
+
+def type_problems(scols, sdtypes, ocols, otypes) -> list[str]:
+    """Per-column type-class comparison (exact, like the driver's hash)."""
+    out = []
+    omap = {c: _duck_class(t) for c, t in zip(ocols, otypes)}
+    for c, t in sdtypes:
+        ot = str(dict(zip(ocols, otypes)).get(c, "")).upper()
+        if any(b in ot for b in _BAD_ORACLE_TYPES):
+            out.append(f"oracle col '{c}' is {ot} (pandas-renders != spark int; CAST it)")
+        elif c in omap and omap[c] != _spark_class(t):
+            out.append(f"col '{c}' type class spark={_spark_class(t)} duckdb={omap[c]}")
+    return out
 
 
 def canon(rows, cols):
@@ -73,6 +120,7 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             ocols = [c for c in rel.columns]
+            otypes = [str(t) for t in rel.types]
             orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e).splitlines()[0]}")
@@ -83,6 +131,8 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} duckdb={sorted(ocols)}")
+        else:
+            problems.extend(type_problems(scols, sdf.dtypes, ocols, otypes))
         if not problems:
             cs, co = canon(srows, scols), canon(orows, ocols)
             if cs != co:
