@@ -684,13 +684,14 @@ GROUP BY band, bucket HAVING COUNT(*) > 1
 q("dedup_jaccard_pairs", f"""
 WITH {_NEAR_DUPS}, {_SHINGLES}, {_SIG},
 b0 AS (SELECT doc_id, md5(CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)) AS bucket FROM sig),
+hset AS (SELECT doc_id, list_distinct(hs) AS hv FROM hs),
 pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM b0 a JOIN b0 b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, jaccard FROM (
   SELECT doc_a, doc_b,
-         ROUND(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
-               (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
-  FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+         ROUND(len(list_intersect(ha.hv, hb.hv)) * 1.0 /
+               (len(ha.hv) + len(hb.hv) - len(list_intersect(ha.hv, hb.hv))), 4) AS jaccard
+  FROM pairs JOIN hset ha ON ha.doc_id = doc_a JOIN hset hb ON hb.doc_id = doc_b
 ) WHERE jaccard >= 0.5
 """)(lambda s, d: D.candidate_pairs_jaccard(D.with_planted_dups(docs(s, d))))
 
@@ -755,17 +756,38 @@ FROM (SELECT {_LSH_BUCKET} AS bucket FROM embeddings)
 GROUP BY bucket
 """)(lambda s, d: S.lsh_bucket_histogram(s, d))
 
-q("dedup_embedding_cosine", """
-WITH e AS (
-  SELECT vec_id, label,
-         list_transform(CAST(embedding AS DOUBLE[]),
-                        x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), v -> v * v)))) AS en
-  FROM embeddings
+def _band_sql(lo: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {_plane_sql_literal(S.hyperplanes()[p])}) > 0 "
+        f"THEN {1 << (p - lo)} ELSE 0 END)"
+        for p in range(lo, lo + D.PLANES_PER_BAND)
+    )
+
+
+q("dedup_embedding_cosine", f"""
+WITH all_vecs AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, label,
+         list_transform(embedding, x -> x * CAST({D.VEC_PLANT_SCALE} AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id % {D.VEC_PLANT_EVERY} = 0
+), e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+         {_band_sql(0)} AS bk0,
+         {_band_sql(D.PLANES_PER_BAND)} AS bk1
+  FROM all_vecs
+), bnd AS (
+  SELECT vec_id, label, ev, nrm, 0 AS band, bk0 AS bucket FROM e
+  UNION ALL
+  SELECT vec_id, label, ev, nrm, 1 AS band, bk1 AS bucket FROM e
 )
-SELECT id_a, id_b, cosine FROM (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         ROUND(list_sum(list_transform(range(1, len(a.en) + 1), i -> a.en[i] * b.en[i])), 4) AS cosine
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+SELECT DISTINCT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         ROUND(list_dot_product(a.ev, b2.ev) / (a.nrm * b2.nrm), 4) AS cosine
+  FROM bnd a JOIN bnd b2
+    ON a.label = b2.label AND a.band = b2.band AND a.bucket = b2.bucket
+   AND a.vec_id < b2.vec_id
 ) WHERE cosine >= 0.40
 """)(lambda s, d: D.embedding_near_dup(s, d))
 

@@ -56,90 +56,69 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def with_shingles(docs: DataFrame) -> DataFrame:
-    """3-word shingles over X3 tokens (docs with <3 tokens get none).
+def shingle_hashes_flat(docs: DataFrame) -> DataFrame:
+    """(doc_id, h): one row per 3-word shingle, h = first 32 bits of
+    md5(shingle) as a long. The shared front-end of the whole minhash/LSH/
+    jaccard plane — the tokenizer runs exactly ONCE per doc.
 
-    Two-phase projection: the regex tokenizer is materialized as its own
-    column FIRST, then the shingle transform indexes that column. Folding
-    the tokenizer into the transform lambda re-evaluates the regex on the
-    whole text per element access (higher-order functions are interpreted,
-    no common-subexpression elimination) — ~3 full tokenizations per
-    shingle, catastrophic at 100 TB."""
-    toks = docs.select(
+    Generator-indexed shape: the token array is materialized once per row
+    below a Generate that explodes the shingle START POSITIONS; each
+    shingle is built by O(1) array indexing in the post-Generate
+    projection and hashed in whole-stage codegen. Array-lambda
+    formulations are a trap here: CollapseProject inlines the tokenizer
+    into every element access and re-runs the regex per shingle (a
+    measured 24x expression blow-up in one round-2 draft). A Generate is
+    a structural barrier the optimizer cannot inline expressions across.
+    The <3-token guard lives inside the generator CASE — a separate
+    filter gets the tokenizer substituted in on predicate pushdown and
+    tokenizes every doc twice."""
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    base = docs.select("doc_id", toks.alias("toks"))
+    flat = base.select(
         "doc_id",
-        F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0).alias("toks"),
-    )
-    return toks.select(
+        "toks",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 3 THEN sequence(0, size(toks) - 3) "
+                "ELSE CAST(array() AS array<int>) END"
+            )
+        ).alias("i"),
+    ).select(
         "doc_id",
-        F.expr(
-            "CASE WHEN size(toks) >= 3 THEN "
-            "array_distinct(transform(sequence(0, size(toks) - 3), "
-            "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) "
-            "ELSE array() END"
-        ).alias("sh"),
+        F.concat_ws(" ", F.expr("toks[i]"), F.expr("toks[i+1]"), F.expr("toks[i+2]")).alias("sh"),
     )
+    h = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
+    return flat.select("doc_id", h.alias("h"))
+
+
+def _perm(i: int) -> F.Column:
+    return (F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % F.lit(MH_P)
 
 
 def minhash_signatures(docs: DataFrame, k: int = N_MINHASH) -> DataFrame:
     """MinHash: base hash h = first 32 bits of md5(shingle), then
     mh_i = min over shingles of (A_i*h + B_i) mod P (universal family).
 
-    Flat formulation: posexplode the tokens ONCE (a generator argument is
+    Generator-indexed flat formulation: materialize the token array once
+    per row, explode the shingle START POSITIONS (a generator argument is
     evaluated once per row — array-lambda formulations let CollapseProject
     inline the tokenizer into every element access, re-running the regex
-    per shingle), build each 3-shingle with lead() over (doc_id, pos), and
-    md5 the flat shingle column inside whole-stage codegen. min() over the
-    shingle MULTISET equals min() over the distinct set, so skipping
-    array_distinct changes nothing. The window and the final groupBy hash
-    the same key; the aggregation is partial (one row per doc per task
-    reaches the shuffle). Measured 10.4s -> ~1s at sf0.1."""
-    from pyspark.sql import Window
-
-    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
-    flat = docs.select("doc_id", F.posexplode(toks).alias("pos", "w"))
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    # shingle and its validity flag computed in the SAME projection: a
-    # window expression placed after the filter would see the filtered
-    # row set and mis-build the last shingles of every doc
-    w2, w3 = F.lead("w", 1).over(win), F.lead("w", 2).over(win)
-    flat = (
-        flat.select("doc_id", F.concat_ws(" ", "w", w2, w3).alias("sh"), w3.alias("w3"))
-        .filter(F.col("w3").isNotNull())
-        .select("doc_id", "sh")
-    )
-    h = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
-    flat = flat.select("doc_id", h.alias("h"))
-    aggs = [
-        F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % F.lit(MH_P)).alias(f"mh{i}")
-        for i in range(k)
-    ]
+    per shingle), and build each 3-shingle by O(1) array indexing in the
+    post-Generate projection. The grams stream through whole-stage codegen
+    into a PARTIAL min-aggregation, so the only exchange carries one
+    (doc_id, mh0..mh5) row per doc per task — no window, no shuffle+sort
+    of the token stream. The <3-token guard lives inside the generator
+    CASE (a separate filter gets the tokenizer substituted in on pushdown
+    and tokenizes every doc twice). min() over the shingle MULTISET equals
+    min() over the distinct set, so skipping array_distinct changes
+    nothing. Measured at 80k docs / local[32], best-of-3: 0.81s vs 1.03s
+    for the round-1 explode+lead() window form vs 6.7s for the
+    all-array-native form (which round 1 left in with a contradictory
+    'faster' docstring — re-measured, deleted). The generator-indexed
+    front-end is shared with the jaccard plane: see shingle_hashes_flat."""
+    flat = shingle_hashes_flat(docs)
+    aggs = [F.min(_perm(i)).alias(f"mh{i}") for i in range(k)]
     return flat.groupBy("doc_id").agg(*aggs)
-
-
-def minhash_from_shingles(shing: DataFrame, k: int = N_MINHASH) -> DataFrame:
-    """Array-native: one md5 per shingle materialized as an int column
-    (hs), then k cheap integer-permutation minima over the same array.
-    Measured faster than the explode->groupBy shape at sf0.1 (12.7s vs
-    19s): staying array-native avoids materializing one row per shingle
-    and the per-row hash-agg bookkeeping; no shuffle at all."""
-    base = shing.filter(F.size("sh") > 0).select(
-        "doc_id",
-        F.transform(
-            F.col("sh"),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
-        ).alias("hs"),
-    )
-
-    def perm(a: int, b: int):
-        # factory closure: the transform lambda must take exactly ONE
-        # parameter (a second one would receive the array index)
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_P)
-
-    cols = [
-        F.array_min(F.transform(F.col("hs"), perm(MH_A[i], MH_B[i]))).alias(f"mh{i}")
-        for i in range(k)
-    ]
-    return base.select("doc_id", *cols)
 
 
 def band_bucket(b: int):
@@ -172,23 +151,33 @@ def lsh_buckets(docs: DataFrame) -> DataFrame:
 
 
 def candidate_pairs_jaccard(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """n-gram Jaccard verification of LSH candidates: pairs sharing any
-    band bucket, exact jaccard over distinct 3-shingles."""
-    shing = with_shingles(docs)
-    sig = minhash_signatures(docs)
-    band0 = sig.select("doc_id", band_bucket(0).alias("bucket"))
-    a = band0.alias("a")
-    b = band0.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    """n-gram Jaccard verification of LSH candidates: pairs sharing the
+    band-0 bucket, exact jaccard over the DISTINCT HASHED shingle sets
+    (the md5-32 shingle space shared with minhash — identical in the
+    DuckDB oracle, so collisions, if any, affect both engines equally).
+
+    One tokenizer pass: the shared shingle_hashes_flat frame feeds a
+    single partial aggregation computing the per-doc distinct hash set
+    AND the band-0 minhash bucket together (an Aggregate is a structural
+    barrier, so no expression can be inlined back into the tokenizer —
+    a projection-chain draft of this measured a 24x regex blow-up from
+    CollapseProject). One equi-join on bucket carries the int hash sets
+    (3-5x narrower than shingle strings) and computes jaccard directly —
+    round 1's shape was 3 joins with the tokenizer run 3x. The two join
+    inputs canonicalize to the same exchange, which ReuseExchange dedups
+    in the non-broadcast regime."""
+    flat = shingle_hashes_flat(docs)
+    per_doc = flat.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("h")).alias("hs"),
+        F.min(_perm(0)).alias("mh0"),
+        F.min(_perm(1)).alias("mh1"),
     )
-    sa = shing.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = shing.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    base = per_doc.select("doc_id", "hs", band_bucket(0).alias("bucket"))
+    a = base.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), "bucket")
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), "bucket")
+    joined = a.join(b, "bucket").filter(F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
     return (
         joined.select(
             "doc_a",
@@ -219,33 +208,89 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     return per_doc.select("doc_id", packed.alias("simhash"))
 
 
-def embedding_near_dup(spark: SparkSession, sf_dir: str, threshold: float = 0.40) -> DataFrame:
-    """Embedding-cosine near-dup: pairs above threshold. Buckets by label
-    (coarse cluster) first so the pairwise join never goes all-vs-all.
+NEAR_DUP_BANDS = 2     # 2 bands x 4 hyperplane sign bits each
+PLANES_PER_BAND = 4
+VEC_PLANT_EVERY = 25   # every 25th vector gets a planted scaled near-dup
+VEC_PLANT_SCALE = 1.5  # exactly representable in binary -> identical in DuckDB
 
-    Vectors are L2-normalized ONCE per side behind the label repartition
-    (the join's own shuffle), so each pair costs a single array aggregate
-    instead of dot + two per-pair norm recomputations (interpreted HOFs:
-    3x fewer element ops, measured 6.7s -> ~2s at sf0.1)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    nrm = "sqrt(aggregate(e, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v))"
-    base = (
-        emb.select(
-            "vec_id",
-            "label",
-            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
-        )
-        .withColumn("nrm", F.expr(nrm))
-        .repartition("label")  # barrier: materialize e/nrm before the lambda below
-        .select("vec_id", "label", F.expr("transform(e, x -> x / nrm)").alias("en"))
+
+def with_planted_vec_dups(emb: DataFrame) -> DataFrame:
+    """Append deterministic vector near-dups: vec_id+1000000, embedding
+    scaled by 1.5. Scaling preserves direction exactly, so the plant has
+    cosine 1.0 with its source and identical hyperplane signs (always
+    bucket-colocated) — the banded near-dup operator demonstrably finds
+    every plant, mirroring with_planted_dups on the text side."""
+    dups = emb.filter(F.col("vec_id") % VEC_PLANT_EVERY == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        "label",
+        F.expr(f"transform(embedding, x -> x * CAST({VEC_PLANT_SCALE} AS FLOAT))").alias(
+            "embedding"
+        ),
     )
-    a = base.select(F.col("vec_id").alias("id_a"), F.col("en").alias("ea"), "label")
-    b = base.select(F.col("vec_id").alias("id_b"), F.col("en").alias("eb"), "label")
-    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
-    cos = F.expr(
-        "aggregate(zip_with(ea, eb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    return emb.select("vec_id", "label", "embedding").unionByName(dups)
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str, threshold: float = 0.40) -> DataFrame:
+    """Embedding-cosine near-dup: pairs above threshold from candidates
+    sharing (label, band, bucket) — the coarse cluster AND a 4-bit
+    hyperplane-LSH bucket in either of 2 bands (OR-construction: near-
+    identical vectors agree on a whole 4-bit band with high probability,
+    and two independent bands make a double miss rare).
+
+    Round 1 joined all-vs-all within label alone: with O(10) coarse
+    labels that is O(n^2/10) candidate pairs — quadratic at corpus scale
+    and skew-prone on hot labels. The band buckets (16 per band) cut each
+    label's join fan-out ~256x in expectation; the same hyperplane
+    machinery as similarity.hyperplanes(), split 4+4.
+
+    The vector and its L2 norm are computed once per row BELOW the join's
+    exchange (a shuffle materializes columns, so no HOF re-evaluation can
+    leak past it); each surviving pair costs one zip_with dot product and
+    a scalar multiply. A pair matching both bands computes the same
+    cosine twice and collapses in the final distinct (threshold survivors
+    only — a tiny set)."""
+    from .similarity import DOT, hyperplanes
+
+    emb = with_planted_vec_dups(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    planes = hyperplanes()
+
+    def band_of(lo: int) -> F.Column:
+        acc = None
+        for p in range(lo, lo + PLANES_PER_BAND):
+            lit = "array(" + ",".join(f"CAST({v} AS DOUBLE)" for v in planes[p]) + ")"
+            bit = (
+                F.when(F.expr(DOT.format(a="embedding", b=lit)) > 0, F.lit(1 << (p - lo)))
+                .otherwise(F.lit(0))
+            )
+            acc = bit if acc is None else acc + bit
+        return acc
+
+    nrm = (
+        "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), "
+        "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
     )
+    bands = F.array(
+        *[
+            F.struct(F.lit(bi).alias("band"), band_of(bi * PLANES_PER_BAND).alias("bucket"))
+            for bi in range(NEAR_DUP_BANDS)
+        ]
+    )
+    base = emb.select(
+        "vec_id", "label", "embedding", F.expr(nrm).alias("nrm"), F.explode(bands).alias("bb")
+    ).select("vec_id", "label", "embedding", "nrm", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = base.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+        "label", "band", "bucket",
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+        "label", "band", "bucket",
+    )
+    pairs = a.join(b, ["label", "band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    cos = F.expr(DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+        .distinct()
     )

@@ -401,6 +401,33 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     return out
 
 
+# Memory bound for one kernel invocation, in SPANS not docs: working memory
+# is proportional to the batch's total span count, so a doc-count batch cap
+# (arrow.maxRecordsPerBatch = 1024) alone cannot bound it — a batch can pack
+# multiple >MEGA_SPAN_THRESHOLD mega-docs. 64k spans holds one 50k-span mega
+# doc alone while letting typical ~30-span docs batch ~1000 wide. A single
+# doc is never split (span order is per-doc); a doc larger than the budget
+# becomes its own slice.
+BATCH_SPAN_BUDGET = 64 * 1024
+
+
+def _bounded_slices(batch: pa.RecordBatch):
+    """Zero-copy re-slice of an input batch so each slice's total span count
+    stays <= BATCH_SPAN_BUDGET (always >= 1 row per slice)."""
+    lens = np.asarray(batch.column(1).value_lengths().fill_null(0), dtype=np.int64)
+    if int(lens.sum()) <= BATCH_SPAN_BUDGET:
+        yield batch
+        return
+    start, acc = 0, 0
+    for i, ln in enumerate(lens):
+        if i > start and acc + ln > BATCH_SPAN_BUDGET:
+            yield batch.slice(start, i - start)
+            start, acc = i, 0
+        acc += ln
+    yield batch.slice(start, len(lens) - start)
+
+
 def extract_map_in_arrow(batches):
     for batch in batches:
-        yield extract_record_batch(batch)
+        for piece in _bounded_slices(batch):
+            yield extract_record_batch(piece)

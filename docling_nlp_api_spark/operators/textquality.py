@@ -91,20 +91,27 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     character 8-grams of the whitespace-normalized text, plus a whole-doc
     hash. Stride sampling cuts the md5 count 4x; overlapping 8-grams at
     stride 4 still cover every byte, so any edit region moves >=1 sampled
-    gram (same robustness class as winnowing with window w=4)."""
+    gram (same robustness class as winnowing with window w=4).
+
+    Shape: explode gram start positions, hash each gram in codegen, then
+    a partial-aggregated min per doc. The normalized text is computed once
+    per row below the Generate (a generator argument is evaluated once; an
+    array-lambda formulation let CollapseProject inline the regexp_replace
+    into the per-gram lambda and re-normalize the doc once per gram), grams
+    stream through whole-stage codegen without materializing, and the only
+    exchange carries one (doc_id, doc_hash, min_hash) row per doc per task
+    — the corpus text itself never shuffles (round 1 shipped a
+    repartition(doc_id) barrier here: a full-corpus exchange at 100 TB)."""
     norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
-    # materialize the normalized text behind an exchange: CollapseProject
-    # otherwise inlines the regexp_replace into the per-gram lambda and
-    # re-normalizes the whole doc once per gram (measured 3.8s -> 0.3s at
-    # sf0.1; the 5k-row shuffle is trivial)
-    base = docs.select("doc_id", norm.alias("nt")).repartition("doc_id")
-    nt = F.col("nt")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(nt) - 7, F.lit(1)), F.lit(4)),
-        lambda i: F.md5(nt.substr(i, F.lit(8))),
-    )
-    return base.select(
+    base = docs.select("doc_id", norm.alias("nt"))
+    flat = base.select(
         "doc_id",
-        F.array_min(grams).alias("min_gram_hash"),
-        F.md5(nt).alias("doc_hash"),
+        F.md5("nt").alias("doc_hash"),
+        F.col("nt"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("nt") - 7, F.lit(1)), F.lit(4))
+        ).alias("i"),
+    ).select("doc_id", "doc_hash", F.md5(F.expr("substring(nt, i, 8)")).alias("gh"))
+    return flat.groupBy("doc_id", "doc_hash").agg(F.min("gh").alias("min_gram_hash")).select(
+        "doc_id", "min_gram_hash", "doc_hash"
     )

@@ -26,9 +26,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch sizing: 1024 docs/batch amortizes per-batch Python
-        # overhead (~15% kernel throughput at 32 cores vs 256); mega-docs
-        # above MEGA_SPAN_THRESHOLD go through the pipeline's dedicated
-        # one-doc-per-task pass, so a batch's span total stays bounded
+        # overhead (~15% kernel throughput at 32 cores vs 256). Memory is
+        # bounded in SPANS, not docs: extract_arrow._bounded_slices re-cuts
+        # any batch whose span total exceeds BATCH_SPAN_BUDGET, so a batch
+        # packing several mega-docs cannot blow a worker even on the raw
+        # extract() path (the pipeline additionally one-per-tasks mega docs)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         # sandbox inputs are hundreds of MB: 16 MB splits keep all local[N]
         # cores busy (128 MB default would pack a 357 MB table into ~3
