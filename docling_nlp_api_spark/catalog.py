@@ -538,7 +538,8 @@ FROM agg
 
 q("x16_aes_roundtrip", """
 SELECT doc_id,
-       CAST((octet_length(encode(text)) // 16 + 1) * 16 AS INT) AS ct_len,
+       CAST(16 + (octet_length(encode(text)) // 16 + 1) * 16 AS INT) AS ct_len,
+       md5(text) AS iv_hex,
        TRUE AS roundtrip_ok
 FROM documents
 """)(lambda s, d: X.aes_roundtrip(docs(s, d)))
@@ -848,6 +849,7 @@ def extract_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("spans").alias("n_spans"),
         F.col("metadata")["word_count"].alias("word_count"),
         F.col("metadata")["char_count"].alias("char_count"),
+        F.col("metadata")["page_count"].alias("page_count"),
         F.col("metadata")["has_images"].alias("has_images"),
     )
 

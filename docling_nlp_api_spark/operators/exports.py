@@ -73,54 +73,243 @@ def doctags_col(spans: Column) -> Column:
     return F.array_join(F.transform(spans, render), "\n")
 
 
+_WS = " \t\n\r\v\f"  # python str.strip()'s ASCII whitespace set
+
+
+def _strip(c: Column) -> Column:
+    """Python str.strip() semantics: F.trim removes SPACES only, but the
+    reference strips all whitespace (docling_service.py:286,301) — a
+    sentence that starts at a span boundary would otherwise keep its
+    leading newline."""
+    return F.btrim(c, F.lit(_WS))
+
+
 def paragraphs_col(full_text: Column) -> Column:
-    """X1: split on blank lines, trim, drop empties."""
+    """X1: split on blank lines, strip, drop empties."""
     return F.filter(
-        F.transform(F.split(full_text, r"\n\n"), lambda p: F.trim(p)),
+        F.transform(F.split(full_text, r"\n\n"), _strip),
         lambda p: p != "",
     )
 
 
 def sentences_col(paragraphs: Column) -> Column:
-    """X2: per paragraph split on [.!?]+, trim, drop empties; flattened."""
+    """X2: per paragraph split on [.!?]+, strip, drop empties; flattened."""
     return F.flatten(
         F.transform(
             paragraphs,
             lambda p: F.filter(
-                F.transform(F.split(p, r"[.!?]+"), lambda s: F.trim(s)),
+                F.transform(F.split(p, r"[.!?]+"), _strip),
                 lambda s: s != "",
             ),
         )
     )
 
 
-def nlp_json_col(spans: Column, metadata: Column) -> Column:
-    """S8: structured NLP JSON (document_info / content)."""
+def _counted(arr: Column) -> Column:
+    """[{id, text, word_count, char_count}] objects from a string array —
+    the reference's paragraph/sentence objects (docling_service.py:285-308).
+    Elements are trimmed and non-empty, so split on whitespace runs counts
+    words exactly like Python's str.split()."""
+    return F.transform(
+        arr,
+        lambda p, i: F.struct(
+            i.alias("id"),
+            p.alias("text"),
+            F.size(F.split(p, r"\s+")).alias("word_count"),
+            F.length(p).alias("char_count"),
+        ),
+    )
+
+
+def _headings(spans: Column) -> Column:
+    """structure.headings: [{id, level, text}] from heading-kind spans.
+    (The reference declares this key but never populates it —
+    docling_service.py:246,249; the span model can, so we do.)"""
+    hs = F.filter(spans, lambda x: x["kind"].isin("h1", "title", "h2", "heading", "h3"))
+    return F.transform(
+        hs,
+        lambda x, i: F.struct(
+            i.alias("id"),
+            F.when(x["kind"].isin("h1", "title"), 1)
+            .when(x["kind"].isin("h2", "heading"), 2)
+            .otherwise(3)
+            .alias("level"),
+            x["text"].alias("text"),
+        ),
+    )
+
+
+def _lists(spans: Column) -> Column:
+    """structure.lists: [{id, text}] from li spans (ref declares, never
+    fills — same note as _headings)."""
+    return F.transform(
+        F.filter(spans, lambda x: x["kind"] == "li"),
+        lambda x, i: F.struct(i.alias("id"), x["text"].alias("text")),
+    )
+
+
+def _tables(spans: Column) -> Column:
+    """structure.tables: [{id, rows, columns, cell_count, media_ref}] —
+    the reference's table objects (docling_service.py:311-325) carry empty
+    rows/columns and cell_count 0 plus the raw table payload; our raw
+    anchor is the media_ref."""
+    return F.transform(
+        F.filter(spans, lambda x: x["kind"] == "table"),
+        lambda x, i: F.struct(
+            i.alias("id"),
+            F.array().cast("array<string>").alias("rows"),
+            F.array().cast("array<string>").alias("columns"),
+            F.lit(0).alias("cell_count"),
+            x["media_ref"].alias("media_ref"),
+        ),
+    )
+
+
+def _images(spans: Column) -> Column:
+    """structure.images: [{id, type, metadata{media_ref}}]
+    (docling_service.py:328-335)."""
+    return F.transform(
+        F.filter(spans, lambda x: x["kind"] == "image"),
+        lambda x, i: F.struct(
+            i.alias("id"),
+            F.lit("image").alias("type"),
+            F.struct(x["media_ref"].alias("media_ref")).alias("metadata"),
+        ),
+    )
+
+
+def _pages(spans: Column, span_pages: Column, page_count: Column) -> Column:
+    """pages[]: {page_number, text, elements[], bounding_boxes[]}
+    (docling_service.py:253-279). Page groups come from the kernel's
+    per-span page numbers (pageno markers); docs without a page model
+    (HTML/plain) emit [] exactly like the reference does when docling
+    returns no pages. text = each non-media span's text + ' ' (the
+    reference appends a trailing space per element); elements carry
+    {type, content, bbox: []} for non-media spans; bbox info does not
+    exist in the span model, so bboxes stay empty as in the reference's
+    dict-path fallback."""
+    z = F.arrays_zip(spans.alias("s"), span_pages.alias("p"))
+
+    def page_obj(pno: Column) -> Column:
+        on_page = F.filter(z, lambda e: (e["p"] == pno) & ~e["s"]["kind"].isin(*_MEDIA))
+        texts = F.transform(on_page, lambda e: e["s"]["text"])
+        return F.struct(
+            pno.alias("page_number"),
+            F.when(F.size(texts) > 0, F.concat(F.array_join(texts, " "), F.lit(" ")))
+            .otherwise(F.lit(""))
+            .alias("text"),
+            F.transform(
+                on_page,
+                lambda e: F.struct(
+                    F.lit("text").alias("type"),
+                    e["s"]["text"].alias("content"),
+                    F.array().cast("array<double>").alias("bbox"),
+                ),
+            ).alias("elements"),
+            F.array().cast("array<double>").alias("bounding_boxes"),
+        )
+
+    page_ddl = (
+        "array<struct<page_number:int,text:string,"
+        "elements:array<struct<type:string,content:string,bbox:array<double>>>,"
+        "bounding_boxes:array<double>>>"
+    )
+    return F.when(
+        page_count > 0,
+        F.transform(F.sequence(F.lit(1), page_count.cast("int")), page_obj),
+    ).otherwise(F.array().cast(page_ddl))
+
+
+KEYWORD_STRUCT = "array<struct<word:string,frequency:bigint,score:double>>"
+
+
+def doc_keywords(texted: DataFrame, text_col: str = "export_text", k: int = 20) -> DataFrame:
+    """(doc_id, keywords) — per-doc top-k keyword objects
+    {word, frequency, score=frequency/total_tokens}, the reference's
+    frequency-based extraction (docling_service.py:338-360) with the W2
+    machinery: explode -> partial-agg counts -> per-doc top-k window over
+    the already-(doc_id)-clustered counts -> collect in rank order. Ties
+    pinned by word asc (the reference's Counter.most_common insertion
+    order is not deterministic across engines)."""
+    from pyspark.sql import Window
+
+    from ..spec import STOPWORDS_40, TOKEN_RE
+
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    base = texted.select("doc_id", toks.alias("toks"))
+    flat = base.select(
+        "doc_id", F.size("toks").alias("total"), F.explode("toks").alias("word")
+    ).filter(~F.col("word").isin(*STOPWORDS_40))
+    counts = flat.groupBy("doc_id", "word", "total").agg(F.count("*").alias("frequency"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("frequency"), F.asc("word"))
+    top = counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return top.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "rk",
+                        F.col("word"),
+                        F.col("frequency"),
+                        F.round(F.col("frequency") / F.col("total"), 6).alias("score"),
+                    )
+                )
+            ),
+            lambda s: F.struct(
+                s["word"].alias("word"),
+                s["frequency"].alias("frequency"),
+                s["score"].alias("score"),
+            ),
+        ).alias("keywords")
+    )
+
+
+def nlp_json_col(spans: Column, metadata: Column, span_pages: Column, keywords: Column) -> Column:
+    """S8: the reference's full structured NLP JSON
+    (docling_service.py:221-374): document_info / content (paragraphs,
+    sentences, entities, keywords) / structure (headings, tables, lists,
+    images) / pages."""
     ft = full_text_col(spans)
     paras = paragraphs_col(ft)
+    page_count = metadata["page_count"].cast("long")
     return F.to_json(
         F.struct(
             F.struct(
-                metadata["word_count"].cast("long").alias("word_count"),
-                metadata["char_count"].cast("long").alias("char_count"),
-                (metadata["has_images"] == "true").alias("has_images"),
+                page_count.alias("total_pages"),
+                metadata["word_count"].cast("long").alias("total_words"),
+                metadata["char_count"].cast("long").alias("total_characters"),
                 (metadata["has_tables"] == "true").alias("has_tables"),
-                F.size(spans).alias("span_count"),
+                (metadata["has_images"] == "true").alias("has_images"),
+                F.lit("en").alias("language"),
             ).alias("document_info"),
             F.struct(
                 ft.alias("full_text"),
-                paras.alias("paragraphs"),
-                sentences_col(paras).alias("sentences"),
+                _counted(paras).alias("paragraphs"),
+                _counted(sentences_col(paras)).alias("sentences"),
+                F.array().cast("array<string>").alias("entities"),
+                keywords.alias("keywords"),
             ).alias("content"),
+            F.struct(
+                _headings(spans).alias("headings"),
+                _tables(spans).alias("tables"),
+                _lists(spans).alias("lists"),
+                _images(spans).alias("images"),
+            ).alias("structure"),
+            _pages(spans, span_pages, page_count).alias("pages"),
         )
     )
 
 
 def with_exports(extracted: DataFrame, formats: tuple[str, ...] = ("text", "markdown", "html", "doctags", "json")) -> DataFrame:
-    """Attach requested export columns to an EXTRACTED-shaped DataFrame."""
+    """Attach requested export columns to an EXTRACTED-shaped DataFrame.
+
+    All renders are built-in column functions; the JSON format additionally
+    computes per-doc keywords through one narrow aggregation (token counts,
+    partial-agg) joined back on doc_id — the only non-codegen step, and the
+    join key matches the pipeline's doc_id partitioning."""
     s = F.col("spans")
     out = extracted
-    if "text" in formats:
+    if "text" in formats or "json" in formats:
         out = out.withColumn("export_text", full_text_col(s))
     if "markdown" in formats:
         out = out.withColumn("export_markdown", markdown_col(s))
@@ -129,5 +318,14 @@ def with_exports(extracted: DataFrame, formats: tuple[str, ...] = ("text", "mark
     if "doctags" in formats:
         out = out.withColumn("export_doctags", doctags_col(s))
     if "json" in formats:
-        out = out.withColumn("export_json", nlp_json_col(s, F.col("metadata")))
+        kw = doc_keywords(out)
+        out = out.join(kw, "doc_id", "left").withColumn(
+            "keywords", F.coalesce(F.col("keywords"), F.expr(f"CAST(array() AS {KEYWORD_STRUCT})"))
+        )
+        out = out.withColumn(
+            "export_json",
+            nlp_json_col(s, F.col("metadata"), F.col("span_pages"), F.col("keywords")),
+        ).drop("keywords")
+        if "text" not in formats:
+            out = out.drop("export_text")
     return out

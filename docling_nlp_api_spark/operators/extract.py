@@ -124,10 +124,12 @@ def _empty_result(n: int) -> pd.DataFrame:
             "texts": [np.array([], dtype=object)] * n,
             "media_refs": [np.array([], dtype=object)] * n,
             "orders": [np.array([], dtype=np.int32)] * n,
+            "page_nos": [np.array([], dtype=np.int32)] * n,
             "status": ["completed"] * n,
             "error": [None] * n,
             "word_count": np.zeros(n, dtype=np.int64),
             "char_count": np.zeros(n, dtype=np.int64),
+            "page_count": np.zeros(n, dtype=np.int64),
             "has_images": np.zeros(n, dtype=bool),
             "has_tables": np.zeros(n, dtype=bool),
         }
@@ -182,6 +184,20 @@ def extract_batch(
         errors = {int(di): f"unknown kind: {kv}" for di, kv in firsts.items()}
 
     row_flavor = flavor[d]
+
+    # ---- page derivation (A7/S8): a 'pageno' span marks a page START;
+    # a span's page = max(1, inclusive count of pageno spans at-or-before
+    # it) within its doc; page_count = number of pageno markers per doc
+    is_pageno = (kk == "pageno").to_numpy()
+    cp = np.cumsum(is_pageno)
+    row_pos = np.arange(total, dtype=np.int64)
+    first_of_doc = np.empty(total, dtype=bool)
+    first_of_doc[0] = True
+    first_of_doc[1:] = d[1:] != d[:-1]
+    doc_start_idx = np.maximum.accumulate(np.where(first_of_doc, row_pos, -1))
+    base_cp = cp[doc_start_idx] - is_pageno[doc_start_idx]
+    f["pg"] = np.maximum(cp - base_cp, 1).astype(np.int32)
+    page_count = np.bincount(d[is_pageno], minlength=n).astype(np.int64)
 
     # ---- classification
     words = _count_words(f["t"].to_numpy())
@@ -275,14 +291,14 @@ def extract_batch(
                 sub = textrows[multi]
                 agg = sub.groupby("gid").agg(
                     d=("d", "first"), k=("k", "first"), t=("t", "".join),
-                    r=("r", "first"), o=("o", "first"),
+                    r=("r", "first"), o=("o", "first"), pg=("pg", "first"),
                 )
                 agg["is_media"] = False
                 agg["w"] = _count_words(agg["t"].to_numpy())
-                cols = ["d", "k", "t", "r", "o", "is_media", "w"]
+                cols = ["d", "k", "t", "r", "o", "is_media", "w", "pg"]
                 textrows = pd.concat([textrows[~multi][cols], agg[cols]])
 
-    _COLS = ["d", "k", "t", "r", "o", "is_media", "w"]
+    _COLS = ["d", "k", "t", "r", "o", "is_media", "w", "pg"]
     final = pd.concat(
         [textrows[_COLS], kept[kept["is_media"]][_COLS]]
     ).sort_values(["d", "o"], kind="stable")
@@ -294,6 +310,7 @@ def extract_batch(
     k_out = np.split(final["k"].to_numpy(), cuts)
     t_out = np.split(final["t"].to_numpy(), cuts)
     r_out = np.split(final["r"].to_numpy(), cuts)
+    p_out = np.split(final["pg"].to_numpy().astype(np.int32), cuts)
     orders = np.split(
         (np.arange(len(final)) - np.repeat(np.concatenate([[0], np.cumsum(cnts)[:-1]]), cnts)).astype(np.int32),
         cuts,
@@ -319,8 +336,10 @@ def extract_batch(
         t_out[i] = np.array([], dtype=object)
         r_out[i] = np.array([], dtype=object)
         orders[i] = np.array([], dtype=np.int32)
+        p_out[i] = np.array([], dtype=np.int32)
     word_count[flavor == _FAILED] = 0
     char_count[flavor == _FAILED] = 0
+    page_count[flavor == _FAILED] = 0
     has_img[flavor == _FAILED] = False
     has_tab[flavor == _FAILED] = False
 
@@ -330,10 +349,12 @@ def extract_batch(
             "texts": t_out,
             "media_refs": r_out,
             "orders": orders,
+            "page_nos": p_out,
             "status": status,
             "error": err,
             "word_count": word_count,
             "char_count": char_count,
+            "page_count": page_count,
             "has_images": has_img,
             "has_tables": has_tab,
         }
@@ -379,8 +400,8 @@ def extract(df: DataFrame) -> DataFrame:
             extract_map_in_arrow, schema=OUT_SPARK_SCHEMA
         )
         r = {name: F.col(name) for name in (
-            "kinds", "texts", "media_refs", "orders", "status", "error",
-            "word_count", "char_count", "has_images", "has_tables",
+            "kinds", "texts", "media_refs", "orders", "page_nos", "status", "error",
+            "word_count", "char_count", "page_count", "has_images", "has_tables",
         )}
     else:  # pragma: no cover - pyarrow ships with pyspark
         res = df.select(
@@ -393,8 +414,8 @@ def extract(df: DataFrame) -> DataFrame:
             ).alias("rr"),
         ).select("doc_id", "rr.*")
         r = {name: F.col(name) for name in (
-            "kinds", "texts", "media_refs", "orders", "status", "error",
-            "word_count", "char_count", "has_images", "has_tables",
+            "kinds", "texts", "media_refs", "orders", "page_nos", "status", "error",
+            "word_count", "char_count", "page_count", "has_images", "has_tables",
         )}
 
     spans = F.arrays_zip(
@@ -412,10 +433,17 @@ def extract(df: DataFrame) -> DataFrame:
             F.create_map(
                 F.lit("word_count"), r["word_count"].cast("string"),
                 F.lit("char_count"), r["char_count"].cast("string"),
+                F.lit("page_count"), r["page_count"].cast("string"),
                 F.lit("has_images"), F.when(r["has_images"], "true").otherwise("false"),
                 F.lit("has_tables"), F.when(r["has_tables"], "true").otherwise("false"),
             )
         )
         .alias("metadata")
     )
-    return res.select("doc_id", spans, r["status"].alias("status"), metadata)
+    # span_pages is a PARALLEL array (page number of spans[i]) rather than a
+    # field inside the span struct: the north-rule equality invariant is
+    # pinned on (kind, text, media_ref, order) and must not change shape
+    return res.select(
+        "doc_id", spans, r["status"].alias("status"), metadata,
+        r["page_nos"].alias("span_pages"),
+    )

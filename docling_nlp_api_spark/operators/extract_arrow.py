@@ -52,10 +52,12 @@ OUT_SCHEMA = pa.schema(
         ("texts", pa.list_(pa.string())),
         ("media_refs", pa.list_(pa.string())),
         ("orders", pa.list_(pa.int32())),
+        ("page_nos", pa.list_(pa.int32())),
         ("status", pa.string()),
         ("error", pa.string()),
         ("word_count", pa.int64()),
         ("char_count", pa.int64()),
+        ("page_count", pa.int64()),
         ("has_images", pa.bool_()),
         ("has_tables", pa.bool_()),
     ]
@@ -63,9 +65,9 @@ OUT_SCHEMA = pa.schema(
 
 OUT_SPARK_SCHEMA = (
     "doc_id string, kinds array<string>, texts array<string>, "
-    "media_refs array<string>, orders array<int>, status string, "
-    "error string, word_count long, char_count long, "
-    "has_images boolean, has_tables boolean"
+    "media_refs array<string>, orders array<int>, page_nos array<int>, "
+    "status string, error string, word_count long, char_count long, "
+    "page_count long, has_images boolean, has_tables boolean"
 )
 
 
@@ -82,6 +84,7 @@ def _kind_luts(dictionary: list[str]):
     is_body = np.zeros(m, dtype=bool)
     is_image = np.zeros(m, dtype=bool)
     is_table = np.zeros(m, dtype=bool)
+    is_pageno = np.zeros(m, dtype=bool)
     for i, kind in enumerate(dictionary):
         is_media[i] = kind in MEDIA_KINDS
         is_html[i] = kind in HTML_KINDS
@@ -99,7 +102,11 @@ def _kind_luts(dictionary: list[str]):
         is_body[i] = kind == "body"
         is_image[i] = kind == "image"
         is_table[i] = kind == "table"
-    return is_media, is_html, is_pdf, is_known, html_lab, pdf_boiler, is_body, is_image, is_table
+        is_pageno[i] = kind == "pageno"
+    return (
+        is_media, is_html, is_pdf, is_known, html_lab, pdf_boiler,
+        is_body, is_image, is_table, is_pageno,
+    )
 
 
 def _nearest_decided(lab: np.ndarray, decided: np.ndarray, d: np.ndarray):
@@ -148,8 +155,10 @@ def _empty_output(doc_id: pa.Array) -> pa.RecordBatch:
             empty_str,
             empty_str,
             empty_i32,
+            empty_i32,
             pa.array(["completed"] * n),
             pa.array([None] * n, type=pa.string()),
+            pa.array(np.zeros(n, dtype=np.int64)),
             pa.array(np.zeros(n, dtype=np.int64)),
             pa.array(np.zeros(n, dtype=np.int64)),
             pa.array(np.zeros(n, dtype=bool)),
@@ -196,10 +205,25 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     enc = karr.dictionary_encode()
     codes = np.asarray(enc.indices, dtype=np.int64)
     dictionary = enc.dictionary.to_pylist()
-    (media_l, html_l, pdf_l, known_l, hlab_l, pboil_l, body_l, img_l, tab_l) = _kind_luts(dictionary)
+    (
+        media_l, html_l, pdf_l, known_l, hlab_l, pboil_l, body_l, img_l, tab_l, pgn_l,
+    ) = _kind_luts(dictionary)
 
     is_media = media_l[codes]
     is_known = known_l[codes]
+
+    # ---- page derivation (A7/S8): 'pageno' marks a page START; a span's
+    # page = max(1, inclusive count of pageno spans at-or-before it) in its
+    # doc; page_count = number of pageno markers per doc
+    is_pgn = pgn_l[codes]
+    cp = np.cumsum(is_pgn)
+    row_pos = np.arange(total, dtype=np.int64)
+    first_of_doc = np.empty(total, dtype=bool)
+    first_of_doc[0] = True
+    first_of_doc[1:] = d[1:] != d[:-1]
+    doc_start_idx = np.maximum.accumulate(np.where(first_of_doc, row_pos, -1))
+    pg = np.maximum(cp - (cp[doc_start_idx] - is_pgn[doc_start_idx]), 1).astype(np.int32)
+    page_count = np.bincount(d[is_pgn], minlength=n).astype(np.int64)
 
     # ---- flavor / failure per doc (SPEC §2)
     has_unknown = np.bincount(d[~is_known], minlength=n) > 0
@@ -268,6 +292,7 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     syn_d: list[int] = []
     syn_o: list[int] = []
     syn_w: list[int] = []
+    syn_pg: list[int] = []
     drop_from_tr = np.zeros(len(tr_pos), dtype=bool)
 
     if len(tr_pos):
@@ -312,6 +337,7 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
                     syn_refs.append(rarr[p0].as_py())
                     syn_d.append(int(d[p0]))
                     syn_o.append(int(o[p0]))
+                    syn_pg.append(int(pg[p0]))
                     start = i + 1
             syn_w = list(_count_words(np.array(syn_texts, dtype=object)))
 
@@ -332,6 +358,7 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
         fin_d = np.concatenate([d[base_pos], np.array(syn_d, dtype=np.int64)])
         fin_o = np.concatenate([o[base_pos], np.array(syn_o, dtype=np.int64)])
         fin_w = np.concatenate([words[base_pos], np.array(syn_w, dtype=np.int64)])
+        fin_pg = np.concatenate([pg[base_pos], np.array(syn_pg, dtype=np.int32)])
         fin_media = np.concatenate([is_media[base_pos], np.zeros(n_syn, dtype=bool)])
         fin_img = np.concatenate([img_l[codes[base_pos]], np.zeros(n_syn, dtype=bool)])
         fin_tab = np.concatenate([tab_l[codes[base_pos]], np.zeros(n_syn, dtype=bool)])
@@ -339,6 +366,7 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
         ext_k, ext_t, ext_r = karr, tarr, rarr
         fin_idx = base_pos
         fin_d, fin_o, fin_w = d[base_pos], o[base_pos], words[base_pos]
+        fin_pg = pg[base_pos]
         fin_media = is_media[base_pos]
         fin_img = img_l[codes[base_pos]]
         fin_tab = tab_l[codes[base_pos]]
@@ -347,6 +375,7 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     fin_idx = fin_idx[order]
     fin_d = fin_d[order]
     fin_w = fin_w[order]
+    fin_pg = fin_pg[order]
     fin_media = fin_media[order]
     fin_img = fin_img[order]
     fin_tab = fin_tab[order]
@@ -378,6 +407,7 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     # failed docs keep no rows (keep &= not failed above), so cnts are 0
     word_count[failed] = 0
     char_count[failed] = 0
+    page_count[failed] = 0
     has_img[failed] = False
     has_tab[failed] = False
 
@@ -389,10 +419,12 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
             pa.ListArray.from_arrays(off_pa, out_t),
             pa.ListArray.from_arrays(off_pa, out_r),
             pa.ListArray.from_arrays(off_pa, pa.array(orders_vals)),
+            pa.ListArray.from_arrays(off_pa, pa.array(fin_pg)),
             pa.array(np.where(failed, "failed", "completed")),
             pa.array([errors.get(i) for i in range(n)], type=pa.string()),
             pa.array(word_count),
             pa.array(char_count),
+            pa.array(page_count),
             pa.array(has_img),
             pa.array(has_tab),
         ],

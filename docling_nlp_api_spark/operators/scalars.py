@@ -147,22 +147,37 @@ def auth_coalesce(events: DataFrame) -> DataFrame:
     )
 
 
-AES_KEY = "0123456789abcdef"  # 16-byte test key; ECB => deterministic
+AES_KEY = "0123456789abcdef"  # test passphrase (reference: settings key)
+AES_SALT = b"docling-nlp-api-spark-x16"  # pinned salt for the PBKDF2 path
+
+
+def _derived_key_hex() -> str:
+    """The reference's actual KDF (encryption_utils.py:10-21): PBKDF2-HMAC-
+    SHA256, 100k iterations, 32-byte key. Derived ONCE driver-side (as a
+    real job would — the KDF runs per key, not per row) and shipped to
+    executors as an unhex literal."""
+    import hashlib
+
+    return hashlib.pbkdf2_hmac("sha256", AES_KEY.encode(), AES_SALT, 100_000).hex()
 
 
 def aes_roundtrip(docs: DataFrame) -> DataFrame:
-    """X16: AES encrypt/decrypt (encryption_utils.py:10-56). The reference
-    uses CBC with a random IV — nondeterministic by design — so the
-    invariant checked here is the deterministic part: ECB/PKCS7 ciphertext
-    length ((bytes//16+1)*16) and exact decrypt(encrypt(x)) == x roundtrip,
-    via the built-in JVM aes_encrypt/aes_decrypt (Spark >= 3.3)."""
-    ct = F.expr(f"aes_encrypt(text, '{AES_KEY}', 'ECB', 'PKCS')")
-    pt = F.expr(
-        f"cast(aes_decrypt(aes_encrypt(text, '{AES_KEY}', 'ECB', 'PKCS'),"
-        f" '{AES_KEY}', 'ECB', 'PKCS') as string)"
-    )
+    """X16: AES-256-CBC/PKCS7 with PBKDF2(100k) key derivation — the
+    reference's real scheme (encryption_utils.py:10-56). The reference
+    draws the IV from os.urandom; determinism (required for testing and
+    for idempotent re-runs) comes from deriving the IV from the content:
+    iv = unhex(md5(text)). Spark's CBC prepends the IV to the ciphertext
+    exactly like the reference's b64encode(iv + ciphertext), so
+    - ct_len = 16 (iv) + pkcs7_padded_len
+    - iv_hex (first 16 ct bytes) = md5(text), cross-checkable in SQL
+    - aes_decrypt reads the prepended IV and must roundtrip exactly."""
+    key = f"unhex('{_derived_key_hex()}')"
+    ct_sql = f"aes_encrypt(text, {key}, 'CBC', 'PKCS', unhex(md5(text)))"
+    ct = F.expr(ct_sql)
+    pt = F.expr(f"cast(aes_decrypt({ct_sql}, {key}, 'CBC', 'PKCS') as string)")
     return docs.select(
         "doc_id",
         F.length(ct).alias("ct_len"),
+        F.lower(F.hex(F.expr(f"substring({ct_sql}, 1, 16)"))).alias("iv_hex"),
         (pt == F.col("text")).alias("roundtrip_ok"),
     )

@@ -1,0 +1,107 @@
+"""Single-node oracle for the S8 structured NLP JSON — a straightforward
+per-document rendering of the reference's `_create_nlp_structured_json`
+(/root/reference/app/services/docling_service.py:221-374) over the span
+model, used by tests/test_json_parity.py to pin the Spark render.
+
+Deltas vs the reference, both deliberate and mirrored by the engine:
+- headings/lists are populated from heading/li spans (the reference
+  declares the keys but never fills them — :246,249);
+- keyword ties are pinned by (frequency desc, word asc): the reference's
+  Counter.most_common insertion order is not reproducible across engines;
+- tables carry media_ref as the raw anchor instead of docling's table dict.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from ..spec import MEDIA_KINDS, STOPWORDS_40, TOKEN_RE
+from .extract import ExtractResult
+
+_HEAD_LEVEL = {"h1": 1, "title": 1, "h2": 2, "heading": 2, "h3": 3}
+
+
+def full_text(res: ExtractResult) -> str:
+    return "\n".join(s.text for s in res.spans if s.kind not in MEDIA_KINDS)
+
+
+def _counted(items: list[str]) -> list[dict]:
+    return [
+        {"id": i, "text": t, "word_count": len(t.split()), "char_count": len(t)}
+        for i, t in enumerate(items)
+    ]
+
+
+def nlp_json(res: ExtractResult, k: int = 20) -> dict:
+    assert res.status == "completed", "render the JSON for completed docs only"
+    ft = full_text(res)
+    paras = [p.strip() for p in ft.split("\n\n") if p.strip()]
+    sents: list[str] = []
+    for p in paras:
+        sents.extend(s.strip() for s in re.split(r"[.!?]+", p) if s.strip())
+
+    toks = re.findall(TOKEN_RE, ft.lower())
+    total = len(toks)
+    counts = Counter(w for w in toks if w not in STOPWORDS_40)
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    keywords = [
+        {"word": w, "frequency": c, "score": round(c / total, 6)} for w, c in top
+    ]
+
+    heads = [s for s in res.spans if s.kind in _HEAD_LEVEL]
+    lis = [s for s in res.spans if s.kind == "li"]
+    tables = [s for s in res.spans if s.kind == "table"]
+    images = [s for s in res.spans if s.kind == "image"]
+
+    page_count = int(res.metadata["page_count"])
+    pages = []
+    for pno in range(1, page_count + 1):
+        on_page = [
+            s for s, pg in zip(res.spans, res.pages)
+            if pg == pno and s.kind not in MEDIA_KINDS
+        ]
+        pages.append(
+            {
+                "page_number": pno,
+                "text": "".join(s.text + " " for s in on_page),
+                "elements": [
+                    {"type": "text", "content": s.text, "bbox": []} for s in on_page
+                ],
+                "bounding_boxes": [],
+            }
+        )
+
+    return {
+        "document_info": {
+            "total_pages": page_count,
+            "total_words": int(res.metadata["word_count"]),
+            "total_characters": int(res.metadata["char_count"]),
+            "has_tables": res.metadata["has_tables"] == "true",
+            "has_images": res.metadata["has_images"] == "true",
+            "language": "en",
+        },
+        "content": {
+            "full_text": ft,
+            "paragraphs": _counted(paras),
+            "sentences": _counted(sents),
+            "entities": [],
+            "keywords": keywords,
+        },
+        "structure": {
+            "headings": [
+                {"id": i, "level": _HEAD_LEVEL[s.kind], "text": s.text}
+                for i, s in enumerate(heads)
+            ],
+            "tables": [
+                {"id": i, "rows": [], "columns": [], "cell_count": 0, "media_ref": s.media_ref}
+                for i, s in enumerate(tables)
+            ],
+            "lists": [{"id": i, "text": s.text} for i, s in enumerate(lis)],
+            "images": [
+                {"id": i, "type": "image", "metadata": {"media_ref": s.media_ref}}
+                for i, s in enumerate(images)
+            ],
+        },
+        "pages": pages,
+    }

@@ -44,6 +44,7 @@ class ExtractResult:
     spans: list[OutSpan]
     status: str
     metadata: dict[str, str]
+    pages: list[int] | None = None  # per-kept-span page number, parallel to spans
 
 
 def extract_doc(doc_id: str, spans: list[dict]) -> ExtractResult:
@@ -52,9 +53,21 @@ def extract_doc(doc_id: str, spans: list[dict]) -> ExtractResult:
     unknown = [s for s in spans if s["kind"] not in ALL_KINDS]
     if unknown:
         bad = min(unknown, key=lambda s: s["offset"])
-        return ExtractResult(doc_id, [], "failed", {"error": f"unknown kind: {bad['kind']}"})
+        return ExtractResult(doc_id, [], "failed", {"error": f"unknown kind: {bad['kind']}"}, [])
 
     ordered = sorted(spans, key=lambda s: s["offset"])
+
+    # page derivation (A7 / S8 pages[], reference metadata page_count at
+    # docling_service.py:196-207): a 'pageno' span marks a page START, so a
+    # span's page = max(1, inclusive count of pageno spans at-or-before it)
+    # (front-matter before the first marker belongs to page 1);
+    # page_count = number of pageno markers (0 for docs without pages).
+    pg = 0
+    for s in ordered:
+        if s["kind"] == "pageno":
+            pg += 1
+        s["page"] = max(1, pg)
+    page_count = pg
     kinds = {s["kind"] for s in ordered}
     if kinds & HTML_KINDS:
         flavor = FLAVOR_HTML
@@ -74,14 +87,16 @@ def extract_doc(doc_id: str, spans: list[dict]) -> ExtractResult:
         OutSpan(kind=s["kind"], text=s["text"], media_ref=s["media_ref"], order=i)
         for i, s in enumerate(content)
     ]
+    pages = [s["page"] for s in content]
     full_text = "\n".join(s.text for s in out if s.kind not in MEDIA_KINDS)
     metadata = {
         "word_count": str(len(full_text.split())),
         "char_count": str(len(full_text)),
+        "page_count": str(page_count),
         "has_images": "true" if any(s.kind == "image" for s in out) else "false",
         "has_tables": "true" if any(s.kind == "table" for s in out) else "false",
     }
-    return ExtractResult(doc_id, out, "completed", metadata)
+    return ExtractResult(doc_id, out, "completed", metadata, pages)
 
 
 def _classify_html(ordered: list[dict]) -> list[dict]:

@@ -1,0 +1,95 @@
+"""MERGE / row-level DELETE plane (S10 keyed upsert, F5 TTL expiry).
+
+Production shape (SURVEY §1.4): Iceberg v2 tables via `MERGE INTO` /
+`DELETE FROM` — Catalyst plans both natively against any v2 catalog with
+row-level-operation support. THIS SANDBOX CANNOT EXECUTE THEM: the pyspark
+distribution ships no v2 catalog with MERGE support (no Iceberg/Delta
+runtime jars, verified `pyspark/jars`; the built-in file sources are v1,
+which reject row-level commands at analysis). What CAN be pinned here:
+
+1. the exact SQL the engine submits on a cluster (merge_upsert_sql /
+   ttl_delete_sql) — parse-validated in tests so the syntax is tested
+   code, not prose;
+2. the same semantics executed through the sandbox fallback
+   (apply_merge_to_state): read state, full-outer merge on the key,
+   write-new-then-swap commit — the identical protocol the checkpoint
+   pipeline uses (plans/pipeline.py), and byte-equivalent to what the
+   MERGE would leave in the table.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert_sql(target: str = "analytics.usage_daily", source: str = "batch_updates") -> str:
+    """S10 (reference firestore_service upsert): accumulate per
+    (user_id, event_type) call counts and values."""
+    return f"""
+MERGE INTO {target} t
+USING {source} s
+ON t.user_id = s.user_id AND t.event_type = s.event_type
+WHEN MATCHED THEN UPDATE SET
+  t.calls = t.calls + s.calls,
+  t.total_value = t.total_value + s.total_value
+WHEN NOT MATCHED THEN INSERT (user_id, event_type, calls, total_value)
+VALUES (s.user_id, s.event_type, s.calls, s.total_value)
+""".strip()
+
+
+def ttl_delete_sql(target: str = "analytics.sessions", now_ts: str = "2024-01-30 00:00:00") -> str:
+    """F5 (reference TTL expiry, strict '<'): delete rows whose ttl has
+    passed."""
+    return f"DELETE FROM {target} WHERE expires_at < TIMESTAMP '{now_ts}'"
+
+
+def apply_merge_to_state(
+    spark: SparkSession, state_dir: str, batch: DataFrame, keys: tuple[str, ...] = ("user_id", "event_type")
+) -> DataFrame:
+    """Sandbox-executable MERGE: full-outer join state with batch on the
+    keys, sum the measures, commit by write-new-then-atomic-swap (the same
+    idempotent protocol as the pipeline's partition overwrite). Returns the
+    new state DataFrame (re-read from the committed files)."""
+    measures = [c for c in batch.columns if c not in keys]
+    if os.path.isdir(os.path.join(state_dir, "current")):
+        state = spark.read.parquet(os.path.join(state_dir, "current"))
+    else:
+        state = spark.createDataFrame([], batch.schema)
+
+    s = state.select(*keys, *[F.col(c).alias(f"s_{c}") for c in measures])
+    b = batch.select(*keys, *[F.col(c).alias(f"b_{c}") for c in measures])
+    merged = s.join(b, list(keys), "full_outer").select(
+        *keys,
+        *[
+            (F.coalesce(F.col(f"s_{c}"), F.lit(0)) + F.coalesce(F.col(f"b_{c}"), F.lit(0))).alias(c)
+            for c in measures
+        ],
+    )
+    tmp = os.path.join(state_dir, "_staged")
+    merged.write.mode("overwrite").parquet(tmp)
+    cur = os.path.join(state_dir, "current")
+    old = os.path.join(state_dir, "_old")
+    if os.path.isdir(cur):
+        os.rename(cur, old)
+    os.rename(tmp, cur)
+    shutil.rmtree(old, ignore_errors=True)
+    return spark.read.parquet(cur)
+
+
+def apply_ttl_delete_to_state(spark: SparkSession, state_dir: str, now_ts: str) -> DataFrame:
+    """Sandbox-executable DELETE FROM ... WHERE expires_at < now: rewrite
+    the surviving rows with the same swap commit."""
+    cur = os.path.join(state_dir, "current")
+    state = spark.read.parquet(cur)
+    kept = state.filter(~(F.col("expires_at") < F.lit(now_ts).cast("timestamp")))
+    tmp = os.path.join(state_dir, "_staged")
+    kept.write.mode("overwrite").parquet(tmp)
+    old = os.path.join(state_dir, "_old")
+    os.rename(cur, old)
+    os.rename(tmp, cur)
+    shutil.rmtree(old, ignore_errors=True)
+    return spark.read.parquet(cur)

@@ -35,6 +35,9 @@ EXTRACTED_SCHEMA = T.StructType(
         T.StructField("spans", T.ArrayType(OUT_SPAN_STRUCT, containsNull=False), False),
         T.StructField("status", T.StringType(), False),
         T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), False),
+        # page number of spans[i] — parallel array, NOT a span-struct field:
+        # the north-rule span equality is pinned on (kind,text,media_ref,order)
+        T.StructField("span_pages", T.ArrayType(T.IntegerType(), False), False),
     ]
 )
 
@@ -46,10 +49,12 @@ KERNEL_RESULT_STRUCT = T.StructType(
         T.StructField("texts", T.ArrayType(T.StringType(), False), False),
         T.StructField("media_refs", T.ArrayType(T.StringType(), False), False),
         T.StructField("orders", T.ArrayType(T.IntegerType(), False), False),
+        T.StructField("page_nos", T.ArrayType(T.IntegerType(), False), False),
         T.StructField("status", T.StringType(), False),
         T.StructField("error", T.StringType(), True),
         T.StructField("word_count", T.LongType(), False),
         T.StructField("char_count", T.LongType(), False),
+        T.StructField("page_count", T.LongType(), False),
         T.StructField("has_images", T.BooleanType(), False),
         T.StructField("has_tables", T.BooleanType(), False),
     ]

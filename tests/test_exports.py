@@ -63,9 +63,63 @@ def test_doctags(row):
 
 def test_json(row):
     obj = json.loads(row["export_json"])
-    assert obj["document_info"]["word_count"] == int(row["metadata"]["word_count"])
-    assert obj["document_info"]["has_images"] is True
+    info = obj["document_info"]
+    assert info["total_words"] == int(row["metadata"]["word_count"])
+    assert info["total_characters"] == int(row["metadata"]["char_count"])
+    assert info["total_pages"] == 0  # HTML flavor has no page model
+    assert info["has_images"] is True and info["has_tables"] is True
+    assert info["language"] == "en"
     # spans join with single \n, so only the explicit \n\n inside span 5
     # creates a paragraph boundary (SPEC §6)
-    assert len(obj["content"]["paragraphs"]) == 2
-    assert obj["content"]["sentences"][-1] == "and three"
+    paras = obj["content"]["paragraphs"]
+    assert len(paras) == 2
+    p0 = paras[0]
+    assert set(p0) == {"id", "text", "word_count", "char_count"}
+    assert p0["id"] == 0
+    assert p0["word_count"] == len(p0["text"].split())
+    assert p0["char_count"] == len(p0["text"])
+    sents = obj["content"]["sentences"]
+    assert sents[-1]["text"] == "and three"
+    assert [s["id"] for s in sents] == list(range(len(sents)))
+    assert obj["content"]["entities"] == []
+    kws = obj["content"]["keywords"]
+    assert kws and all(set(k) == {"word", "frequency", "score"} for k in kws)
+    freqs = [k["frequency"] for k in kws]
+    assert freqs == sorted(freqs, reverse=True)
+    st = obj["structure"]
+    assert [h["text"] for h in st["headings"]] == ["Main Title"]
+    assert st["headings"][0]["level"] == 1
+    assert [li["text"] for li in st["lists"]] == ["a list item with enough words to be content here"]
+    assert st["tables"][0]["media_ref"] == "media://x/6"
+    assert st["tables"][0]["cell_count"] == 0
+    assert st["images"][0]["metadata"]["media_ref"] == "media://x/2"
+    assert obj["pages"] == []  # no pageno markers -> no page model
+
+
+PDF_DOC = [
+    sp("title", "Doc Title", "", 0),
+    sp("runhead", "running head", "", 1),
+    sp("pageno", "1", "", 2),
+    sp("body", "first page body line with several words in it.", "", 3),
+    sp("image", "", "media://p/4", 4),
+    sp("runhead", "running head", "", 5),
+    sp("pageno", "2", "", 6),
+    sp("body", "second page body line also with plenty of words.", "", 7),
+]
+
+
+def test_json_pages(spark):
+    df = spark.createDataFrame([("pdoc", PDF_DOC)], schema=DOCUMENTS_SPANS_SCHEMA)
+    row = with_exports(extract(df)).collect()[0]
+    assert row["metadata"]["page_count"] == "2"
+    # front-matter title belongs to page 1; pageno/runhead are boiler
+    assert list(row["span_pages"]) == [1, 1, 1, 2]
+    obj = json.loads(row["export_json"])
+    assert obj["document_info"]["total_pages"] == 2
+    pages = obj["pages"]
+    assert [p["page_number"] for p in pages] == [1, 2]
+    # each non-media span contributes its text + ' '; media spans excluded
+    assert pages[0]["text"] == "Doc Title first page body line with several words in it. "
+    assert pages[1]["text"] == "second page body line also with plenty of words. "
+    assert [e["type"] for e in pages[0]["elements"]] == ["text", "text"]
+    assert pages[0]["bounding_boxes"] == []

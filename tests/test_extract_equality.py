@@ -43,6 +43,15 @@ def test_span_equality_all_docs(engine_rows):
     assert not mismatches, f"{len(mismatches)} docs mismatch; first: {mismatches[0]}"
 
 
+def test_span_pages_equality(engine_rows):
+    """A7/S8: per-span page numbers and page_count match the oracle's
+    sequential derivation (pageno marks a page start; front-matter -> 1)."""
+    oracle = _oracle_results()
+    for did, exp in oracle.items():
+        got = engine_rows[did]
+        assert list(got["span_pages"]) == exp.pages, did
+
+
 def test_status_and_metadata_equality(engine_rows):
     oracle = _oracle_results()
     for did, exp in oracle.items():
