@@ -220,48 +220,72 @@ def _pages(spans: Column, span_pages: Column, page_count: Column) -> Column:
     ).otherwise(F.array().cast(page_ddl))
 
 
-KEYWORD_STRUCT = "array<struct<word:string,frequency:bigint,score:double>>"
-
-
-def doc_keywords(texted: DataFrame, text_col: str = "export_text", k: int = 20) -> DataFrame:
-    """(doc_id, keywords) — per-doc top-k keyword objects
+def with_keywords(df: DataFrame, text_col: str = "export_text", k: int = 20) -> DataFrame:
+    """Add a `keywords` column: per-doc top-k keyword objects
     {word, frequency, score=frequency/total_tokens}, the reference's
-    frequency-based extraction (docling_service.py:338-360) with the W2
-    machinery: explode -> partial-agg counts -> per-doc top-k window over
-    the already-(doc_id)-clustered counts -> collect in rank order. Ties
-    pinned by word asc (the reference's Counter.most_common insertion
-    order is not deterministic across engines)."""
-    from pyspark.sql import Window
+    frequency-based extraction (docling_service.py:338-360). Ties pinned by
+    word asc (the reference's Counter.most_common insertion order is not
+    deterministic across engines).
 
+    Keyword extraction is a PER-ROW computation (each doc ranks only its
+    own tokens), so it compiles to a chain of JVM higher-order functions
+    with ZERO shuffle and ZERO join — the earlier draft's
+    explode -> groupBy -> window -> join-back shape re-ran the upstream
+    extraction subtree on both join sides and moved every token over the
+    wire twice. Counting runs in O(tokens): sort the filtered tokens, find
+    distinct-run boundaries, diff consecutive boundary indices.
+
+    Each stage is materialized behind an `inline(array(struct(...)))`
+    Generate barrier: CollapseProject would otherwise inline the tokenizer
+    regex / O(n log n) sort into every lambda that references it (the same
+    re-evaluation trap measured at 24x in dedup.with_shingles)."""
     from ..spec import STOPWORDS_40, TOKEN_RE
 
+    # stage 1: tokenize once
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
-    base = texted.select("doc_id", toks.alias("toks"))
-    flat = base.select(
-        "doc_id", F.size("toks").alias("total"), F.explode("toks").alias("word")
-    ).filter(~F.col("word").isin(*STOPWORDS_40))
-    counts = flat.groupBy("doc_id", "word", "total").agg(F.count("*").alias("frequency"))
-    w = Window.partitionBy("doc_id").orderBy(F.desc("frequency"), F.asc("word"))
-    top = counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
-    return top.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        "rk",
-                        F.col("word"),
-                        F.col("frequency"),
-                        F.round(F.col("frequency") / F.col("total"), 6).alias("score"),
-                    )
-                )
-            ),
-            lambda s: F.struct(
-                s["word"].alias("word"),
-                s["frequency"].alias("frequency"),
-                s["score"].alias("score"),
-            ),
-        ).alias("keywords")
+    df1 = df.select("*", F.inline(F.array(F.struct(toks.alias("_kw_toks")))))
+
+    # stage 2: total (pre-stopword, the score denominator) + sorted kept tokens
+    kept = F.array_sort(F.filter(F.col("_kw_toks"), lambda t: ~t.isin(*STOPWORDS_40)))
+    df2 = df1.select(
+        "*",
+        F.inline(F.array(F.struct(
+            F.size("_kw_toks").alias("_kw_total"), kept.alias("_kw_srt"),
+        ))),
+    ).drop("_kw_toks")
+
+    # stage 3: distinct-run boundaries {t, i} over the sorted array
+    # (F.get is 0-based and null-safe: i=0 compares against null -> false,
+    # but the i==0 arm already admits the first element)
+    srt = F.col("_kw_srt")
+    bnd = F.filter(
+        F.transform(srt, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: (s["i"] == F.lit(0)) | (s["t"] != F.get(srt, s["i"] - 1)),
     )
+    df3 = df2.select("*", F.inline(F.array(F.struct(bnd.alias("_kw_bnd")))))
+
+    # stage 4: frequency = next boundary index - this one; rank by
+    # (freq desc, word asc) via array_sort on (-freq, word); top-k; score
+    bd = F.col("_kw_bnd")
+    counts = F.transform(
+        bd,
+        lambda s, j: F.struct(
+            (
+                s["i"]
+                - F.when(j == F.size(bd) - 1, F.size(srt)).otherwise(F.get(bd, j + 1)["i"])
+            ).alias("nf"),
+            s["t"].alias("word"),
+        ),
+    )
+    kw = F.transform(
+        F.slice(F.array_sort(counts), 1, k),
+        lambda s: F.struct(
+            s["word"].alias("word"),
+            (-s["nf"]).cast("long").alias("frequency"),
+            F.round((-s["nf"]) / F.col("_kw_total"), 6).alias("score"),
+        ),
+    )
+    return df3.withColumn("keywords", kw).drop("_kw_total", "_kw_srt", "_kw_bnd")
 
 
 def nlp_json_col(spans: Column, metadata: Column, span_pages: Column, keywords: Column) -> Column:
@@ -303,10 +327,9 @@ def nlp_json_col(spans: Column, metadata: Column, span_pages: Column, keywords: 
 def with_exports(extracted: DataFrame, formats: tuple[str, ...] = ("text", "markdown", "html", "doctags", "json")) -> DataFrame:
     """Attach requested export columns to an EXTRACTED-shaped DataFrame.
 
-    All renders are built-in column functions; the JSON format additionally
-    computes per-doc keywords through one narrow aggregation (token counts,
-    partial-agg) joined back on doc_id — the only non-codegen step, and the
-    join key matches the pipeline's doc_id partitioning."""
+    All renders — keywords included — are built-in column functions over
+    the row itself: the whole export plane is embarrassingly parallel,
+    zero shuffle, zero join, one pass over the extracted table."""
     s = F.col("spans")
     out = extracted
     if "text" in formats or "json" in formats:
@@ -318,10 +341,7 @@ def with_exports(extracted: DataFrame, formats: tuple[str, ...] = ("text", "mark
     if "doctags" in formats:
         out = out.withColumn("export_doctags", doctags_col(s))
     if "json" in formats:
-        kw = doc_keywords(out)
-        out = out.join(kw, "doc_id", "left").withColumn(
-            "keywords", F.coalesce(F.col("keywords"), F.expr(f"CAST(array() AS {KEYWORD_STRUCT})"))
-        )
+        out = with_keywords(out)
         out = out.withColumn(
             "export_json",
             nlp_json_col(s, F.col("metadata"), F.col("span_pages"), F.col("keywords")),
