@@ -85,17 +85,20 @@ def main() -> None:
     # recorded number reflects steady-state capability, not JVM cold start
     run_noop(extract(spans))
 
-    ex_sec = min(_timed(lambda: run_noop(extract(spans))) for _ in range(3))
+    ex_sec = min(_timed(lambda: run_noop(extract(spans))) for _ in range(4))
 
     # --- catalog queries
-    # best-of-2 per query: the sandbox VM has noisy-neighbor windows that
-    # inflate a single cold timing 2-3x
-    qtimes: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        qtimes[name] = round(
-            min(_timed(lambda: run_noop(fn(spark, SF_DIR))) for _ in range(2)), 3
-        )
+    # best-of-3 per query, queries interleaved across rounds: the sandbox
+    # VM has noisy-neighbor windows that inflate timings up to 25x and can
+    # span many consecutive seconds — interleaving decorrelates a query
+    # from the window it happens to land in
+    qtimes = {name: float("inf") for name in BENCH_QUERIES}
+    for _ in range(3):
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name]
+            qtimes[name] = round(
+                min(qtimes[name], _timed(lambda: run_noop(fn(spark, SF_DIR)))), 3
+            )
     qtimes["extract_spans"] = round(ex_sec, 3)
 
     total = round(sum(qtimes.values()), 3)

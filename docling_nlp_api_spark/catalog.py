@@ -899,6 +899,57 @@ def pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_stream(spark: SparkSession, sf_dir: str):
+    """Stage the events table as a 3-chunk drop zone + fresh checkpoint
+    dir for a deterministic availableNow streaming run."""
+    import tempfile
+
+    from .streaming import read_event_stream, stage_event_chunks
+
+    base = tempfile.mkdtemp(prefix="stream_")
+    import os as _os
+
+    drop = stage_event_chunks(spark, sf_dir, _os.path.join(base, "drop"), n_chunks=3)
+    return read_event_stream(spark, drop), _os.path.join(base, "ck")
+
+
+def t3_streaming_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 via Structured Streaming proper: file-source micro-batches ->
+    watermarked tumbling 1-day windows -> memory sink (complete mode).
+    The oracle is the plain batch GROUP BY — the streaming run must
+    converge to it exactly (SURVEY §2.9 T3; tests/test_streaming.py)."""
+    from .streaming import daily_counts_stream, run_available_now
+
+    stream, ck = _staged_stream(spark, sf_dir)
+    return run_available_now(daily_counts_stream(stream), checkpoint_dir=ck)
+
+
+def t4_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 via Structured Streaming: sliding 1h/15min event-time windows
+    (rate-limiter counts on the stream). Every event lands in exactly 4
+    epoch-aligned windows — the oracle expands events x offsets."""
+    from .streaming import run_available_now, sliding_rate_stream
+
+    stream, ck = _staged_stream(spark, sf_dir)
+    return run_available_now(sliding_rate_stream(stream), checkpoint_dir=ck).select(
+        "window_start", "cnt"
+    )
+
+
+q("t3_stream_daily_counts", """
+SELECT strftime(ts, '%Y-%m-%d') AS date, event_type,
+       COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""")(t3_streaming_daily)
+
+q("t4_stream_sliding_rate", """
+SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS cnt
+FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) t(k)
+GROUP BY 1
+""")(t4_streaming_sliding)
+
 QUERIES["u1_u3_extract_spans"] = extract_flat
 QUERIES["s4_s8_extract_render"] = extract_render
 QUERIES["s1_s3_binaryfile_ingest"] = binaryfile_ingest_summary
@@ -919,6 +970,11 @@ QUERIES["a12_pipeline_metrics"] = pipeline_metrics
 #   set_ops/x6_x7/x14/x15/w4/x16  single-expression scalar ops, pytest-tail
 #   s1_s3/a12          rows-only; real gates are test_new_operators /
 #                      test_pipeline_resume (resume + exactly-once pytest)
+#   t3_hour_histogram / t4_sliding_window_rate
+#                      T3/T4 batch forms — superseded in-window by the
+#                      Structured Streaming forms (t3_stream_daily_counts,
+#                      t4_stream_sliding_rate), which are the stronger
+#                      claim; batch forms stay oracle-checked in the tail
 # which frees slots so the whole dedup/ANN/multimodal plane plus the two
 # flagship extraction entries sit INSIDE the driver window.
 
@@ -938,6 +994,8 @@ DEMOTED = [
     "x16_aes_roundtrip",
     "s1_s3_binaryfile_ingest",
     "a12_pipeline_metrics",
+    "t3_hour_histogram",
+    "t4_sliding_window_rate",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

