@@ -85,13 +85,12 @@ def main() -> None:
     # recorded number reflects steady-state capability, not JVM cold start
     run_noop(extract(spans))
 
-    ex_sec = min(_timed(lambda: run_noop(extract(spans))) for _ in range(4))
-
-    # --- catalog queries
-    # best-of-3 per query, queries interleaved across rounds: the sandbox
-    # VM has noisy-neighbor windows that inflate timings up to 25x and can
-    # span many consecutive seconds — interleaving decorrelates a query
-    # from the window it happens to land in
+    # --- best-of-N, everything interleaved across rounds: the sandbox VM
+    # has noisy-neighbor windows that inflate timings up to 25x and can
+    # span many consecutive seconds — consecutive trials of one query all
+    # land in the same window, so each round runs one extraction trial
+    # plus every catalog query, and the best per item wins
+    ex_sec = _timed(lambda: run_noop(extract(spans)))
     qtimes = {name: float("inf") for name in BENCH_QUERIES}
     for _ in range(3):
         for name in BENCH_QUERIES:
@@ -99,6 +98,7 @@ def main() -> None:
             qtimes[name] = round(
                 min(qtimes[name], _timed(lambda: run_noop(fn(spark, SF_DIR)))), 3
             )
+        ex_sec = min(ex_sec, _timed(lambda: run_noop(extract(spans))))
     qtimes["extract_spans"] = round(ex_sec, 3)
 
     total = round(sum(qtimes.values()), 3)
