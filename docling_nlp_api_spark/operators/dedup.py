@@ -294,3 +294,71 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str, threshold: float = 0.40
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+def resolve_duplicate_clusters(docs: DataFrame, threshold: float = 0.5, max_iter: int = 10) -> DataFrame:
+    """Dedup RESOLUTION — the step after pair verification that a real
+    training-data pipeline needs: connected components over the verified
+    near-dup pair graph, canonical representative = min doc_id per
+    component. Returns (doc_id, canonical_id, is_canonical) for every doc
+    that appears in at least one verified pair; the keep-set of a corpus
+    is then `is_canonical OR not clustered` (an anti-join away).
+
+    Iterative min-label propagation with a driver-side convergence check:
+    each round is one equi-join + one partial-agg min on the EDGE set
+    only — never the corpus, and after LSH + jaccard verification the
+    edge set is orders of magnitude smaller than the corpus. Near-dup
+    components are near-cliques (every member shares most shingles), so
+    the label frontier collapses in 2-3 rounds; max_iter bounds
+    adversarial chain graphs, where the same join primitives would slot
+    into the large-star/small-star map-reduce CC instead. The per-round
+    `.count()` pulls one scalar (distributed agg), not rows."""
+    pairs = candidate_pairs_jaccard(docs, threshold).select("doc_a", "doc_b")
+    return connected_components(pairs, max_iter=max_iter)
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Min-label connected components over an undirected (doc_a, doc_b)
+    pair set; see resolve_duplicate_clusters for the scale rationale."""
+    sym = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(F.col("doc_id").alias("doc_b"), F.col("label").alias("nbr_label")),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nbr_label").alias("nbr_label"))
+            .withColumnRenamed("doc_a", "doc_id")
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.select("doc_id", F.col("label").alias("old_label")), "doc_id")
+            .filter(F.col("label") != F.col("old_label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("canonical_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )

@@ -86,3 +86,24 @@ def test_binaryfile_ingest(spark, sf_dir):
     # .parquet is not on the reference allow-list -> quarantined, not dropped
     assert all(not r["accepted"] for r in out)
     assert all(r["stored_name"].startswith(r["content_md5"][:8] + "_") for r in out)
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Dedup resolution CC: a 4-node chain (worst case for min-label
+    propagation — labels must walk the diameter), a 3-clique, and an
+    isolated pair; canonical = min id per component, singletons absent."""
+    from docling_nlp_api_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(7, 5), (5, 9), (9, 3),      # chain: component min 3
+         (20, 21), (21, 22), (20, 22),  # clique: min 20
+         (41, 40)],                     # pair: min 40
+        ["doc_a", "doc_b"],
+    )
+    got = {r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+           for r in connected_components(pairs).collect()}
+    assert got == {
+        3: (3, True), 5: (3, False), 7: (3, False), 9: (3, False),
+        20: (20, True), 21: (20, False), 22: (20, False),
+        40: (40, True), 41: (40, False),
+    }
