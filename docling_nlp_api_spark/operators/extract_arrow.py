@@ -191,19 +191,27 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     o = np.asarray(struct.field("offset"), dtype=np.int64)
     d = np.repeat(np.arange(n, dtype=np.int64), lens)
 
-    # sort by (doc, offset) — stored order is untrusted, but usually right:
-    # fast-path check avoids 3 takes + lexsort per batch
+    # sort by (doc, offset) — stored order is untrusted, but usually
+    # right. The STRING arrays are never physically sorted: only the int
+    # lanes (d, o, codes, words) are gathered into sorted order, and every
+    # string access composes through `orig` (sorted pos -> original pos).
+    # This drops three full string copies per batch; string bytes are
+    # copied exactly once, at the final kept-subset take.
     same_doc = d[1:] == d[:-1]
     if np.any(same_doc & (np.diff(o) <= 0)):
-        idx = np.lexsort((o, d))
-        d, o = d[idx], o[idx]
-        idx_pa = pa.array(idx)
-        karr = karr.take(idx_pa)
-        tarr = tarr.take(idx_pa)
-        rarr = rarr.take(idx_pa)
+        orig = np.lexsort((o, d))
+        d, o = d[orig], o[orig]
+    else:
+        orig = None
+
+    def _op(pos: np.ndarray) -> np.ndarray:
+        """Map sorted-space positions to original string-array positions."""
+        return orig[pos] if orig is not None else pos
 
     enc = karr.dictionary_encode()
     codes = np.asarray(enc.indices, dtype=np.int64)
+    if orig is not None:
+        codes = codes[orig]
     dictionary = enc.dictionary.to_pylist()
     (
         media_l, html_l, pdf_l, known_l, hlab_l, pboil_l, body_l, img_l, tab_l, pgn_l,
@@ -247,6 +255,8 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
 
     # ---- classification
     words = _count_words(tarr)
+    if orig is not None:
+        words = words[orig]
 
     keep = row_flavor == _PLAIN
 
@@ -274,7 +284,7 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
         rep = np.zeros(total, dtype=np.int64)
         nm_pos = np.nonzero(nm)[0]
         if len(nm_pos):
-            tcodes_arr = tarr.take(pa.array(nm_pos)).dictionary_encode()
+            tcodes_arr = tarr.take(pa.array(_op(nm_pos))).dictionary_encode()
             tcodes = np.asarray(tcodes_arr.indices, dtype=np.int64)
             key = d[nm_pos] * (tcodes.max() + 1) + tcodes
             _, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
@@ -301,7 +311,7 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
         body_pdf = tr_body & (row_flavor[tr_pos] == _PDF)
         hyph = np.zeros(len(tr_pos), dtype=bool)
         if body_pdf.any():
-            hyph[body_pdf] = _ends_hyphen(tarr.take(pa.array(tr_pos[body_pdf])))
+            hyph[body_pdf] = _ends_hyphen(tarr.take(pa.array(_op(tr_pos[body_pdf]))))
         prev_hyph = np.empty(len(tr_pos), dtype=bool)
         prev_hyph[0] = False
         prev_hyph[1:] = hyph[:-1] & (trd[1:] == trd[:-1])
@@ -314,7 +324,7 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
             # python path over exactly the merged rows (rare)
             mpos = tr_pos[multi]
             mgid = gid[multi]
-            mtexts = tarr.take(pa.array(mpos)).to_pylist()
+            mtexts = tarr.take(pa.array(_op(mpos))).to_pylist()
             is_first = ~joins[multi]
             is_last = np.empty(len(mpos), dtype=bool)
             # within the multi subset, group boundaries come from gid
@@ -334,7 +344,7 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
                     p0 = mpos[start]
                     syn_kinds.append(dictionary[codes[p0]])
                     syn_texts.append("".join(pieces[start : i + 1]))
-                    syn_refs.append(rarr[p0].as_py())
+                    syn_refs.append(rarr[int(orig[p0]) if orig is not None else int(p0)].as_py())
                     syn_d.append(int(d[p0]))
                     syn_o.append(int(o[p0]))
                     syn_pg.append(int(pg[p0]))
@@ -347,6 +357,10 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     base_pos = np.nonzero(keep_final)[0]
 
     n_syn = len(syn_texts)
+    # string arrays are in ORIGINAL order; synthetic rows are appended
+    # after them, so the final take index maps sorted-space positions
+    # through `orig` and leaves synthetic positions (>= total) alone
+    omap = orig if orig is not None else np.arange(total, dtype=np.int64)
     if n_syn:
         ext_k = pa.concat_arrays([karr.combine_chunks() if isinstance(karr, pa.ChunkedArray) else karr,
                                   pa.array(syn_kinds, type=pa.string())])
@@ -354,6 +368,7 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
                                   pa.array(syn_texts, type=pa.string())])
         ext_r = pa.concat_arrays([rarr.combine_chunks() if isinstance(rarr, pa.ChunkedArray) else rarr,
                                   pa.array(syn_refs, type=pa.string())])
+        omap = np.concatenate([omap, np.arange(total, total + n_syn)])
         fin_idx = np.concatenate([base_pos, np.arange(total, total + n_syn)])
         fin_d = np.concatenate([d[base_pos], np.array(syn_d, dtype=np.int64)])
         fin_o = np.concatenate([o[base_pos], np.array(syn_o, dtype=np.int64)])
@@ -380,7 +395,7 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     fin_img = fin_img[order]
     fin_tab = fin_tab[order]
 
-    take = pa.array(fin_idx)
+    take = pa.array(omap[fin_idx])
     out_k = ext_k.take(take)
     out_t = ext_t.take(take)
     out_r = ext_r.take(take)
