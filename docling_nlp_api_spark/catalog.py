@@ -962,6 +962,32 @@ def t4_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t5_streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 custom stateful operator (applyInPandasWithState) driven to an
+    exact SQL oracle: per-user running totals emitted once per micro-batch
+    the user appears in (update mode). TTL=365d so no tombstones fire
+    (eviction is pinned by tests/test_streaming.py instead)."""
+    from .streaming import run_available_now, user_totals_stream
+
+    stream, ck = _staged_stream(spark, sf_dir)
+    res = run_available_now(
+        user_totals_stream(stream, ttl_days=365), output_mode="update", checkpoint_dir=ck
+    )
+    return res.filter(~F.col("expired")).drop("expired")
+
+
+# oracle note: chunk boundary 3334 = ceil(10000/3) matches
+# stage_event_chunks(n_chunks=3) at the driver's sf0.01 tier (the
+# correctness gate's fixed scale, like the fixed dates in other oracles)
+q("t5_stream_user_state", """
+WITH ev AS (SELECT user_id, value, CAST(FLOOR(event_id / 3334) AS INT) AS chunk FROM events),
+pc AS (SELECT user_id, chunk, COUNT(*) AS c, SUM(value) AS v FROM ev GROUP BY 1, 2)
+SELECT user_id,
+       CAST(SUM(c) OVER w AS BIGINT) AS events,
+       ROUND(SUM(v) OVER w, 2) AS total_value
+FROM pc WINDOW w AS (PARTITION BY user_id ORDER BY chunk)
+""")(t5_streaming_user_state)
+
 q("t3_stream_daily_counts", """
 SELECT strftime(ts, '%Y-%m-%d') AS date, event_type,
        COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
@@ -1025,6 +1051,9 @@ DEMOTED = [
     # X2 keeps tail-oracle + test_json_parity sentence-object evidence;
     # frees the window slot for dedup_resolve_clusters (new capability)
     "x2_sentence_split",
+    # oracle-backed in the pytest tail; the in-window streaming entries
+    # (t3/t4 stream) already carry the driver-green streaming evidence
+    "t5_stream_user_state",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

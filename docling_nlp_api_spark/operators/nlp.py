@@ -48,10 +48,21 @@ def corpus_keywords(docs: DataFrame, k: int = TOP_K_KEYWORDS) -> DataFrame:
     counts = filtered.groupBy("word").agg(F.count("*").alias("cnt"))
     # distributed top-k (TakeOrderedAndProject) instead of a global window,
     # which would shuffle every distinct word to one partition; the rank
-    # window then runs over only k rows
+    # is then assigned over only the k surviving rows via a single-row
+    # array sort + posexplode (an unpartitioned row_number window over the
+    # same k rows would be equivalent but logs a scary WindowExec
+    # all-to-one-partition warning)
     topk = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(k)
-    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
-    return topk.withColumn("rk", F.row_number().over(w))
+    ranked = topk.agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("cnt")).alias("nc"), "word", "cnt"))
+        ).alias("a")
+    )
+    return ranked.select(F.posexplode("a").alias("pos", "s")).select(
+        F.col("s.word").alias("word"),
+        F.col("s.cnt").alias("cnt"),
+        (F.col("pos") + 1).alias("rk"),
+    )
 
 
 def per_doc_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
