@@ -962,6 +962,30 @@ def t4_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HX = "CAST(('0x' || substr(md5(text), {p}, {n})) AS BIGINT)"
+
+q("mm_resize_images", f"""
+SELECT doc_id,
+       CAST(64 + {_HX.format(p=1, n=2)} % 192 AS INT) AS width,
+       CAST(64 + {_HX.format(p=3, n=2)} % 192 AS INT) AS height,
+       CAST(64 AS INT) AS out_width,
+       CAST((64 + {_HX.format(p=3, n=2)} % 192) * 64 //
+            (64 + {_HX.format(p=1, n=2)} % 192) AS INT) AS out_height,
+       CAST((64 + {_HX.format(p=3, n=2)} % 192) * 64 //
+            (64 + {_HX.format(p=1, n=2)} % 192) * 64 * 3 AS BIGINT) AS out_bytes
+FROM documents WHERE doc_id % 3 = 0
+""")(lambda s, d: M.resize_images(M.as_media_table(docs(s, d))).drop("thumbnail"))
+
+q("mm_frame_sample", f"""
+WITH vids AS (
+  SELECT doc_id, 1000 + {_HX.format(p=1, n=4)} % 60000 AS dur
+  FROM documents WHERE doc_id % 3 = 2
+),
+fx AS (SELECT doc_id, unnest(generate_series(0, CAST(dur // 5000 AS INT))) AS s FROM vids)
+SELECT doc_id, CAST(s AS INT) AS frame_idx, CAST(s * 5000 AS BIGINT) AS ts_ms FROM fx
+""")(lambda s, d: M.sample_video_frames(M.as_media_table(docs(s, d))).drop("frame"))
+
+
 def t5_streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 custom stateful operator (applyInPandasWithState) driven to an
     exact SQL oracle: per-user running totals emitted once per micro-batch
@@ -1054,6 +1078,10 @@ DEMOTED = [
     # oracle-backed in the pytest tail; the in-window streaming entries
     # (t3/t4 stream) already carry the driver-green streaming evidence
     "t5_stream_user_state",
+    # oracle-backed in the pytest tail; mm_media_metadata/mm_decode carry
+    # the in-window multimodal evidence
+    "mm_resize_images",
+    "mm_frame_sample",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

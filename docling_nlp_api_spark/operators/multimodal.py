@@ -101,3 +101,91 @@ def media_meta_sql_equivalent(docs: DataFrame) -> DataFrame:
         F.when(mt == "image", (64 + hexint(1) % 192).cast("int")).alias("width"),
         F.when(mt == "image", (64 + hexint(3) % 192).cast("int")).alias("height"),
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("out_width", T.IntegerType(), False),
+        T.StructField("out_height", T.IntegerType(), False),
+        T.StructField("out_bytes", T.LongType(), False),
+        T.StructField("thumbnail", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_images(media: DataFrame, target_w: int = 64) -> DataFrame:
+    """Resize plumbing (driver brief): scale-to-width preserving aspect
+    (out_h = h*target_w // w), emit an RGB-sized thumbnail payload.
+    The pixel resample is the deterministic fake (md5-tiled bytes of the
+    right length — a real deployment swaps in PIL); the mapInPandas batch
+    shape, filter-before-decode (only image rows ever decode), and typed
+    output schema are the real engine surface."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w_l, h_l, ow_l, oh_l, ob_l, th_l = [], [], [], [], [], []
+            for p in pdf["payload"]:
+                w, h, _ = _fake_decode(bytes(p), "image")
+                ow = min(target_w, w)
+                oh = max(1, h * ow // w)
+                n = ow * oh * 3
+                seed = hashlib.md5(bytes(p)).digest()
+                th = (seed * (n // len(seed) + 1))[:n]
+                w_l.append(w); h_l.append(h); ow_l.append(ow); oh_l.append(oh)
+                ob_l.append(n); th_l.append(th)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.array(w_l, dtype="int32"),
+                    "height": pd.array(h_l, dtype="int32"),
+                    "out_width": pd.array(ow_l, dtype="int32"),
+                    "out_height": pd.array(oh_l, dtype="int32"),
+                    "out_bytes": pd.array(ob_l, dtype="int64"),
+                    "thumbnail": th_l,
+                }
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, every_ms: int = 5000) -> DataFrame:
+    """Frame-sampling plumbing (driver brief): one row in -> N frame rows
+    out (floor(duration/every_ms)+1 frames at 0, every_ms, ...). The 1->N
+    fan-out INSIDE mapInPandas is the real engine concern (output batches
+    larger than input batches); the frame bytes are the deterministic
+    fake (md5(payload || frame_idx))."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, dur = _fake_decode(bytes(p), "video")
+                n = dur // every_ms + 1
+                for i in range(n):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    frames.append(hashlib.md5(bytes(p) + i.to_bytes(4, "little")).digest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "ts_ms": pd.array(tss, dtype="int64"),
+                    "frame": frames,
+                }
+            )
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(run, schema=FRAME_SCHEMA)

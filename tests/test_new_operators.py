@@ -107,3 +107,50 @@ def test_connected_components_chain_and_clique(spark):
         20: (20, True), 21: (20, False), 22: (20, False),
         40: (40, True), 41: (40, False),
     }
+
+
+def test_resize_images_plumbing(spark, sf_dir):
+    """Resize: only image rows decode; thumbnail byte length equals
+    out_width*out_height*3; aspect preserved via integer scale; output
+    deterministic across runs."""
+    from docling_nlp_api_spark.operators.multimodal import as_media_table, resize_images
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    media = as_media_table(docs)
+    out = resize_images(media, target_w=64).collect()
+    n_images = media.filter("media_type = 'image'").count()
+    assert len(out) == n_images > 0
+    for r in out:
+        assert r["out_width"] == min(64, r["width"])
+        assert r["out_height"] == max(1, r["height"] * r["out_width"] // r["width"])
+        assert len(r["thumbnail"]) == r["out_bytes"] == r["out_width"] * r["out_height"] * 3
+    again = resize_images(media, target_w=64).collect()
+    assert sorted(bytes(r["thumbnail"]) for r in again) == sorted(bytes(r["thumbnail"]) for r in out)
+
+
+def test_sample_video_frames_fanout(spark, sf_dir):
+    """Frame sampling: one video row fans out to floor(dur/every)+1 frame
+    rows at 0, every, 2*every, ...; non-video rows contribute nothing."""
+    from docling_nlp_api_spark.operators.multimodal import (
+        as_media_table,
+        extract_media_metadata,
+        sample_video_frames,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    media = as_media_table(docs)
+    frames = sample_video_frames(media, every_ms=5000)
+    got = {}
+    for r in frames.collect():
+        got.setdefault(r["doc_id"], []).append((r["frame_idx"], r["ts_ms"], bytes(r["frame"])))
+    durs = {
+        r["doc_id"]: r["duration_ms"]
+        for r in extract_media_metadata(media).collect()
+        if r["media_type"] == "video"
+    }
+    assert set(got) == set(durs) and len(durs) > 0
+    for doc_id, fr in got.items():
+        fr.sort()
+        assert len(fr) == durs[doc_id] // 5000 + 1
+        assert [f[1] for f in fr] == [i * 5000 for i in range(len(fr))]
+        assert len({f[2] for f in fr}) == len(fr)  # distinct frame payloads
