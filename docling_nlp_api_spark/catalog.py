@@ -962,6 +962,61 @@ def t4_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle_sql(n_clusters: int = 8, iters: int = 2, k: int = 3, query_mod: int = 100) -> str:
+    """DuckDB mirror of similarity.kmeans_fit + ivf_kmeans_topk: Lloyd
+    iterations unrolled as CTE pairs. The cross-engine contract is the
+    ROUND(centroid, 6) after init and after every mean update — it
+    absorbs the ~1e-13 summation-order drift that would otherwise cascade
+    through assignments. Distances: expanded dot-product form (|v|^2 -
+    2<v,c> + |c|^2), ties pinned by (distance, cluster id)."""
+    sq = ("list_dot_product(v, v) - 2 * list_dot_product(v, {c}.cv) "
+          "+ list_dot_product({c}.cv, {c}.cv)")
+    parts = [f"""
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl,
+              list_transform(v, x -> ROUND(x, 6)) AS cv
+       FROM e ORDER BY vec_id LIMIT {n_clusters})"""]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(f"""
+a{i} AS (SELECT vec_id, v, cl FROM (
+  SELECT e.vec_id, e.v, {prev}.cl,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {sq.format(c=prev)}, {prev}.cl) AS rn
+  FROM e CROSS JOIN {prev}) WHERE rn = 1),
+x{i} AS (SELECT cl, unnest(list_transform(v, (x, ix) -> struct_pack(val := x, pos := ix))) AS u
+         FROM a{i}),
+m{i} AS (SELECT cl, list(m ORDER BY pos) AS cv FROM (
+  SELECT cl, u.pos AS pos, ROUND(AVG(u.val), 6) AS m FROM x{i} GROUP BY cl, u.pos) GROUP BY cl),
+c{i} AS (SELECT {prev}.cl, COALESCE(m{i}.cv, {prev}.cv) AS cv
+         FROM {prev} LEFT JOIN m{i} ON {prev}.cl = m{i}.cl)""")
+        prev = f"c{i}"
+    parts.append(f"""
+af AS (SELECT vec_id, v, cl FROM (
+  SELECT e.vec_id, e.v, {prev}.cl,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {sq.format(c=prev)}, {prev}.cl) AS rn
+  FROM e CROSS JOIN {prev}) WHERE rn = 1),
+qs AS (SELECT vec_id AS query_id, v AS qe, cl AS ql FROM af WHERE vec_id % {query_mod} = 0),
+cs AS (SELECT vec_id AS cand_id, v AS ce, cl FROM af),
+scored AS (
+  SELECT query_id, cand_id,
+         ROUND(list_dot_product(qe, ce) /
+               (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 4) AS cosine
+  FROM qs JOIN cs ON ql = cl AND query_id != cand_id)""")
+    return ("WITH" + ",".join(parts) + f"""
+SELECT query_id, cand_id, cosine, rk FROM (
+  SELECT query_id, cand_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id) AS BIGINT) AS rk
+  FROM scored) WHERE rk <= {k}
+""")
+
+
+q("ann_ivf_kmeans_topk", _kmeans_oracle_sql())(
+    lambda s, d: S.ivf_kmeans_topk(s, d).withColumn("rk", F.col("rk").cast("long"))
+)
+
 _HX = "CAST(('0x' || substr(md5(text), {p}, {n})) AS BIGINT)"
 
 q("mm_resize_images", f"""
@@ -1082,6 +1137,8 @@ DEMOTED = [
     # the in-window multimodal evidence
     "mm_resize_images",
     "mm_frame_sample",
+    # learned-quantizer IVF; ann_ivf_topk carries the in-window IVF row
+    "ann_ivf_kmeans_topk",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

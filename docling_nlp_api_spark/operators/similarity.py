@@ -98,3 +98,102 @@ def ivf_topk(spark: SparkSession, sf_dir: str, k: int = 3, query_mod: int = 100)
     scored = pairs.select("query_id", "cand_id", F.round(cos, 4).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def _sq_dist_expr(vec_col: str, centroid: list[float]) -> str:
+    """Squared L2 distance of `vec_col` (array<float>) to a literal
+    centroid, as a codegen-able SQL expression."""
+    lit = "array(" + ",".join(f"CAST({v} AS DOUBLE)" for v in centroid) + ")"
+    return (
+        f"aggregate(zip_with({vec_col}, {lit}, (x, y) -> (CAST(x AS DOUBLE) - y) "
+        f"* (CAST(x AS DOUBLE) - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _assign_col(centroids: list[list[float]]):
+    """argmin cluster id via array_min over (distance, id) structs — ties
+    pinned by cluster id, matching the oracle's (d, j) ordering."""
+    pairs = F.array(
+        *[
+            F.struct(F.expr(_sq_dist_expr("embedding", c)).alias("d"), F.lit(j).alias("j"))
+            for j, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(pairs)["j"]
+
+
+def kmeans_fit(emb: DataFrame, n_clusters: int = 8, iters: int = 2) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over the embedding column, the IVF
+    coarse quantizer. Init = embeddings of the n_clusters smallest
+    vec_ids; each iteration assigns via a codegen argmin expression and
+    recomputes means with ONE posexplode aggregation (k x dim rows
+    collected to the driver — the centroid table is tiny by construction,
+    the corpus never leaves executors). Centroids are rounded to 6
+    decimals each iteration: that is the cross-engine contract that makes
+    the quantizer bit-reproducible in the DuckDB oracle (averaging order
+    differs between engines; 1e-13 float drift would otherwise cascade
+    through assignments)."""
+    first = emb.orderBy("vec_id").limit(n_clusters).select("vec_id", "embedding").collect()
+    cents = [[round(float(x), 6) for x in r["embedding"]] for r in first]
+    for _ in range(iters):
+        assigned = emb.select(_assign_col(cents).alias("cl"), "embedding")
+        means = (
+            assigned.select("cl", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cl", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # clusters that lost all members keep position
+        by_cl: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cl.setdefault(r["cl"], {})[r["pos"]] = r["m"]
+        for cl, dims in by_cl.items():
+            new[cl] = [round(dims[p], 6) for p in range(len(dims))]
+        cents = new
+    return cents
+
+
+def ivf_kmeans_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    n_clusters: int = 8,
+    iters: int = 2,
+    query_mod: int = 100,
+) -> DataFrame:
+    """IVF with a LEARNED coarse quantizer (vs ivf_topk's pre-existing
+    label): fit k-means, assign corpus + queries, probe only the query's
+    cluster (nprobe=1), exact cosine rank inside the probed cluster. The
+    candidate join is an equi-join on the learned cluster id — at 100 TB
+    the quantizer fit runs on a sample and the assignment is one
+    codegen-able map pass; no stage touches more than the probed shard."""
+    return ivf_kmeans_topk_df(
+        load_embeddings(spark, sf_dir), k=k, n_clusters=n_clusters, iters=iters, query_mod=query_mod
+    )
+
+
+def ivf_kmeans_topk_df(
+    emb: DataFrame,
+    k: int = 3,
+    n_clusters: int = 8,
+    iters: int = 2,
+    query_mod: int = 100,
+) -> DataFrame:
+    """DataFrame-input form of ivf_kmeans_topk (fit + assign + probe)."""
+    from pyspark.sql import Window
+
+    cents = kmeans_fit(emb, n_clusters=n_clusters, iters=iters)
+    asg = emb.select("vec_id", "embedding", _assign_col(cents).alias("cl"))
+    q = asg.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), F.col("cl").alias("ql")
+    )
+    c = asg.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), F.col("cl").alias("cl"))
+    pairs = F.broadcast(q).join(c, F.col("ql") == F.col("cl")).filter(
+        F.col("query_id") != F.col("cand_id")
+    )
+    cos = F.expr(
+        f"{DOT.format(a='qe', b='ce')} / ({NORM.format(a='qe')} * {NORM.format(a='ce')})"
+    )
+    scored = pairs.select("query_id", "cand_id", F.round(cos, 4).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
