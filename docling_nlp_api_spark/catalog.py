@@ -696,7 +696,9 @@ SELECT doc_a, doc_b, jaccard FROM (
 ) WHERE jaccard >= 0.5
 """)(lambda s, d: D.candidate_pairs_jaccard(D.with_planted_dups(docs(s, d))))
 
-q("dedup_resolve_clusters", f"""
+# connected-components closure over the verified near-dup pair graph —
+# shared by dedup_resolve_clusters and dedup_keep_corpus
+_CC_CTES = f"""
 WITH RECURSIVE {_NEAR_DUPS}, {_SHINGLES}, {_SIG},
 b0 AS (SELECT doc_id, md5(CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)) AS bucket FROM sig),
 hset AS (SELECT doc_id, list_distinct(hs) AS hv FROM hs),
@@ -716,11 +718,17 @@ reach(a, b) AS (
   SELECT a, b FROM edges
   UNION
   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-)
-SELECT doc_id, canonical_id, doc_id = canonical_id AS is_canonical FROM (
-  SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id FROM reach GROUP BY a
-)
+),
+comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id FROM reach GROUP BY a)"""
+
+q("dedup_resolve_clusters", f"""{_CC_CTES}
+SELECT doc_id, canonical_id, doc_id = canonical_id AS is_canonical FROM comp
 """)(lambda s, d: D.resolve_duplicate_clusters(D.with_planted_dups(docs(s, d))))
+
+q("dedup_keep_corpus", f"""{_CC_CTES}
+SELECT doc_id, md5(text) AS text_md5 FROM all_docs
+WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != canonical_id)
+""")(lambda s, d: D.keep_corpus(D.with_planted_dups(docs(s, d))))
 
 _SIMHASH_BITS = ", ".join(
     f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(16)
@@ -1139,6 +1147,8 @@ DEMOTED = [
     "mm_frame_sample",
     # learned-quantizer IVF; ann_ivf_topk carries the in-window IVF row
     "ann_ivf_kmeans_topk",
+    # corpus-level keep-set; dedup_resolve_clusters is the in-window row
+    "dedup_keep_corpus",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

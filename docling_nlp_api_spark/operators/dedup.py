@@ -362,3 +362,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         F.col("label").alias("canonical_id"),
         (F.col("doc_id") == F.col("label")).alias("is_canonical"),
     )
+
+
+def keep_corpus(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """The deduplicated corpus: canonical cluster representatives plus all
+    unclustered docs — what a training pipeline actually feeds downstream.
+    One broadcast-able anti-join against the (tiny) non-canonical set;
+    emits (doc_id, text_md5) so downstream checks stay narrow."""
+    resolved = resolve_duplicate_clusters(docs, threshold)
+    drop = resolved.filter(~F.col("is_canonical")).select("doc_id")
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", F.md5("text").alias("text_md5")
+    )
