@@ -25,13 +25,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Arrow batch sizing: 1024 docs/batch amortizes per-batch Python
-        # overhead (~15% kernel throughput at 32 cores vs 256). Memory is
-        # bounded in SPANS, not docs: extract_arrow._bounded_slices re-cuts
-        # any batch whose span total exceeds BATCH_SPAN_BUDGET, so a batch
-        # packing several mega-docs cannot blow a worker even on the raw
-        # extract() path (the pipeline additionally one-per-tasks mega docs)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # Arrow batch sizing: 256 docs/batch. Interleaved A/B at 32 cores
+        # (sf0.5, same window): 256 -> 34.9k/43.9k docs/s vs 1024 ->
+        # 30.6k/25.4k — larger batches only add assembly latency variance
+        # because extract_arrow._bounded_slices re-cuts any batch whose
+        # span total exceeds BATCH_SPAN_BUDGET anyway (memory is bounded
+        # in SPANS, not docs; a batch packing several mega-docs cannot
+        # blow a worker even on the raw extract() path)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         # sandbox inputs are hundreds of MB: 16 MB splits keep all local[N]
         # cores busy (128 MB default would pack a 357 MB table into ~3
         # partitions). At real 100 TB scale splits are plentiful; a cluster
