@@ -92,13 +92,19 @@ def main() -> None:
     # plus every catalog query, and the best per item wins
     ex_sec = _timed(lambda: run_noop(extract(spans)))
     qtimes = {name: float("inf") for name in BENCH_QUERIES}
+    errors: dict[str, str] = {}
     for _ in range(3):
         for name in BENCH_QUERIES:
             fn = QUERIES[name]
-            qtimes[name] = round(
-                min(qtimes[name], _timed(lambda: run_noop(fn(spark, SF_DIR)))), 3
-            )
+            try:
+                qtimes[name] = round(
+                    min(qtimes[name], _timed(lambda: run_noop(fn(spark, SF_DIR)))), 3
+                )
+            except Exception as exc:  # one broken query must not lose the JSON line
+                errors[name] = str(exc).splitlines()[0][:200]
         ex_sec = min(ex_sec, _timed(lambda: run_noop(extract(spans))))
+    for name in [n for n, t in qtimes.items() if t == float("inf")]:
+        del qtimes[name]
     qtimes["extract_spans"] = round(ex_sec, 3)
 
     total = round(sum(qtimes.values()), 3)
@@ -109,6 +115,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": qtimes,
+                **({"query_errors": errors} if errors else {}),
                 "sf": sf_of(SF_DIR),
                 "cores": CORES,
                 "extraction": {
