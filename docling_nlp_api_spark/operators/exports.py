@@ -178,46 +178,104 @@ def _images(spans: Column) -> Column:
     )
 
 
-def _pages(spans: Column, span_pages: Column, page_count: Column) -> Column:
+_PAGE_DDL = (
+    "array<struct<page_number:int,text:string,"
+    "elements:array<struct<type:string,content:string,bbox:array<double>>>,"
+    "bounding_boxes:array<double>>>"
+)
+_ELEM_DDL = "array<struct<type:string,content:string,bbox:array<double>>>"
+
+
+def with_page_segments(df: DataFrame) -> DataFrame:
+    """Stage the page model for the JSON render: per-span page numbers are
+    NONDECREASING within a doc (cumulative pageno markers), so each page's
+    spans form one contiguous range. A naive per-page filter is
+    O(pages x spans) per doc — a 30k-span/1k-page mega PDF costs 3e7 span
+    visits for ONE row (measured 110s -> 13.5s for the 2k-doc render when
+    removed). Instead: one boundary pass over the zipped spans, then a
+    page -> (start, len) map; each page is a slice. O(spans + pages).
+
+    Stages materialize behind inline(array(struct(...))) Generates — the
+    same CollapseProject re-evaluation guard as with_keywords."""
+    z = F.arrays_zip(F.col("spans").alias("s"), F.col("span_pages").alias("p"))
+    zf = F.transform(
+        F.filter(z, lambda e: ~e["s"]["kind"].isin(*_MEDIA)),
+        lambda e: F.struct(e["s"]["text"].alias("t"), e["p"].alias("p")),
+    )
+    df1 = df.select("*", F.inline(F.array(F.struct(zf.alias("_pg_z")))))
+
+    zc = F.col("_pg_z")
+    bnd = F.filter(
+        F.transform(zc, lambda e, i: F.struct(e["p"].alias("p"), i.alias("i"))),
+        lambda x: (x["i"] == F.lit(0)) | (x["p"] != F.get(zc, x["i"] - 1)["p"]),
+    )
+    df2 = df1.select("*", F.inline(F.array(F.struct(bnd.alias("_pg_bnd")))))
+
+    bc = F.col("_pg_bnd")
+    seg_map = F.map_from_entries(
+        F.transform(
+            bc,
+            lambda b, j: F.struct(
+                b["p"].alias("p"),
+                F.struct(
+                    (b["i"] + 1).alias("start"),  # 1-based for F.slice
+                    (
+                        F.when(j == F.size(bc) - 1, F.size(zc)).otherwise(
+                            F.get(bc, j + 1)["i"]
+                        )
+                        - b["i"]
+                    ).alias("len"),
+                ).alias("seg"),
+            ),
+        )
+    )
+    return df2.select("*", F.inline(F.array(F.struct(seg_map.alias("_pg_map"))))).drop(
+        "_pg_bnd"
+    )
+
+
+def _pages_col(page_count: Column) -> Column:
     """pages[]: {page_number, text, elements[], bounding_boxes[]}
-    (docling_service.py:253-279). Page groups come from the kernel's
-    per-span page numbers (pageno markers); docs without a page model
+    (docling_service.py:253-279) over the staged `_pg_z`/`_pg_map`
+    columns (see with_page_segments). Docs without a page model
     (HTML/plain) emit [] exactly like the reference does when docling
     returns no pages. text = each non-media span's text + ' ' (the
-    reference appends a trailing space per element); elements carry
-    {type, content, bbox: []} for non-media spans; bbox info does not
+    reference appends a trailing space per element); bbox info does not
     exist in the span model, so bboxes stay empty as in the reference's
     dict-path fallback."""
-    z = F.arrays_zip(spans.alias("s"), span_pages.alias("p"))
+    zc = F.col("_pg_z")
 
     def page_obj(pno: Column) -> Column:
-        on_page = F.filter(z, lambda e: (e["p"] == pno) & ~e["s"]["kind"].isin(*_MEDIA))
-        texts = F.transform(on_page, lambda e: e["s"]["text"])
+        seg = F.element_at(F.col("_pg_map"), pno)
+        on_page = F.slice(zc, seg["start"], seg["len"])
         return F.struct(
             pno.alias("page_number"),
-            F.when(F.size(texts) > 0, F.concat(F.array_join(texts, " "), F.lit(" ")))
+            F.when(
+                seg.isNotNull(),
+                F.concat(F.array_join(F.transform(on_page, lambda e: e["t"]), " "), F.lit(" ")),
+            )
             .otherwise(F.lit(""))
             .alias("text"),
-            F.transform(
-                on_page,
-                lambda e: F.struct(
-                    F.lit("text").alias("type"),
-                    e["s"]["text"].alias("content"),
-                    F.array().cast("array<double>").alias("bbox"),
+            F.when(
+                seg.isNotNull(),
+                F.transform(
+                    on_page,
+                    lambda e: F.struct(
+                        F.lit("text").alias("type"),
+                        e["t"].alias("content"),
+                        F.array().cast("array<double>").alias("bbox"),
+                    ),
                 ),
-            ).alias("elements"),
+            )
+            .otherwise(F.expr(f"CAST(array() AS {_ELEM_DDL})"))
+            .alias("elements"),
             F.array().cast("array<double>").alias("bounding_boxes"),
         )
 
-    page_ddl = (
-        "array<struct<page_number:int,text:string,"
-        "elements:array<struct<type:string,content:string,bbox:array<double>>>,"
-        "bounding_boxes:array<double>>>"
-    )
     return F.when(
         page_count > 0,
         F.transform(F.sequence(F.lit(1), page_count.cast("int")), page_obj),
-    ).otherwise(F.array().cast(page_ddl))
+    ).otherwise(F.expr(f"CAST(array() AS {_PAGE_DDL})"))
 
 
 def with_keywords(df: DataFrame, text_col: str = "export_text", k: int = 20) -> DataFrame:
@@ -288,13 +346,14 @@ def with_keywords(df: DataFrame, text_col: str = "export_text", k: int = 20) -> 
     return df3.withColumn("keywords", kw).drop("_kw_total", "_kw_srt", "_kw_bnd")
 
 
-def nlp_json_col(spans: Column, metadata: Column, span_pages: Column, keywords: Column) -> Column:
+def nlp_json_col(spans: Column, metadata: Column, keywords: Column) -> Column:
     """S8: the reference's full structured NLP JSON
     (docling_service.py:221-374): document_info / content (paragraphs,
     sentences, entities, keywords) / structure (headings, tables, lists,
-    images) / pages."""
-    ft = full_text_col(spans)
-    paras = paragraphs_col(ft)
+    images) / pages. Reads the staged `_js_ft`/`_js_paras`/`_js_sents`
+    (with_exports) and `_pg_z`/`_pg_map` (with_page_segments) attribute
+    columns — full text is rendered once and paragraphs split once per
+    row, instead of once per referencing subexpression."""
     page_count = metadata["page_count"].cast("long")
     return F.to_json(
         F.struct(
@@ -307,9 +366,9 @@ def nlp_json_col(spans: Column, metadata: Column, span_pages: Column, keywords: 
                 F.lit("en").alias("language"),
             ).alias("document_info"),
             F.struct(
-                ft.alias("full_text"),
-                _counted(paras).alias("paragraphs"),
-                _counted(sentences_col(paras)).alias("sentences"),
+                F.col("_js_ft").alias("full_text"),
+                _counted(F.col("_js_paras")).alias("paragraphs"),
+                _counted(F.col("_js_sents")).alias("sentences"),
                 F.array().cast("array<string>").alias("entities"),
                 keywords.alias("keywords"),
             ).alias("content"),
@@ -319,7 +378,7 @@ def nlp_json_col(spans: Column, metadata: Column, span_pages: Column, keywords: 
                 _lists(spans).alias("lists"),
                 _images(spans).alias("images"),
             ).alias("structure"),
-            _pages(spans, span_pages, page_count).alias("pages"),
+            _pages_col(page_count).alias("pages"),
         )
     )
 
@@ -342,10 +401,27 @@ def with_exports(extracted: DataFrame, formats: tuple[str, ...] = ("text", "mark
         out = out.withColumn("export_doctags", doctags_col(s))
     if "json" in formats:
         out = with_keywords(out)
+        # stage full text + paragraph/sentence splits once per row (the
+        # json struct references each several times; CollapseProject
+        # would otherwise re-render/re-split per reference)
+        ft = F.col("export_text")
+        out = out.select(
+            "*",
+            F.inline(F.array(F.struct(
+                ft.alias("_js_ft"), paragraphs_col(ft).alias("_js_paras"),
+            ))),
+        )
+        out = out.select(
+            "*",
+            F.inline(F.array(F.struct(
+                sentences_col(F.col("_js_paras")).alias("_js_sents"),
+            ))),
+        )
+        out = with_page_segments(out)
         out = out.withColumn(
             "export_json",
-            nlp_json_col(s, F.col("metadata"), F.col("span_pages"), F.col("keywords")),
-        ).drop("keywords")
+            nlp_json_col(s, F.col("metadata"), F.col("keywords")),
+        ).drop("keywords", "_js_ft", "_js_paras", "_js_sents", "_pg_z", "_pg_map")
         if "text" not in formats:
             out = out.drop("export_text")
     return out
