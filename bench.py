@@ -103,11 +103,15 @@ def main() -> None:
             except Exception as exc:  # one broken query must not lose the JSON line
                 errors[name] = str(exc).splitlines()[0][:200]
         ex_sec = min(ex_sec, _timed(lambda: run_noop(extract(spans))))
-    for name in [n for n, t in qtimes.items() if t == float("inf")]:
-        del qtimes[name]
+    # a query that failed every round stays in the JSON as null (and is
+    # counted in failed_queries) so totals across runs are never compared
+    # with silently different denominators
+    failed = [n for n, t in qtimes.items() if t == float("inf")]
+    for name in failed:
+        qtimes[name] = None
     qtimes["extract_spans"] = round(ex_sec, 3)
 
-    total = round(sum(qtimes.values()), 3)
+    total = round(sum(t for t in qtimes.values() if t is not None), 3)
     print(
         json.dumps(
             {
@@ -115,6 +119,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": qtimes,
+                "failed_queries": len(failed),
                 **({"query_errors": errors} if errors else {}),
                 "sf": sf_of(SF_DIR),
                 "cores": CORES,

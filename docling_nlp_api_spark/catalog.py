@@ -935,7 +935,11 @@ def pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _staged_stream(spark: SparkSession, sf_dir: str):
     """Stage the events table as a 3-chunk drop zone + fresh checkpoint
-    dir for a deterministic availableNow streaming run."""
+    dir for a deterministic availableNow streaming run. Returns
+    (stream, checkpoint_dir, base_dir); callers rmtree base_dir once the
+    run has been materialized (run_available_now localCheckpoints the
+    result, so nothing re-reads the staged files afterwards) — repeated
+    bench rounds must not accumulate /tmp copies of the events table."""
     import tempfile
 
     from .streaming import read_event_stream, stage_event_chunks
@@ -944,7 +948,7 @@ def _staged_stream(spark: SparkSession, sf_dir: str):
     import os as _os
 
     drop = stage_event_chunks(spark, sf_dir, _os.path.join(base, "drop"), n_chunks=3)
-    return read_event_stream(spark, drop), _os.path.join(base, "ck")
+    return read_event_stream(spark, drop), _os.path.join(base, "ck"), base
 
 
 def t3_streaming_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -952,20 +956,31 @@ def t3_streaming_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermarked tumbling 1-day windows -> memory sink (complete mode).
     The oracle is the plain batch GROUP BY — the streaming run must
     converge to it exactly (SURVEY §2.9 T3; tests/test_streaming.py)."""
+    import shutil
+
     from .streaming import daily_counts_stream, run_available_now
 
-    stream, ck = _staged_stream(spark, sf_dir)
-    return run_available_now(daily_counts_stream(stream), checkpoint_dir=ck)
+    stream, ck, base = _staged_stream(spark, sf_dir)
+    try:
+        return run_available_now(daily_counts_stream(stream), checkpoint_dir=ck)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def t4_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 via Structured Streaming: sliding 1h/15min event-time windows
     (rate-limiter counts on the stream). Every event lands in exactly 4
     epoch-aligned windows — the oracle expands events x offsets."""
+    import shutil
+
     from .streaming import run_available_now, sliding_rate_stream
 
-    stream, ck = _staged_stream(spark, sf_dir)
-    return run_available_now(sliding_rate_stream(stream), checkpoint_dir=ck).select(
+    stream, ck, base = _staged_stream(spark, sf_dir)
+    try:
+        res = run_available_now(sliding_rate_stream(stream), checkpoint_dir=ck)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return res.select(
         "window_start", "cnt"
     )
 
@@ -1054,12 +1069,17 @@ def t5_streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact SQL oracle: per-user running totals emitted once per micro-batch
     the user appears in (update mode). TTL=365d so no tombstones fire
     (eviction is pinned by tests/test_streaming.py instead)."""
+    import shutil
+
     from .streaming import run_available_now, user_totals_stream
 
-    stream, ck = _staged_stream(spark, sf_dir)
-    res = run_available_now(
-        user_totals_stream(stream, ttl_days=365), output_mode="update", checkpoint_dir=ck
-    )
+    stream, ck, base = _staged_stream(spark, sf_dir)
+    try:
+        res = run_available_now(
+            user_totals_stream(stream, ttl_days=365), output_mode="update", checkpoint_dir=ck
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
     return res.filter(~F.col("expired")).drop("expired")
 
 

@@ -88,10 +88,29 @@ def _short(rs: np.random.RandomState, lo: int, hi: int) -> str:
     return " ".join(VOCAB[i] for i in idx)
 
 
+PAGE_X0, PAGE_X1 = 72.0, 540.0        # letter-size text column
+PAGE_TOP, LINE_H = 756.0, 44.0        # first baseline top, block height
+SLOTS_PER_PAGE = 12                   # matches _gen_pdf's pageno cadence
+
+
+def _pdf_bbox(i: int) -> list[float]:
+    """Deterministic layout bbox [x0, y0, x1, y1] for PDF span i: blocks
+    stack top-down in a single column, 12 slots per page. Mirrors what a
+    layout parser supplies per text block (docling_service.py:276
+    `text_elem.get('bbox', [])`); values are exact binary floats so the
+    Spark and single-node JSON renders agree bit-for-bit."""
+    slot = i % SLOTS_PER_PAGE
+    y1 = PAGE_TOP - slot * LINE_H
+    return [PAGE_X0, y1 - LINE_H, PAGE_X1, y1]
+
+
 def gen_doc(num: int) -> tuple[str, list[dict]]:
     """Generate one document. Returns (doc_id, spans list in STORED order).
 
-    Spans are dicts {kind,text,media_ref,offset}; offset is source order.
+    Spans are dicts {kind,text,media_ref,offset,bbox}; offset is source
+    order. bbox is a layout box for PDF-flavor text spans (the flavor
+    whose parser yields geometry) and None elsewhere — mirroring docling,
+    where only layout-parsed documents carry per-element bboxes.
     20% of docs store the array shuffled (offset stays the true key).
     """
     did = doc_id_of(num)
@@ -121,12 +140,14 @@ def gen_doc(num: int) -> tuple[str, list[dict]]:
             else:
                 spans.insert(pos, ("table", _short(rs, 2, 6), "@"))
 
+    is_pdf = 60 <= bucket < 95
     out = [
         {
             "kind": k,
             "text": t,
             "media_ref": (f"media://{did}/{i}" if m == "@" else ""),
             "offset": i,
+            "bbox": (_pdf_bbox(i) if is_pdf and k not in ("image", "table") else None),
         }
         for i, (k, t, m) in enumerate(spans)
     ]
@@ -232,11 +253,18 @@ def spans_df(spark, n_docs: int, partitions: int | None = None):
 
 
 def ensure_spans_parquet(spark, tier: str, base_dir: str = "/root/repo/.data") -> str:
-    """Materialize a tier to parquet once; reuse across runs."""
+    """Materialize a tier to parquet once; reuse across runs. The path is
+    versioned on fixture-schema changes (v2 = per-span bbox) so stale
+    caches regenerate instead of being misread; pre-bbox caches are
+    removed to keep .data bounded."""
     import os
+    import shutil
 
     n = TIER_DOCS[tier]
-    path = os.path.join(base_dir, f"spans_{tier}")
+    path = os.path.join(base_dir, f"spans_{tier}_v2")
+    stale = os.path.join(base_dir, f"spans_{tier}")
+    if os.path.exists(stale):
+        shutil.rmtree(stale, ignore_errors=True)
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         spans_df(spark, n).write.mode("overwrite").parquet(path)

@@ -296,7 +296,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str, threshold: float = 0.40
     )
 
 
-def resolve_duplicate_clusters(docs: DataFrame, threshold: float = 0.5, max_iter: int = 10) -> DataFrame:
+def resolve_duplicate_clusters(docs: DataFrame, threshold: float = 0.5, max_iter: int = 25) -> DataFrame:
     """Dedup RESOLUTION — the step after pair verification that a real
     training-data pipeline needs: connected components over the verified
     near-dup pair graph, canonical representative = min doc_id per
@@ -309,17 +309,44 @@ def resolve_duplicate_clusters(docs: DataFrame, threshold: float = 0.5, max_iter
     only — never the corpus, and after LSH + jaccard verification the
     edge set is orders of magnitude smaller than the corpus. Near-dup
     components are near-cliques (every member shares most shingles), so
-    the label frontier collapses in 2-3 rounds; max_iter bounds
-    adversarial chain graphs, where the same join primitives would slot
-    into the large-star/small-star map-reduce CC instead. The per-round
-    `.count()` pulls one scalar (distributed agg), not rows."""
+    the label frontier collapses in 2-3 rounds; adversarial chain graphs
+    converge in O(log diameter) via the pointer-jump step in
+    connected_components (small-star contraction), and non-convergence
+    raises instead of returning partial labels. The per-round `.count()`
+    pulls one scalar (distributed agg), not rows."""
     pairs = candidate_pairs_jaccard(docs, threshold).select("doc_a", "doc_b")
     return connected_components(pairs, max_iter=max_iter)
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Min-label connected components over an undirected (doc_a, doc_b)
-    pair set; see resolve_duplicate_clusters for the scale rationale."""
+    pair set; see resolve_duplicate_clusters for the scale rationale.
+
+    Each round combines a one-hop neighbor-min with a POINTER JUMP
+    (label := min(label, label[label]) — the small-star half of
+    large-star/small-star CC): the propagation radius roughly doubles per
+    round instead of growing by one, so a chain of diameter d converges in
+    O(log d) rounds — max_iter=25 covers diameters beyond 2^25, i.e. any
+    realizable near-dup graph (pinned by the 1,200-node chain pytest in
+    tests/test_new_operators.py). The jump join is labels-with-labels on
+    the label key: label values are always doc_ids present in the frame
+    (initially label = doc_id; every later label is a min over such
+    values), so the left join only misses when a label is already a root.
+    If the round budget is somehow exhausted before convergence, raise —
+    round 2 silently returned partially-propagated labels (ADVICE r2,
+    medium).
+
+    Each round's labels are pinned via localCheckpoint(eager=True), not
+    persist(): checkpointing TRUNCATES LINEAGE, which an iterative
+    self-referencing join loop requires — with persist() alone the
+    logical plan doubles per round and Catalyst analysis time explodes
+    long before the data does (the 1,200-node chain test hangs without
+    it). It also fixes the r2 cached-partition leak: nothing stays
+    persisted after return (edge sets are post-verification and orders of
+    magnitude smaller than the corpus, so driver-local block storage is
+    fine; the blocks are freed by the ContextCleaner once unreferenced).
+    On a real cluster with a checkpoint dir configured, df.checkpoint()
+    is the durable equivalent."""
     sym = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -327,8 +354,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         sym.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         nbr = (
             sym.join(
@@ -339,24 +367,35 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
             .agg(F.min("nbr_label").alias("nbr_label"))
             .withColumnRenamed("doc_a", "doc_id")
         )
+        stepped = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        jump = stepped.select(F.col("doc_id").alias("label"), F.col("label").alias("jump_label"))
         new_labels = (
-            labels.join(nbr, "doc_id", "left")
+            stepped.join(jump, "label", "left")
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                F.least(F.col("label"), F.coalesce("jump_label", "label")).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(labels.select("doc_id", F.col("label").alias("old_label")), "doc_id")
             .filter(F.col("label") != F.col("old_label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds "
+            "(with pointer jumping that bounds graph diameter > 2^max_iter — "
+            "not realizable; indicates a bug upstream)"
+        )
     return labels.select(
         "doc_id",
         F.col("label").alias("canonical_id"),

@@ -196,7 +196,16 @@ def with_page_segments(df: DataFrame) -> DataFrame:
     page -> (start, len) map; each page is a slice. O(spans + pages).
 
     Stages materialize behind inline(array(struct(...))) Generates — the
-    same CollapseProject re-evaluation guard as with_keywords."""
+    same CollapseProject re-evaluation guard as with_keywords.
+
+    Robustness (ADVICE r2): if a kernel ever violates the nondecreasing
+    invariant, a page appears in >1 run and map_from_entries would throw
+    (mapKeyDedupPolicy defaults to EXCEPTION). The run list is checked
+    with one O(runs) array_distinct; only when duplicates actually exist
+    does an O(runs^2) per-page merge (min start, summed len) kick in, so
+    out-of-order input degrades to approximate page slices instead of
+    crashing while the invariant-holding path keeps its O(spans + pages)
+    cost."""
     z = F.arrays_zip(F.col("spans").alias("s"), F.col("span_pages").alias("p"))
     zf = F.transform(
         F.filter(z, lambda e: ~e["s"]["kind"].isin(*_MEDIA)),
@@ -212,25 +221,48 @@ def with_page_segments(df: DataFrame) -> DataFrame:
     df2 = df1.select("*", F.inline(F.array(F.struct(bnd.alias("_pg_bnd")))))
 
     bc = F.col("_pg_bnd")
-    seg_map = F.map_from_entries(
-        F.transform(
-            bc,
-            lambda b, j: F.struct(
-                b["p"].alias("p"),
-                F.struct(
-                    (b["i"] + 1).alias("start"),  # 1-based for F.slice
-                    (
-                        F.when(j == F.size(bc) - 1, F.size(zc)).otherwise(
-                            F.get(bc, j + 1)["i"]
-                        )
-                        - b["i"]
-                    ).alias("len"),
-                ).alias("seg"),
-            ),
-        )
+    runs = F.transform(
+        bc,
+        lambda b, j: F.struct(
+            b["p"].alias("p"),
+            F.struct(
+                (b["i"] + 1).alias("start"),  # 1-based for F.slice
+                (
+                    F.when(j == F.size(bc) - 1, F.size(zc)).otherwise(
+                        F.get(bc, j + 1)["i"]
+                    )
+                    - b["i"]
+                ).alias("len"),
+            ).alias("seg"),
+        ),
     )
-    return df2.select("*", F.inline(F.array(F.struct(seg_map.alias("_pg_map"))))).drop(
+    df3 = df2.select("*", F.inline(F.array(F.struct(runs.alias("_pg_runs"))))).drop(
         "_pg_bnd"
+    )
+
+    rc = F.col("_pg_runs")
+    ps = F.transform(rc, lambda r: r["p"])
+    merged = F.transform(
+        F.array_distinct(ps),
+        lambda p: F.struct(
+            p.alias("p"),
+            F.struct(
+                F.array_min(
+                    F.transform(F.filter(rc, lambda r: r["p"] == p), lambda r: r["seg"]["start"])
+                ).alias("start"),
+                F.aggregate(
+                    F.filter(rc, lambda r: r["p"] == p),
+                    F.lit(0),
+                    lambda acc, r: acc + r["seg"]["len"],
+                ).alias("len"),
+            ).alias("seg"),
+        ),
+    )
+    seg_map = F.map_from_entries(
+        F.when(F.size(F.array_distinct(ps)) == F.size(ps), rc).otherwise(merged)
+    )
+    return df3.select("*", F.inline(F.array(F.struct(seg_map.alias("_pg_map"))))).drop(
+        "_pg_runs"
     )
 
 

@@ -210,7 +210,14 @@ def run_available_now(
     """Run a streaming DataFrame to completion over all currently-staged
     files (availableNow trigger) into a memory sink; return the sink as a
     batch DataFrame. complete mode re-emits final window states, so the
-    result is directly comparable to the batch/oracle computation."""
+    result is directly comparable to the batch/oracle computation.
+
+    The sink's temp view is dropped before returning: the result (window
+    counts / user states — driver-memory scale by construction) is pinned
+    via localCheckpoint(eager=True), so repeated bench/test runs don't
+    accumulate named memory-sink tables in the session catalog. The
+    checkpointed blocks are freed by the ContextCleaner once the returned
+    DataFrame is garbage-collected."""
     _MEM_SINK_SEQ[0] += 1
     name = f"stream_sink_{_MEM_SINK_SEQ[0]}"
     w = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
@@ -218,4 +225,7 @@ def run_available_now(
         w = w.option("checkpointLocation", checkpoint_dir)
     q = w.trigger(availableNow=True).start()
     q.awaitTermination()
-    return df.sparkSession.table(name)
+    spark = df.sparkSession
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out

@@ -123,3 +123,25 @@ def test_json_pages(spark):
     assert pages[1]["text"] == "second page body line also with plenty of words. "
     assert [e["type"] for e in pages[0]["elements"]] == ["text", "text"]
     assert pages[0]["bounding_boxes"] == []
+
+
+def test_page_segments_out_of_order(spark):
+    """ADVICE r2: a kernel violating the nondecreasing span_pages
+    invariant must degrade (per-page min-start / summed-len runs), not
+    throw DUPLICATED_MAP_KEY from map_from_entries."""
+    from docling_nlp_api_spark.operators.exports import with_page_segments
+
+    df = spark.createDataFrame(
+        [
+            ("ok", [{"kind": "body", "text": t} for t in "abc"], [1, 1, 2]),
+            ("bad", [{"kind": "body", "text": t} for t in "xyz"], [2, 1, 2]),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string>>, span_pages array<int>",
+    )
+    got = {r["doc_id"]: r["_pg_map"] for r in with_page_segments(df).collect()}
+    assert got["ok"][1].asDict() == {"start": 1, "len": 2}
+    assert got["ok"][2].asDict() == {"start": 3, "len": 1}
+    # page 2 appears in two runs ([x] at 1, [z] at 3): merged to min start
+    # 1, total len 2; page 1's single run is exact
+    assert got["bad"][2].asDict() == {"start": 1, "len": 2}
+    assert got["bad"][1].asDict() == {"start": 2, "len": 1}

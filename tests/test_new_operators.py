@@ -109,6 +109,25 @@ def test_connected_components_chain_and_clique(spark):
     }
 
 
+def test_connected_components_adversarial_chain(spark):
+    """A 1,200-node chain — diameter far beyond the old one-hop
+    propagation radius (r2 returned partially-converged labels silently
+    past max_iter; ADVICE r2 medium). Pointer jumping must converge it in
+    O(log d) ~ 11 rounds << max_iter=25 and label every node with the
+    chain head; convergence is also asserted implicitly: non-convergence
+    now raises."""
+    from docling_nlp_api_spark.operators.dedup import connected_components
+
+    n = 1200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    ).repartition(8)
+    rows = connected_components(pairs).collect()
+    assert len(rows) == n
+    assert all(r["canonical_id"] == 0 for r in rows)
+    assert sum(r["is_canonical"] for r in rows) == 1
+
+
 def test_resize_images_plumbing(spark, sf_dir):
     """Resize: only image rows decode; thumbnail byte length equals
     out_width*out_height*3; aspect preserved via integer scale; output
