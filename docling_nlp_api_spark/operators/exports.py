@@ -206,10 +206,18 @@ def with_page_segments(df: DataFrame) -> DataFrame:
     out-of-order input degrades to approximate page slices instead of
     crashing while the invariant-holding path keeps its O(spans + pages)
     cost."""
-    z = F.arrays_zip(F.col("spans").alias("s"), F.col("span_pages").alias("p"))
+    has_bb = "span_bboxes" in df.columns
+    zip_cols = [F.col("spans").alias("s"), F.col("span_pages").alias("p")]
+    if has_bb:
+        zip_cols.append(F.col("span_bboxes").alias("b"))
+    z = F.arrays_zip(*zip_cols)
     zf = F.transform(
         F.filter(z, lambda e: ~e["s"]["kind"].isin(*_MEDIA)),
-        lambda e: F.struct(e["s"]["text"].alias("t"), e["p"].alias("p")),
+        lambda e: F.struct(
+            e["s"]["text"].alias("t"),
+            e["p"].alias("p"),
+            (e["b"] if has_bb else F.lit(None).cast("array<double>")).alias("bb"),
+        ),
     )
     df1 = df.select("*", F.inline(F.array(F.struct(zf.alias("_pg_z")))))
 
@@ -272,9 +280,11 @@ def _pages_col(page_count: Column) -> Column:
     columns (see with_page_segments). Docs without a page model
     (HTML/plain) emit [] exactly like the reference does when docling
     returns no pages. text = each non-media span's text + ' ' (the
-    reference appends a trailing space per element); bbox info does not
-    exist in the span model, so bboxes stay empty as in the reference's
-    dict-path fallback."""
+    reference appends a trailing space per element). elements[].bbox is
+    the span's layout box when the source supplied one, else [] —
+    text_elem.get('bbox', []) at docling_service.py:276; pages[].
+    bounding_boxes stays [] because the reference initializes it and
+    never fills it (docling_service.py:260, verified no other write)."""
     zc = F.col("_pg_z")
 
     def page_obj(pno: Column) -> Column:
@@ -295,7 +305,9 @@ def _pages_col(page_count: Column) -> Column:
                     lambda e: F.struct(
                         F.lit("text").alias("type"),
                         e["t"].alias("content"),
-                        F.array().cast("array<double>").alias("bbox"),
+                        # reference: text_elem.get('bbox', []) — a span
+                        # without geometry renders [] (docling_service.py:276)
+                        F.coalesce(e["bb"], F.array().cast("array<double>")).alias("bbox"),
                     ),
                 ),
             )

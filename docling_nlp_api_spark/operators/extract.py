@@ -121,6 +121,13 @@ from ..spec import (
 _HTML, _PDF, _PLAIN, _FAILED = 0, 1, 2, 3
 
 
+def _obj_arr(a) -> np.ndarray:
+    """1-D object ndarray from a sequence of lists/None WITHOUT numpy's
+    2-D coercion of uniform-length nested lists (np.asarray([[1,2],[3,4]],
+    dtype=object) is shape (2,2); pandas never coerces)."""
+    return pd.Series(list(a), dtype=object).to_numpy()
+
+
 def _empty_result(n: int) -> pd.DataFrame:
     return pd.DataFrame(
         {
@@ -129,6 +136,7 @@ def _empty_result(n: int) -> pd.DataFrame:
             "media_refs": [np.array([], dtype=object)] * n,
             "orders": [np.array([], dtype=np.int32)] * n,
             "page_nos": [np.array([], dtype=np.int32)] * n,
+            "bboxes": [np.array([], dtype=object)] * n,
             "status": ["completed"] * n,
             "error": [None] * n,
             "word_count": np.zeros(n, dtype=np.int64),
@@ -141,9 +149,15 @@ def _empty_result(n: int) -> pd.DataFrame:
 
 
 def extract_batch(
-    kinds_s: pd.Series, texts_s: pd.Series, refs_s: pd.Series, offs_s: pd.Series
+    kinds_s: pd.Series,
+    texts_s: pd.Series,
+    refs_s: pd.Series,
+    offs_s: pd.Series,
+    bbox_s: pd.Series | None = None,
 ) -> pd.DataFrame:
-    """Pure-pandas implementation of SPEC.md over one Arrow batch."""
+    """Pure-pandas implementation of SPEC.md over one Arrow batch.
+    bbox_s (optional, parallel to the other span fields) carries per-span
+    layout boxes; when absent every output bbox is null."""
     n = len(kinds_s)
     if n == 0:
         return _empty_result(0)
@@ -158,12 +172,16 @@ def extract_batch(
     t = np.concatenate([np.asarray(a, dtype=object) for a in texts_s])
     r = np.concatenate([np.asarray(a, dtype=object) for a in refs_s])
     o = np.concatenate([np.asarray(a, dtype=np.int64) for a in offs_s])
+    if bbox_s is None:
+        b = np.full(total, None, dtype=object)
+    else:
+        b = np.concatenate([_obj_arr(a) for a in bbox_s])
 
     # sort by (doc, offset) — stored order is untrusted
     idx = np.lexsort((o, d))
-    d, k, t, r, o = d[idx], k[idx], t[idx], r[idx], o[idx]
+    d, k, t, r, o, b = d[idx], k[idx], t[idx], r[idx], o[idx], b[idx]
 
-    f = pd.DataFrame({"d": d, "k": k, "t": t, "r": r, "o": o})
+    f = pd.DataFrame({"d": d, "k": k, "t": t, "r": r, "o": o, "b": b})
     kk = f["k"]
 
     is_media = kk.isin(MEDIA_KINDS).to_numpy()
@@ -296,13 +314,14 @@ def extract_batch(
                 agg = sub.groupby("gid").agg(
                     d=("d", "first"), k=("k", "first"), t=("t", "".join),
                     r=("r", "first"), o=("o", "first"), pg=("pg", "first"),
+                    b=("b", "first"),  # merged block inherits piece 1's bbox
                 )
                 agg["is_media"] = False
                 agg["w"] = _count_words(agg["t"].to_numpy())
-                cols = ["d", "k", "t", "r", "o", "is_media", "w", "pg"]
+                cols = ["d", "k", "t", "r", "o", "is_media", "w", "pg", "b"]
                 textrows = pd.concat([textrows[~multi][cols], agg[cols]])
 
-    _COLS = ["d", "k", "t", "r", "o", "is_media", "w", "pg"]
+    _COLS = ["d", "k", "t", "r", "o", "is_media", "w", "pg", "b"]
     final = pd.concat(
         [textrows[_COLS], kept[kept["is_media"]][_COLS]]
     ).sort_values(["d", "o"], kind="stable")
@@ -314,6 +333,7 @@ def extract_batch(
     k_out = np.split(final["k"].to_numpy(), cuts)
     t_out = np.split(final["t"].to_numpy(), cuts)
     r_out = np.split(final["r"].to_numpy(), cuts)
+    b_out = np.split(final["b"].to_numpy(), cuts)
     p_out = np.split(final["pg"].to_numpy().astype(np.int32), cuts)
     orders = np.split(
         (np.arange(len(final)) - np.repeat(np.concatenate([[0], np.cumsum(cnts)[:-1]]), cnts)).astype(np.int32),
@@ -339,6 +359,7 @@ def extract_batch(
         k_out[i] = np.array([], dtype=object)
         t_out[i] = np.array([], dtype=object)
         r_out[i] = np.array([], dtype=object)
+        b_out[i] = np.array([], dtype=object)
         orders[i] = np.array([], dtype=np.int32)
         p_out[i] = np.array([], dtype=np.int32)
     word_count[flavor == _FAILED] = 0
@@ -354,6 +375,7 @@ def extract_batch(
             "media_refs": r_out,
             "orders": orders,
             "page_nos": p_out,
+            "bboxes": b_out,
             "status": status,
             "error": err,
             "word_count": word_count,
@@ -367,9 +389,13 @@ def extract_batch(
 
 @F.pandas_udf(KERNEL_RESULT_STRUCT)
 def _extract_kernel(
-    kinds_s: pd.Series, texts_s: pd.Series, refs_s: pd.Series, offs_s: pd.Series
+    kinds_s: pd.Series,
+    texts_s: pd.Series,
+    refs_s: pd.Series,
+    offs_s: pd.Series,
+    bbox_s: pd.Series,
 ) -> pd.DataFrame:
-    return extract_batch(kinds_s, texts_s, refs_s, offs_s)
+    return extract_batch(kinds_s, texts_s, refs_s, offs_s, bbox_s)
 
 
 def extract(df: DataFrame) -> DataFrame:
@@ -404,10 +430,16 @@ def extract(df: DataFrame) -> DataFrame:
             extract_map_in_arrow, schema=OUT_SPARK_SCHEMA
         )
         r = {name: F.col(name) for name in (
-            "kinds", "texts", "media_refs", "orders", "page_nos", "status", "error",
+            "kinds", "texts", "media_refs", "orders", "page_nos", "bboxes",
+            "status", "error",
             "word_count", "char_count", "page_count", "has_images", "has_tables",
         )}
     else:  # pragma: no cover - pyarrow ships with pyspark
+        bbox_col = (
+            F.col("spans.bbox")
+            if "bbox" in fields
+            else F.expr("transform(spans, x -> CAST(NULL AS array<double>))")
+        )
         res = df.select(
             "doc_id",
             _extract_kernel(
@@ -415,10 +447,12 @@ def extract(df: DataFrame) -> DataFrame:
                 F.col("spans.text"),
                 F.col("spans.media_ref"),
                 F.col("spans.offset"),
+                bbox_col,
             ).alias("rr"),
         ).select("doc_id", "rr.*")
         r = {name: F.col(name) for name in (
-            "kinds", "texts", "media_refs", "orders", "page_nos", "status", "error",
+            "kinds", "texts", "media_refs", "orders", "page_nos", "bboxes",
+            "status", "error",
             "word_count", "char_count", "page_count", "has_images", "has_tables",
         )}
 
@@ -444,10 +478,12 @@ def extract(df: DataFrame) -> DataFrame:
         )
         .alias("metadata")
     )
-    # span_pages is a PARALLEL array (page number of spans[i]) rather than a
-    # field inside the span struct: the north-rule equality invariant is
-    # pinned on (kind, text, media_ref, order) and must not change shape
+    # span_pages / span_bboxes are PARALLEL arrays (page number / layout
+    # bbox of spans[i]) rather than fields inside the span struct: the
+    # north-rule equality invariant is pinned on (kind, text, media_ref,
+    # order) and must not change shape
     return res.select(
         "doc_id", spans, r["status"].alias("status"), metadata,
         r["page_nos"].alias("span_pages"),
+        r["bboxes"].alias("span_bboxes"),
     )

@@ -53,6 +53,7 @@ OUT_SCHEMA = pa.schema(
         ("media_refs", pa.list_(pa.string())),
         ("orders", pa.list_(pa.int32())),
         ("page_nos", pa.list_(pa.int32())),
+        ("bboxes", pa.list_(pa.list_(pa.float64()))),
         ("status", pa.string()),
         ("error", pa.string()),
         ("word_count", pa.int64()),
@@ -66,9 +67,12 @@ OUT_SCHEMA = pa.schema(
 OUT_SPARK_SCHEMA = (
     "doc_id string, kinds array<string>, texts array<string>, "
     "media_refs array<string>, orders array<int>, page_nos array<int>, "
+    "bboxes array<array<double>>, "
     "status string, error string, word_count long, char_count long, "
     "page_count long, has_images boolean, has_tables boolean"
 )
+
+_BBOX_T = pa.list_(pa.float64())
 
 
 def _kind_luts(dictionary: list[str]):
@@ -148,6 +152,9 @@ def _empty_output(doc_id: pa.Array) -> pa.RecordBatch:
     empty_i32 = pa.ListArray.from_arrays(
         pa.array(np.zeros(n + 1, dtype=np.int32)), pa.array([], type=pa.int32())
     )
+    empty_bb = pa.ListArray.from_arrays(
+        pa.array(np.zeros(n + 1, dtype=np.int32)), pa.array([], type=_BBOX_T)
+    )
     return pa.RecordBatch.from_arrays(
         [
             doc_id,
@@ -156,6 +163,7 @@ def _empty_output(doc_id: pa.Array) -> pa.RecordBatch:
             empty_str,
             empty_i32,
             empty_i32,
+            empty_bb,
             pa.array(["completed"] * n),
             pa.array([None] * n, type=pa.string()),
             pa.array(np.zeros(n, dtype=np.int64)),
@@ -188,6 +196,12 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     karr = struct.field("kind")
     tarr = struct.field("text")
     rarr = struct.field("media_ref")
+    try:  # optional layout geometry; inputs without it get all-null boxes
+        barr = struct.field("bbox")
+        if barr.type != _BBOX_T:
+            barr = barr.cast(_BBOX_T)
+    except KeyError:
+        barr = pa.nulls(total, type=_BBOX_T)
     o = np.asarray(struct.field("offset"), dtype=np.int64)
     d = np.repeat(np.arange(n, dtype=np.int64), lens)
 
@@ -299,6 +313,7 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     syn_kinds: list[str] = []
     syn_texts: list[str] = []
     syn_refs: list[str] = []
+    syn_bb: list = []
     syn_d: list[int] = []
     syn_o: list[int] = []
     syn_w: list[int] = []
@@ -342,9 +357,11 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
                 pieces.append(s)
                 if is_last[i]:
                     p0 = mpos[start]
+                    op0 = int(orig[p0]) if orig is not None else int(p0)
                     syn_kinds.append(dictionary[codes[p0]])
                     syn_texts.append("".join(pieces[start : i + 1]))
-                    syn_refs.append(rarr[int(orig[p0]) if orig is not None else int(p0)].as_py())
+                    syn_refs.append(rarr[op0].as_py())
+                    syn_bb.append(barr[op0].as_py())  # merged block: piece 1's bbox
                     syn_d.append(int(d[p0]))
                     syn_o.append(int(o[p0]))
                     syn_pg.append(int(pg[p0]))
@@ -368,6 +385,8 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
                                   pa.array(syn_texts, type=pa.string())])
         ext_r = pa.concat_arrays([rarr.combine_chunks() if isinstance(rarr, pa.ChunkedArray) else rarr,
                                   pa.array(syn_refs, type=pa.string())])
+        ext_b = pa.concat_arrays([barr.combine_chunks() if isinstance(barr, pa.ChunkedArray) else barr,
+                                  pa.array(syn_bb, type=_BBOX_T)])
         omap = np.concatenate([omap, np.arange(total, total + n_syn)])
         fin_idx = np.concatenate([base_pos, np.arange(total, total + n_syn)])
         fin_d = np.concatenate([d[base_pos], np.array(syn_d, dtype=np.int64)])
@@ -378,7 +397,7 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
         fin_img = np.concatenate([img_l[codes[base_pos]], np.zeros(n_syn, dtype=bool)])
         fin_tab = np.concatenate([tab_l[codes[base_pos]], np.zeros(n_syn, dtype=bool)])
     else:
-        ext_k, ext_t, ext_r = karr, tarr, rarr
+        ext_k, ext_t, ext_r, ext_b = karr, tarr, rarr, barr
         fin_idx = base_pos
         fin_d, fin_o, fin_w = d[base_pos], o[base_pos], words[base_pos]
         fin_pg = pg[base_pos]
@@ -399,6 +418,7 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     out_k = ext_k.take(take)
     out_t = ext_t.take(take)
     out_r = ext_r.take(take)
+    out_b = ext_b.take(take)
 
     # ---- per-doc assembly
     cnts = np.bincount(fin_d, minlength=n)
@@ -435,6 +455,7 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
             pa.ListArray.from_arrays(off_pa, out_r),
             pa.ListArray.from_arrays(off_pa, pa.array(orders_vals)),
             pa.ListArray.from_arrays(off_pa, pa.array(fin_pg)),
+            pa.ListArray.from_arrays(off_pa, out_b),
             pa.array(np.where(failed, "failed", "completed")),
             pa.array([errors.get(i) for i in range(n)], type=pa.string()),
             pa.array(word_count),

@@ -55,19 +55,24 @@ def nlp_json(res: ExtractResult, k: int = 20) -> dict:
     images = [s for s in res.spans if s.kind == "image"]
 
     page_count = int(res.metadata["page_count"])
+    bbs = res.bboxes if res.bboxes is not None else [None] * len(res.spans)
     pages = []
     for pno in range(1, page_count + 1):
         on_page = [
-            s for s, pg in zip(res.spans, res.pages)
+            (s, bb) for s, pg, bb in zip(res.spans, res.pages, bbs)
             if pg == pno and s.kind not in MEDIA_KINDS
         ]
         pages.append(
             {
                 "page_number": pno,
-                "text": "".join(s.text + " " for s in on_page),
+                "text": "".join(s.text + " " for s, _ in on_page),
                 "elements": [
-                    {"type": "text", "content": s.text, "bbox": []} for s in on_page
+                    # text_elem.get('bbox', []) — [] when the parser gave none
+                    {"type": "text", "content": s.text, "bbox": (bb or [])}
+                    for s, bb in on_page
                 ],
+                # initialized and never filled by the reference
+                # (docling_service.py:260)
                 "bounding_boxes": [],
             }
         )

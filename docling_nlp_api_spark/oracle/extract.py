@@ -45,6 +45,7 @@ class ExtractResult:
     status: str
     metadata: dict[str, str]
     pages: list[int] | None = None  # per-kept-span page number, parallel to spans
+    bboxes: list | None = None      # per-kept-span layout bbox (or None), parallel
 
 
 def extract_doc(doc_id: str, spans: list[dict]) -> ExtractResult:
@@ -53,7 +54,7 @@ def extract_doc(doc_id: str, spans: list[dict]) -> ExtractResult:
     unknown = [s for s in spans if s["kind"] not in ALL_KINDS]
     if unknown:
         bad = min(unknown, key=lambda s: s["offset"])
-        return ExtractResult(doc_id, [], "failed", {"error": f"unknown kind: {bad['kind']}"}, [])
+        return ExtractResult(doc_id, [], "failed", {"error": f"unknown kind: {bad['kind']}"}, [], [])
 
     ordered = sorted(spans, key=lambda s: s["offset"])
 
@@ -88,6 +89,9 @@ def extract_doc(doc_id: str, spans: list[dict]) -> ExtractResult:
         for i, s in enumerate(content)
     ]
     pages = [s["page"] for s in content]
+    # merged hyphen groups keep piece 1's dict (and thus its bbox);
+    # inputs without a bbox key yield None per span
+    bboxes = [s.get("bbox") for s in content]
     full_text = "\n".join(s.text for s in out if s.kind not in MEDIA_KINDS)
     metadata = {
         "word_count": str(len(full_text.split())),
@@ -96,7 +100,7 @@ def extract_doc(doc_id: str, spans: list[dict]) -> ExtractResult:
         "has_images": "true" if any(s.kind == "image" for s in out) else "false",
         "has_tables": "true" if any(s.kind == "table" for s in out) else "false",
     }
-    return ExtractResult(doc_id, out, "completed", metadata, pages)
+    return ExtractResult(doc_id, out, "completed", metadata, pages, bboxes)
 
 
 def _classify_html(ordered: list[dict]) -> list[dict]:

@@ -10,6 +10,11 @@ SPAN_STRUCT = T.StructType(
         T.StructField("text", T.StringType(), False),
         T.StructField("media_ref", T.StringType(), False),
         T.StructField("offset", T.IntegerType(), False),
+        # optional layout geometry [x0, y0, x1, y1] — present when the
+        # upstream parser supplies it (PDF/layout flavors), null otherwise,
+        # mirroring docling's item.get('bbox') (docling_service.py:276).
+        # extract() tolerates inputs without this field entirely.
+        T.StructField("bbox", T.ArrayType(T.DoubleType(), containsNull=False), True),
     ]
 )
 
@@ -38,6 +43,13 @@ EXTRACTED_SCHEMA = T.StructType(
         # page number of spans[i] — parallel array, NOT a span-struct field:
         # the north-rule span equality is pinned on (kind,text,media_ref,order)
         T.StructField("span_pages", T.ArrayType(T.IntegerType(), False), False),
+        # layout bbox of spans[i] (null when the source had none) — parallel
+        # array for the same reason as span_pages
+        T.StructField(
+            "span_bboxes",
+            T.ArrayType(T.ArrayType(T.DoubleType(), containsNull=False), containsNull=True),
+            False,
+        ),
     ]
 )
 
@@ -50,6 +62,11 @@ KERNEL_RESULT_STRUCT = T.StructType(
         T.StructField("media_refs", T.ArrayType(T.StringType(), False), False),
         T.StructField("orders", T.ArrayType(T.IntegerType(), False), False),
         T.StructField("page_nos", T.ArrayType(T.IntegerType(), False), False),
+        T.StructField(
+            "bboxes",
+            T.ArrayType(T.ArrayType(T.DoubleType(), containsNull=False), containsNull=True),
+            False,
+        ),
         T.StructField("status", T.StringType(), False),
         T.StructField("error", T.StringType(), True),
         T.StructField("word_count", T.LongType(), False),

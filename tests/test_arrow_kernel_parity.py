@@ -21,38 +21,58 @@ SPAN_T = pa.list_(
             ("text", pa.string()),
             ("media_ref", pa.string()),
             ("offset", pa.int32()),
+            ("bbox", pa.list_(pa.float64())),
+        ]
+    )
+)
+
+# pre-bbox input shape: both kernels must tolerate spans without the field
+SPAN_T_NOBB = pa.list_(
+    pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
         ]
     )
 )
 
 
-def to_batch(ids, spans_rows):
+def to_batch(ids, spans_rows, span_t=SPAN_T):
     return pa.RecordBatch.from_arrays(
-        [pa.array(ids), pa.array(spans_rows, type=SPAN_T)], names=["doc_id", "spans"]
+        [pa.array(ids), pa.array(spans_rows, type=span_t)], names=["doc_id", "spans"]
     )
 
 
-def pandas_ref(spans_rows):
+def pandas_ref(spans_rows, with_bbox=True):
     cols = {}
     for name, key, dt in [
         ("k", "kind", object), ("t", "text", object), ("r", "media_ref", object), ("o", "offset", np.int64),
     ]:
         cols[name] = pd.Series([np.array([s[key] for s in sp], dtype=dt) for sp in spans_rows])
-    return extract_batch(cols["k"], cols["t"], cols["r"], cols["o"])
+    bb = (
+        pd.Series([[s.get("bbox") for s in sp] for sp in spans_rows], dtype=object)
+        if with_bbox
+        else None
+    )
+    return extract_batch(cols["k"], cols["t"], cols["r"], cols["o"], bb)
 
 
-def assert_parity(ids, spans_rows):
-    got = extract_record_batch(to_batch(ids, spans_rows)).to_pydict()
-    ref = pandas_ref(spans_rows)
+def assert_parity(ids, spans_rows, span_t=SPAN_T, with_bbox=True):
+    got = extract_record_batch(to_batch(ids, spans_rows, span_t)).to_pydict()
+    ref = pandas_ref(spans_rows, with_bbox)
     for i in range(len(ids)):
         g = (
             list(got["kinds"][i]), list(got["texts"][i]), list(got["media_refs"][i]),
-            list(got["orders"][i]), got["status"][i], got["error"][i],
+            list(got["orders"][i]), list(got["bboxes"][i]), got["status"][i], got["error"][i],
             got["word_count"][i], got["char_count"][i], got["has_images"][i], got["has_tables"][i],
         )
         r = (
             list(ref["kinds"].iloc[i]), list(ref["texts"].iloc[i]), list(ref["media_refs"].iloc[i]),
-            [int(x) for x in ref["orders"].iloc[i]], str(ref["status"].iloc[i]), ref["error"].iloc[i],
+            [int(x) for x in ref["orders"].iloc[i]],
+            [x if x is None else list(x) for x in ref["bboxes"].iloc[i]],
+            str(ref["status"].iloc[i]), ref["error"].iloc[i],
             int(ref["word_count"].iloc[i]), int(ref["char_count"].iloc[i]),
             bool(ref["has_images"].iloc[i]), bool(ref["has_tables"].iloc[i]),
         )
@@ -93,3 +113,17 @@ def test_adversarial_docs():
 def test_empty_batch():
     out = extract_record_batch(to_batch([], []))
     assert out.num_rows == 0
+
+
+def test_no_bbox_input_shape():
+    """Inputs conforming to the pre-bbox span struct (the BASELINE
+    input_hint's exact 4-field shape) must still extract, with every
+    output bbox null."""
+    ids, rows = [], []
+    for num in range(40):
+        did, sp = gen_doc(num)
+        ids.append(did)
+        rows.append([{k: s[k] for k in ("kind", "text", "media_ref", "offset")} for s in sp])
+    assert_parity(ids, rows, span_t=SPAN_T_NOBB, with_bbox=False)
+    got = extract_record_batch(to_batch(ids, rows, SPAN_T_NOBB)).to_pydict()
+    assert all(bb is None for doc in got["bboxes"] for bb in doc)

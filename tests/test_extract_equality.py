@@ -52,6 +52,20 @@ def test_span_pages_equality(engine_rows):
         assert list(got["span_pages"]) == exp.pages, did
 
 
+def test_span_bboxes_equality(engine_rows):
+    """Per-span layout bboxes propagate from the source spans (PDF flavor
+    in the fixture) through classification/merge to the parallel
+    span_bboxes column; HTML/plain spans stay null."""
+    oracle = _oracle_results()
+    n_with_bb = 0
+    for did, exp in oracle.items():
+        got = engine_rows[did]
+        got_bb = [None if bb is None else list(bb) for bb in got["span_bboxes"]]
+        assert got_bb == exp.bboxes, did
+        n_with_bb += sum(1 for bb in got_bb if bb is not None)
+    assert n_with_bb > 100  # the corpus has a real share of PDF spans
+
+
 def test_status_and_metadata_equality(engine_rows):
     oracle = _oracle_results()
     for did, exp in oracle.items():
