@@ -829,25 +829,28 @@ SELECT DISTINCT id_a, id_b, cosine FROM (
 # ---------------------------------------------------------------------------
 # multimodal plumbing (SQL-expressible projection)
 
+# image dims/length are the PLANTED closed forms (multimodal.IMG_W/IMG_H,
+# png_bytes stored-block length 68 + (w+1)*h) — the engine side reproduces
+# them by PARSING real PNG headers, so a hash match proves the parse
 q("mm_media_metadata", """
 SELECT doc_id,
        (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
-       octet_length(encode(text)) AS n_bytes,
        CASE WHEN doc_id % 3 = 0
-            THEN CAST(64 + CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) % 192 AS INT) END AS width,
-       CASE WHEN doc_id % 3 = 0
-            THEN CAST(64 + CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) % 192 AS INT) END AS height
+            THEN 68 + (64 + doc_id % 192 + 1) * (64 + (doc_id * 7) % 192)
+            ELSE octet_length(encode(text)) END AS n_bytes,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(64 + doc_id % 192 AS INT) END AS width,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(64 + (doc_id * 7) % 192 AS INT) END AS height
 FROM documents
 """)(lambda s, d: M.media_meta_sql_equivalent(docs(s, d)))
 
 q("mm_decode_mapinpandas", """
 SELECT doc_id,
        (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
-       octet_length(encode(text)) AS n_bytes,
        CASE WHEN doc_id % 3 = 0
-            THEN CAST(64 + CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) % 192 AS INT) END AS width,
-       CASE WHEN doc_id % 3 = 0
-            THEN CAST(64 + CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) % 192 AS INT) END AS height,
+            THEN 68 + (64 + doc_id % 192 + 1) * (64 + (doc_id * 7) % 192)
+            ELSE octet_length(encode(text)) END AS n_bytes,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(64 + doc_id % 192 AS INT) END AS width,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(64 + (doc_id * 7) % 192 AS INT) END AS height,
        CASE WHEN doc_id % 3 != 0
             THEN 1000 + CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 60000 END AS duration_ms
 FROM documents
@@ -1042,15 +1045,15 @@ q("ann_ivf_kmeans_topk", _kmeans_oracle_sql())(
 
 _HX = "CAST(('0x' || substr(md5(text), {p}, {n})) AS BIGINT)"
 
-q("mm_resize_images", f"""
+# width/height are the planted PNG-header dims (engine side parses them
+# from real IHDR bytes); out_width = LEAST(64, w) = 64 since w >= 64
+q("mm_resize_images", """
 SELECT doc_id,
-       CAST(64 + {_HX.format(p=1, n=2)} % 192 AS INT) AS width,
-       CAST(64 + {_HX.format(p=3, n=2)} % 192 AS INT) AS height,
+       CAST(64 + doc_id % 192 AS INT) AS width,
+       CAST(64 + (doc_id * 7) % 192 AS INT) AS height,
        CAST(64 AS INT) AS out_width,
-       CAST((64 + {_HX.format(p=3, n=2)} % 192) * 64 //
-            (64 + {_HX.format(p=1, n=2)} % 192) AS INT) AS out_height,
-       CAST((64 + {_HX.format(p=3, n=2)} % 192) * 64 //
-            (64 + {_HX.format(p=1, n=2)} % 192) * 64 * 3 AS BIGINT) AS out_bytes
+       CAST((64 + (doc_id * 7) % 192) * 64 // (64 + doc_id % 192) AS INT) AS out_height,
+       CAST((64 + (doc_id * 7) % 192) * 64 // (64 + doc_id % 192) * 64 * 3 AS BIGINT) AS out_bytes
 FROM documents WHERE doc_id % 3 = 0
 """)(lambda s, d: M.resize_images(M.as_media_table(docs(s, d))).drop("thumbnail"))
 

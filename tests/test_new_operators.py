@@ -128,6 +128,47 @@ def test_connected_components_adversarial_chain(spark):
     assert sum(r["is_canonical"] for r in rows) == 1
 
 
+def test_png_header_sniffing():
+    """Image metadata is a real container-header parse: png_bytes emits a
+    spec-valid PNG whose IHDR the vectorized sniffer reads back, and the
+    stored-block length formula 68 + (w+1)*h holds exactly."""
+    from docling_nlp_api_spark.operators.multimodal import png_bytes, sniff_image_dims
+
+    dims = [(64, 255), (255, 64), (100, 137), (1, 1)]
+    payloads = [png_bytes(w, h, 7) for w, h in dims]
+    assert [len(p) for p in payloads] == [68 + (w + 1) * h for w, h in dims]
+    w, h = sniff_image_dims(payloads + [b"not a png at all"])
+    assert list(zip(w[:4], h[:4])) == dims
+    assert (w[4], h[4]) == (-1, -1)
+    # zlib must be able to inflate the stored stream back to scanlines
+    import zlib
+
+    p = payloads[2]
+    idat = p[p.index(b"IDAT") + 4 :]
+    assert len(zlib.decompress(idat[: len(p) - 20 - p.index(b"IDAT")])) == 101 * 137
+
+
+def test_jpeg_sof_sniffing():
+    """JPEG dims via the SOF marker walk (no fixture JPEGs; the sniffer is
+    the engine surface for real-world payloads): SOI + APP0 + DQT + SOF0."""
+    import struct
+
+    from docling_nlp_api_spark.operators.multimodal import sniff_jpeg_dims
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    jpg = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, b"\x00" + bytes(64))
+        + seg(0xC0, b"\x08" + struct.pack(">HH", 480, 640) + b"\x03" + bytes(9))
+    )
+    assert sniff_jpeg_dims(jpg) == (640, 480)
+    assert sniff_jpeg_dims(b"\x89PNG\r\n\x1a\n") is None
+    assert sniff_jpeg_dims(b"\xff\xd8\x00bad") is None
+
+
 def test_resize_images_plumbing(spark, sf_dir):
     """Resize: only image rows decode; thumbnail byte length equals
     out_width*out_height*3; aspect preserved via integer scale; output
