@@ -988,13 +988,17 @@ def t4_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql(n_clusters: int = 8, iters: int = 2, k: int = 3, query_mod: int = 100) -> str:
+def _kmeans_oracle_sql(
+    n_clusters: int = 8, iters: int = 2, k: int = 3, query_mod: int = 100, nprobe: int = 1
+) -> str:
     """DuckDB mirror of similarity.kmeans_fit + ivf_kmeans_topk: Lloyd
     iterations unrolled as CTE pairs. The cross-engine contract is the
     ROUND(centroid, 6) after init and after every mean update — it
     absorbs the ~1e-13 summation-order drift that would otherwise cascade
     through assignments. Distances: expanded dot-product form (|v|^2 -
-    2<v,c> + |c|^2), ties pinned by (distance, cluster id)."""
+    2<v,c> + |c|^2), ties pinned by (distance, cluster id). nprobe>1
+    mirrors the engine's probe-list explode: queries rank ALL centroids
+    and keep rn <= nprobe; candidates keep their rn = 1 assignment."""
     sq = ("list_dot_product(v, v) - 2 * list_dot_product(v, {c}.cv) "
           "+ list_dot_product({c}.cv, {c}.cv)")
     parts = [f"""
@@ -1023,7 +1027,11 @@ af AS (SELECT vec_id, v, cl FROM (
          ROW_NUMBER() OVER (PARTITION BY e.vec_id
                             ORDER BY {sq.format(c=prev)}, {prev}.cl) AS rn
   FROM e CROSS JOIN {prev}) WHERE rn = 1),
-qs AS (SELECT vec_id AS query_id, v AS qe, cl AS ql FROM af WHERE vec_id % {query_mod} = 0),
+qs AS (SELECT vec_id AS query_id, v AS qe, cl AS ql FROM (
+  SELECT e.vec_id, e.v, {prev}.cl,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {sq.format(c=prev)}, {prev}.cl) AS rn
+  FROM e CROSS JOIN {prev} WHERE e.vec_id % {query_mod} = 0) WHERE rn <= {nprobe}),
 cs AS (SELECT vec_id AS cand_id, v AS ce, cl FROM af),
 scored AS (
   SELECT query_id, cand_id,
@@ -1041,6 +1049,13 @@ SELECT query_id, cand_id, cosine, rk FROM (
 
 q("ann_ivf_kmeans_topk", _kmeans_oracle_sql())(
     lambda s, d: S.ivf_kmeans_topk(s, d).withColumn("rk", F.col("rk").cast("long"))
+)
+
+# nprobe=2: queries probe their two nearest learned clusters (boundary
+# recall); still a bucket equi-join — the oracle mirrors the probe-list
+# explode with rn <= 2 over the same unrolled-Lloyd quantizer
+q("ann_ivf_nprobe2_topk", _kmeans_oracle_sql(nprobe=2))(
+    lambda s, d: S.ivf_kmeans_topk(s, d, nprobe=2).withColumn("rk", F.col("rk").cast("long"))
 )
 
 _HX = "CAST(('0x' || substr(md5(text), {p}, {n})) AS BIGINT)"
@@ -1170,6 +1185,7 @@ DEMOTED = [
     "mm_frame_sample",
     # learned-quantizer IVF; ann_ivf_topk carries the in-window IVF row
     "ann_ivf_kmeans_topk",
+    "ann_ivf_nprobe2_topk",
     # corpus-level keep-set; dedup_resolve_clusters is the in-window row
     "dedup_keep_corpus",
 ]

@@ -110,16 +110,30 @@ def _sq_dist_expr(vec_col: str, centroid: list[float]) -> str:
     )
 
 
-def _assign_col(centroids: list[list[float]]):
-    """argmin cluster id via array_min over (distance, id) structs — ties
-    pinned by cluster id, matching the oracle's (d, j) ordering."""
+def _dist_pairs(centroids: list[list[float]]):
     pairs = F.array(
         *[
             F.struct(F.expr(_sq_dist_expr("embedding", c)).alias("d"), F.lit(j).alias("j"))
             for j, c in enumerate(centroids)
         ]
     )
-    return F.array_min(pairs)["j"]
+    return pairs
+
+
+def _assign_col(centroids: list[list[float]]):
+    """argmin cluster id via array_min over (distance, id) structs — ties
+    pinned by cluster id, matching the oracle's (d, j) ordering."""
+    return F.array_min(_dist_pairs(centroids))["j"]
+
+
+def _probe_list_col(centroids: list[list[float]], nprobe: int):
+    """The ``nprobe`` nearest cluster ids, nearest first. Struct
+    array_sort orders by (d, j) — identical tie rule to ``_assign_col``
+    (nprobe=1 probes exactly the assigned cluster). All k distances are
+    computed either way; keeping top-n instead of the min is free."""
+    return F.transform(
+        F.slice(F.array_sort(_dist_pairs(centroids)), 1, nprobe), lambda x: x["j"]
+    )
 
 
 def kmeans_fit(emb: DataFrame, n_clusters: int = 8, iters: int = 2) -> list[list[float]]:
@@ -160,15 +174,20 @@ def ivf_kmeans_topk(
     n_clusters: int = 8,
     iters: int = 2,
     query_mod: int = 100,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF with a LEARNED coarse quantizer (vs ivf_topk's pre-existing
-    label): fit k-means, assign corpus + queries, probe only the query's
-    cluster (nprobe=1), exact cosine rank inside the probed cluster. The
-    candidate join is an equi-join on the learned cluster id — at 100 TB
-    the quantizer fit runs on a sample and the assignment is one
-    codegen-able map pass; no stage touches more than the probed shard."""
+    label): fit k-means, assign corpus + queries, probe the query's
+    ``nprobe`` nearest clusters, exact cosine rank inside the probed
+    shards. The candidate join is an equi-join on the learned cluster id
+    — at 100 TB the quantizer fit runs on a sample and the assignment is
+    one codegen-able map pass; no stage touches more than the probed
+    shards. nprobe>1 recovers boundary-query recall (see
+    tests/test_similarity.py recall assertion) at a linear-in-nprobe
+    candidate cost — still a bucket equi-join, never a cross join."""
     return ivf_kmeans_topk_df(
-        load_embeddings(spark, sf_dir), k=k, n_clusters=n_clusters, iters=iters, query_mod=query_mod
+        load_embeddings(spark, sf_dir), k=k, n_clusters=n_clusters, iters=iters,
+        query_mod=query_mod, nprobe=nprobe,
     )
 
 
@@ -178,14 +197,21 @@ def ivf_kmeans_topk_df(
     n_clusters: int = 8,
     iters: int = 2,
     query_mod: int = 100,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """DataFrame-input form of ivf_kmeans_topk (fit + assign + probe)."""
+    """DataFrame-input form of ivf_kmeans_topk (fit + assign + probe).
+
+    Queries explode into one row per probed cluster (a candidate lives in
+    exactly one cluster, so (query_id, cand_id) pairs stay unique without
+    a dedup pass); candidates keep their single argmin assignment."""
     from pyspark.sql import Window
 
     cents = kmeans_fit(emb, n_clusters=n_clusters, iters=iters)
     asg = emb.select("vec_id", "embedding", _assign_col(cents).alias("cl"))
-    q = asg.filter(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), F.col("cl").alias("ql")
+    q = emb.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.explode(_probe_list_col(cents, nprobe)).alias("ql"),
     )
     c = asg.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), F.col("cl").alias("cl"))
     pairs = F.broadcast(q).join(c, F.col("ql") == F.col("cl")).filter(

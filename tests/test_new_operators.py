@@ -251,3 +251,43 @@ def test_ivf_kmeans_recovers_planted_clusters(spark):
         assert r["cand_id"] % 4 == r["query_id"] % 4
 
     assert kmeans_fit(emb, n_clusters=4, iters=2) == kmeans_fit(emb, n_clusters=4, iters=2)
+
+
+def test_ivf_nprobe2_recovers_boundary_recall(spark):
+    """nprobe>1 exists for BOUNDARY queries: a query assigned to cluster
+    A whose true nearest neighbor lands in cluster B is unreachable at
+    nprobe=1 (the shard equi-join never sees it) and exact at nprobe=2.
+
+    Planted geometry: two orthogonal centroids cA, cB; corpus points are
+    pure cA / pure cB except one boundary pair v(0.55)=0.55*cA+0.45*cB
+    (the query, argmin-assigned to A) and v(0.45) (its true NN by cosine
+    0.980 vs 0.774 to any pure-A point, argmin-assigned to B).
+    recall@1 vs brute force: nprobe=1 -> 1/2 queries, nprobe=2 -> 2/2."""
+    from docling_nlp_api_spark.operators.similarity import ivf_kmeans_topk_df
+
+    def mix(alpha):
+        v = [0.0] * 64
+        for d in range(16):
+            v[d] = alpha * 5.0
+        for d in range(16, 32):
+            v[d] = (1.0 - alpha) * 5.0
+        return v
+
+    rows = []
+    for i in range(40):  # interleaved so kmeans init (vec_id 0, 1) seeds both clusters
+        rows.append((i, i % 2, [float(x) for x in mix(1.0 if i % 2 == 0 else 0.0)]))
+    rows.append((100, 0, [float(x) for x in mix(0.55)]))  # boundary query -> cluster A
+    rows.append((101, 1, [float(x) for x in mix(0.45)]))  # its true NN   -> cluster B
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+
+    def top1(nprobe):
+        out = ivf_kmeans_topk_df(
+            emb, k=1, n_clusters=2, iters=2, query_mod=100, nprobe=nprobe
+        ).collect()
+        return {r["query_id"]: r["cand_id"] for r in out}
+
+    n1, n2 = top1(1), top1(2)
+    truth = {0: 2, 100: 101}  # brute-force NN (cos ties for q0 pinned by cand_id)
+    assert n1[0] == truth[0] and n2[0] == truth[0]  # in-cluster query: both exact
+    assert n1[100] != 101  # nprobe=1 cannot see across the boundary
+    assert n2 == truth  # nprobe=2 restores recall@1 = 1.0
