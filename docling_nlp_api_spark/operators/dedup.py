@@ -19,19 +19,41 @@ from pyspark.sql import functions as F
 
 from ..spec import TOKEN_RE
 
-N_MINHASH = 6          # minhash functions
-BANDS = 3              # 3 bands x 2 rows
+N_MINHASH = 6          # default minhash functions (demo scale; see below)
+BANDS = 3              # default banding: 3 bands x 2 rows
+ROWS_PER_BAND = 2
 PLANT_EVERY = 10       # every 10th doc gets a planted near-dup
 PLANT_TRUNC = 25       # near-dup = text minus last 25 chars
 
 # Universal-hash minhash family: ONE md5 per shingle (its first 32 bits
-# become h), then mh_i = min((A_i*h + B_i) mod P) — 6 integer perms per
-# shingle instead of 6 md5 passes (~5x cheaper; md5 dominates otherwise).
+# become h), then mh_i = min((A_i*h + B_i) mod P) — k integer perms per
+# shingle instead of k md5 passes (~5x cheaper; md5 dominates otherwise).
 # A_i < 2^31 and h < 2^32 keep A*h + B < 2^63 (no int64 overflow in
-# either engine). All constants pinned for DuckDB parity.
+# either engine). The first 6 constants are pinned verbatim for DuckDB
+# oracle parity; beyond 6 the family extends deterministically from md5
+# (production near-dup runs use k=128, 16 bands x 8 rows — the defaults
+# here are demo-scale so the oracles stay readable; every function below
+# takes k/bands/rows and the k=32 pytest pins the extended family).
 MH_P = 4294967311          # prime > 2^32
 MH_A = [1099087573, 2034678437, 1831565813, 419668217, 1973272007, 754974721]
 MH_B = [217645177, 1343714161, 987654323, 152916539, 1846272233, 569952919]
+
+
+def _hexint(s: str, nhex: int = 8) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:nhex], 16)
+
+
+def mh_constants(k: int) -> tuple[list[int], list[int]]:
+    """The universal-hash family (A_i, B_i) for i < k: pinned constants
+    for i < 6, md5-derived beyond (A odd and < 2^31 so A*h + B < 2^63;
+    B < P). Deterministic — both engines can regenerate it."""
+    a, b = list(MH_A), list(MH_B)
+    for i in range(6, k):
+        a.append((_hexint(f"mhA:{i}") % (1 << 30)) * 2 + 1)  # odd, < 2^31
+        b.append(_hexint(f"mhB:{i}", 15) % MH_P)
+    return a[:k], b[:k]
 
 
 def with_planted_dups(docs: DataFrame) -> DataFrame:
@@ -91,8 +113,9 @@ def shingle_hashes_flat(docs: DataFrame) -> DataFrame:
     return flat.select("doc_id", h.alias("h"))
 
 
-def _perm(i: int) -> F.Column:
-    return (F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % F.lit(MH_P)
+def _perm(i: int, k: int = N_MINHASH) -> F.Column:
+    a, b = mh_constants(max(k, i + 1))
+    return (F.lit(a[i]) * F.col("h") + F.lit(b[i])) % F.lit(MH_P)
 
 
 def minhash_signatures(docs: DataFrame, k: int = N_MINHASH) -> DataFrame:
@@ -121,23 +144,29 @@ def minhash_signatures(docs: DataFrame, k: int = N_MINHASH) -> DataFrame:
     return flat.groupBy("doc_id").agg(*aggs)
 
 
-def band_bucket(b: int):
-    """LSH bucket id for band b: md5 over the band's two signature values
-    (rendered as decimal strings, ':'-separated — identical in DuckDB)."""
-    return F.md5(F.concat_ws(":", F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")))
+def band_bucket(b: int, rows: int = ROWS_PER_BAND):
+    """LSH bucket id for band b: md5 over the band's `rows` signature
+    values (rendered as decimal strings, ':'-separated — identical in
+    DuckDB)."""
+    return F.md5(F.concat_ws(":", *[F.col(f"mh{rows*b + r}") for r in range(rows)]))
 
 
-def lsh_buckets(docs: DataFrame) -> DataFrame:
-    """LSH banding: 3 bands of 2 rows; bucket sizes > 1 are candidates.
+def lsh_buckets(
+    docs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND
+) -> DataFrame:
+    """LSH banding: `bands` bands of `rows` signature rows each (defaults
+    3x2 = the 6-perm demo family; production near-dup scale is 16x8 over
+    k=128 — same code path, pinned by the k=32 pytest); bucket sizes > 1
+    are candidates.
 
-    Single pass: bands explode from one signature row (a 3-way union of
-    selects over the same subtree would re-run the tokenize+minhash scan
-    once per band)."""
-    sig = minhash_signatures(docs)
+    Single pass: bands explode from one signature row (a per-band union
+    of selects over the same subtree would re-run the tokenize+minhash
+    scan once per band)."""
+    sig = minhash_signatures(docs, k=bands * rows)
     band_structs = F.array(
         *[
-            F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
-            for b in range(BANDS)
+            F.struct(F.lit(b).alias("band"), band_bucket(b, rows).alias("bucket"))
+            for b in range(bands)
         ]
     )
     allb = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(

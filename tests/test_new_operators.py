@@ -291,3 +291,54 @@ def test_ivf_nprobe2_recovers_boundary_recall(spark):
     assert n1[0] == truth[0] and n2[0] == truth[0]  # in-cluster query: both exact
     assert n1[100] != 101  # nprobe=1 cannot see across the boundary
     assert n2 == truth  # nprobe=2 restores recall@1 = 1.0
+
+
+def test_minhash_k32_family_and_banding_consistency(spark, sf_dir):
+    """Production-scale minhash parameters flow end-to-end (VERDICT r2 #5):
+    k=32 perms / 16 bands x 2 rows through the SAME code path as the
+    6-perm oracle family. Pins: (a) the extended universal-hash family is
+    deterministic, keeps the 6 pinned oracle constants as a prefix, and
+    respects the no-overflow bounds; (b) k=32 signatures extend the k=6
+    signatures (prefix property -> oracles stay valid); (c) every band
+    bucket is exactly md5(mh_{rb}:...:mh_{rb+r-1}) recomputed from the
+    signature row; (d) every planted near-dup pair collides in >= 1 band."""
+    import hashlib
+
+    from docling_nlp_api_spark.operators.dedup import (
+        MH_A, MH_B, MH_P, band_bucket, mh_constants, minhash_signatures,
+        with_planted_dups,
+    )
+
+    a, b = mh_constants(32)
+    assert a[:6] == MH_A and b[:6] == MH_B
+    assert (a, b) == mh_constants(32)
+    assert all(x % 2 == 1 and 0 < x < 2**31 for x in a[6:])
+    assert all(0 <= x < MH_P for x in b)
+    assert len(set(zip(a, b))) == 32
+
+    docs = with_planted_dups(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    )
+    sig6 = {r["doc_id"]: r for r in minhash_signatures(docs, k=6).collect()}
+    sig32 = {r["doc_id"]: r for r in minhash_signatures(docs, k=32).collect()}
+    assert set(sig6) == set(sig32)
+    for d, r6 in sig6.items():
+        assert [r6[f"mh{i}"] for i in range(6)] == [sig32[d][f"mh{i}"] for i in range(6)]
+
+    bands, rows = 16, 2
+    sigdf = minhash_signatures(docs, k=bands * rows)
+    bucketed = sigdf.select(
+        "doc_id", *[band_bucket(bb, rows).alias(f"bucket{bb}") for bb in range(bands)]
+    ).collect()
+    sigs = {r["doc_id"]: r for r in sigdf.collect()}
+    for r in bucketed[:10]:
+        s = sigs[r["doc_id"]]
+        for bb in range(bands):
+            raw = ":".join(str(s[f"mh{rows*bb + rr}"]) for rr in range(rows))
+            assert r[f"bucket{bb}"] == hashlib.md5(raw.encode()).hexdigest()
+
+    by_doc = {r["doc_id"]: [r[f"bucket{bb}"] for bb in range(bands)] for r in bucketed}
+    planted = [(d, d + 1000000) for d in by_doc if d + 1000000 in by_doc]
+    assert len(planted) >= 10
+    for src, dup in planted:
+        assert any(x == y for x, y in zip(by_doc[src], by_doc[dup])), (src, dup)
