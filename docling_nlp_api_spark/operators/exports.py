@@ -390,7 +390,9 @@ def with_keywords(df: DataFrame, text_col: str = "export_text", k: int = 20) -> 
     return df3.withColumn("keywords", kw).drop("_kw_total", "_kw_srt", "_kw_bnd")
 
 
-def nlp_json_col(spans: Column, metadata: Column, keywords: Column) -> Column:
+def nlp_json_col(
+    spans: Column, metadata: Column, keywords: Column, language: Column | None = None
+) -> Column:
     """S8: the reference's full structured NLP JSON
     (docling_service.py:221-374): document_info / content (paragraphs,
     sentences, entities, keywords) / structure (headings, tables, lists,
@@ -407,7 +409,9 @@ def nlp_json_col(spans: Column, metadata: Column, keywords: Column) -> Column:
                 metadata["char_count"].cast("long").alias("total_characters"),
                 (metadata["has_tables"] == "true").alias("has_tables"),
                 (metadata["has_images"] == "true").alias("has_images"),
-                F.lit("en").alias("language"),
+                # reference parity: docling_service.py:236 hardcodes "en";
+                # detect_language=True swaps in the lang_id marker argmax
+                (language if language is not None else F.lit("en")).alias("language"),
             ).alias("document_info"),
             F.struct(
                 F.col("_js_ft").alias("full_text"),
@@ -427,12 +431,21 @@ def nlp_json_col(spans: Column, metadata: Column, keywords: Column) -> Column:
     )
 
 
-def with_exports(extracted: DataFrame, formats: tuple[str, ...] = ("text", "markdown", "html", "doctags", "json")) -> DataFrame:
+def with_exports(
+    extracted: DataFrame,
+    formats: tuple[str, ...] = ("text", "markdown", "html", "doctags", "json"),
+    detect_language: bool = False,
+) -> DataFrame:
     """Attach requested export columns to an EXTRACTED-shaped DataFrame.
 
     All renders — keywords included — are built-in column functions over
     the row itself: the whole export plane is embarrassingly parallel,
-    zero shuffle, zero join, one pass over the extracted table."""
+    zero shuffle, zero join, one pass over the extracted table.
+
+    detect_language=False (default) keeps reference parity — the JSON's
+    document_info.language is the hardcoded "en" of docling_service.py:236.
+    True swaps in textquality's marker-argmax language ID over the
+    rendered full text (staged once behind the Generate barrier)."""
     s = F.col("spans")
     out = extracted
     if "text" in formats or "json" in formats:
@@ -455,17 +468,28 @@ def with_exports(extracted: DataFrame, formats: tuple[str, ...] = ("text", "mark
                 ft.alias("_js_ft"), paragraphs_col(ft).alias("_js_paras"),
             ))),
         )
+        lang_fields = []
+        if detect_language:
+            from .textquality import lang_pred_col
+
+            lang_fields = [lang_pred_col(F.col("_js_ft")).alias("_js_lang")]
         out = out.select(
             "*",
             F.inline(F.array(F.struct(
                 sentences_col(F.col("_js_paras")).alias("_js_sents"),
+                *lang_fields,
             ))),
         )
         out = with_page_segments(out)
         out = out.withColumn(
             "export_json",
-            nlp_json_col(s, F.col("metadata"), F.col("keywords")),
+            nlp_json_col(
+                s, F.col("metadata"), F.col("keywords"),
+                language=F.col("_js_lang") if detect_language else None,
+            ),
         ).drop("keywords", "_js_ft", "_js_paras", "_js_sents", "_pg_z", "_pg_map")
+        if detect_language:
+            out = out.drop("_js_lang")
         if "text" not in formats:
             out = out.drop("export_text")
     return out

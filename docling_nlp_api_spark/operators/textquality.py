@@ -24,9 +24,27 @@ LANG_MARKERS = {
 BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
-def _marker_count(lang: str):
+def _marker_count(lang: str, text: F.Column | None = None):
     pat = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
-    return F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), 0))
+    return F.size(
+        F.regexp_extract_all(F.lower(text if text is not None else F.col("text")), F.lit(pat), 0)
+    )
+
+
+def lang_pred_col(text: F.Column) -> F.Column:
+    """Predicted language for a text COLUMN — the marker-count argmax of
+    lang_id as a reusable expression (shared with the NLP JSON's
+    detect_language mode in exports.nlp_json_col)."""
+    best = F.greatest(*[_marker_count(lg, text) for lg in ("en", "de", "fr", "es")])
+    has_cjk = F.size(F.regexp_extract_all(text, F.lit(r"[一-鿿]"), 0)) > 0
+    return (
+        F.when(has_cjk, "zh")
+        .when(best == 0, "unknown")
+        .when(_marker_count("de", text) == best, "de")  # lexicographic: de < en < es < fr
+        .when(_marker_count("en", text) == best, "en")
+        .when(_marker_count("es", text) == best, "es")
+        .otherwise("fr")
+    )
 
 
 def lang_id(docs: DataFrame) -> DataFrame:

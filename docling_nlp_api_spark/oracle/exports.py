@@ -33,7 +33,26 @@ def _counted(items: list[str]) -> list[dict]:
     ]
 
 
-def nlp_json(res: ExtractResult, k: int = 20) -> dict:
+def detect_lang(text: str) -> str:
+    """Python mirror of textquality.lang_pred_col: marker-word counts
+    with \\b boundaries on the lowered text, CJK short-circuit, argmax
+    with lexicographic (de < en < es < fr) tiebreak, unknown at 0."""
+    from ..operators.textquality import LANG_MARKERS
+
+    if re.search(r"[一-鿿]", text):
+        return "zh"
+    low = text.lower()
+    scores = {
+        lg: len(re.findall(r"\b(" + "|".join(ms) + r")\b", low))
+        for lg, ms in LANG_MARKERS.items()
+    }
+    best = max(scores.values())
+    if best == 0:
+        return "unknown"
+    return min(lg for lg, s in scores.items() if s == best)
+
+
+def nlp_json(res: ExtractResult, k: int = 20, detect_language: bool = False) -> dict:
     assert res.status == "completed", "render the JSON for completed docs only"
     ft = full_text(res)
     paras = [p.strip() for p in ft.split("\n\n") if p.strip()]
@@ -84,7 +103,7 @@ def nlp_json(res: ExtractResult, k: int = 20) -> dict:
             "total_characters": int(res.metadata["char_count"]),
             "has_tables": res.metadata["has_tables"] == "true",
             "has_images": res.metadata["has_images"] == "true",
-            "language": "en",
+            "language": detect_lang(ft) if detect_language else "en",
         },
         "content": {
             "full_text": ft,
