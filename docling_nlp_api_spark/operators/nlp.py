@@ -48,21 +48,15 @@ def corpus_keywords(docs: DataFrame, k: int = TOP_K_KEYWORDS) -> DataFrame:
     counts = filtered.groupBy("word").agg(F.count("*").alias("cnt"))
     # distributed top-k (TakeOrderedAndProject) instead of a global window,
     # which would shuffle every distinct word to one partition; the rank
-    # is then assigned over only the k surviving rows via a single-row
-    # array sort + posexplode (an unpartitioned row_number window over the
-    # same k rows would be equivalent but logs a scary WindowExec
-    # all-to-one-partition warning)
+    # window then runs over only the k surviving rows. WindowExec's
+    # all-to-one-partition warning is expected and harmless here — the
+    # window input is capped at k rows by the limit, not the corpus.
+    # (Round 2 swapped this for a collect_list+posexplode rank to silence
+    # the warning; interleaved A/B showed the extra stage costs a fixed
+    # ~0.1s per run for zero scale benefit — BENCH/regress_ab.json.)
     topk = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(k)
-    ranked = topk.agg(
-        F.array_sort(
-            F.collect_list(F.struct((-F.col("cnt")).alias("nc"), "word", "cnt"))
-        ).alias("a")
-    )
-    return ranked.select(F.posexplode("a").alias("pos", "s")).select(
-        F.col("s.word").alias("word"),
-        F.col("s.cnt").alias("cnt"),
-        (F.col("pos") + 1).alias("rk"),
-    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    return topk.withColumn("rk", F.row_number().over(w))
 
 
 def per_doc_keywords(docs: DataFrame, k: int = 3) -> DataFrame:

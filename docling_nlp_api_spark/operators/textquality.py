@@ -111,25 +111,32 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     stride 4 still cover every byte, so any edit region moves >=1 sampled
     gram (same robustness class as winnowing with window w=4).
 
-    Shape: explode gram start positions, hash each gram in codegen, then
-    a partial-aggregated min per doc. The normalized text is computed once
-    per row below the Generate (a generator argument is evaluated once; an
-    array-lambda formulation let CollapseProject inline the regexp_replace
-    into the per-gram lambda and re-normalize the doc once per gram), grams
-    stream through whole-stage codegen without materializing, and the only
-    exchange carries one (doc_id, doc_hash, min_hash) row per doc per task
-    — the corpus text itself never shuffles (round 1 shipped a
-    repartition(doc_id) barrier here: a full-corpus exchange at 100 TB)."""
+    Shape: the normalized text is staged ONCE per row behind an
+    inline(array(struct(...))) Generate barrier — CollapseProject cannot
+    inline expressions across a Generate, so the regexp_replace runs once
+    per doc instead of once per gram — then the stride grams are an
+    array-lambda min computed ROW-LOCALLY (array_min over transform).
+    Zero shuffle, zero row expansion, one map pass.
+
+    History of this operator's shapes (measured sf0.1 / local[32],
+    interleaved best-of — BENCH/regress_ab.json): round 1 used the same
+    row-local lambda but got its re-evaluation barrier from a
+    repartition(doc_id) — a full-corpus exchange, wrong at 100 TB
+    (0.70s). Round 2 removed the shuffle by exploding gram start
+    positions into a partial-min aggregation — scale-safe but 1.7x slower
+    locally (1.21s): the explode materializes a row per gram through the
+    agg's hash map, where the lambda form streams grams through one
+    generated loop. This form keeps both properties (0.57s, zero
+    exchange): the Generate barrier costs nothing and shuffles nothing."""
     norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
-    base = docs.select("doc_id", norm.alias("nt"))
-    flat = base.select(
+    base = docs.select("doc_id", F.inline(F.array(F.struct(norm.alias("nt")))))
+    nt = F.col("nt")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(nt) - 7, F.lit(1)), F.lit(4)),
+        lambda i: F.md5(nt.substr(i, F.lit(8))),
+    )
+    return base.select(
         "doc_id",
-        F.md5("nt").alias("doc_hash"),
-        F.col("nt"),
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length("nt") - 7, F.lit(1)), F.lit(4))
-        ).alias("i"),
-    ).select("doc_id", "doc_hash", F.md5(F.expr("substring(nt, i, 8)")).alias("gh"))
-    return flat.groupBy("doc_id", "doc_hash").agg(F.min("gh").alias("min_gram_hash")).select(
-        "doc_id", "min_gram_hash", "doc_hash"
+        F.array_min(grams).alias("min_gram_hash"),
+        F.md5(nt).alias("doc_hash"),
     )

@@ -61,10 +61,12 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["Generate", "HashAggregate"],
         ["Window", r"(regexp_extract_all[\s\S]*){3,}"],
     ),
-    # fingerprint: grams explode via Generate into a PARTIAL aggregate;
-    # the only Exchange carries one aggregated row per doc, and the
-    # normalizer regex never re-evaluates per gram
-    "tq_fingerprint": (["Generate", "Exchange"], [r"(regexp_replace[\s\S]*){3,}"]),
+    # fingerprint: the normalized text is staged behind ONE
+    # inline-struct Generate (so the normalizer regex appears exactly
+    # once, never per gram) and the stride-gram min is row-local —
+    # zero Exchange anywhere in the plan (round 2's explode+agg shape
+    # re-measured 1.7x slower locally; BENCH/regress_ab.json)
+    "tq_fingerprint": (["Generate"], ["Exchange", r"(regexp_replace[\s\S]*){2,}"]),
 }
 
 
