@@ -21,6 +21,7 @@ from .operators import dedup as D
 from .operators import multimodal as M
 from .operators import nlp as N
 from .operators import relational as R
+from .operators import sampling as SP
 from .operators import scalars as X
 from .operators import similarity as S
 from .operators import textquality as Q
@@ -1081,6 +1082,49 @@ fx AS (SELECT doc_id, unnest(generate_series(0, CAST(dur // 5000 AS INT))) AS s 
 SELECT doc_id, CAST(s AS INT) AS frame_idx, CAST(s * 5000 AS BIGINT) AS ts_ms FROM fx
 """)(lambda s, d: M.sample_video_frames(M.as_media_table(docs(s, d))).drop("frame"))
 
+# --- sampling / split / mixing / LM-scoring plane (operators/sampling.py)
+
+_BKT = (
+    "CAST(('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100"
+)
+
+q("sample_split_summary", f"""
+WITH b AS (
+  SELECT CASE WHEN {_BKT.format(salt=SP.SPLIT_SALT)} < {SP.VAL_PCT} THEN 'val'
+              WHEN {_BKT.format(salt=SP.SPLIT_SALT)} < {SP.VAL_PCT + SP.TEST_PCT} THEN 'test'
+              ELSE 'train' END AS split,
+         len(regexp_extract_all(text, '\\S+')) AS w
+  FROM documents)
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS n_words
+FROM b GROUP BY split
+""")(lambda s, d: SP.split_summary(docs(s, d)))
+
+_MIX_RATE_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{lg}' THEN {pct}" for lg, pct in sorted(SP.MIX_RATES_PCT.items())
+) + f" ELSE {SP.MIX_DEFAULT_PCT} END"
+
+q("sample_mix_summary", f"""
+WITH b AS (
+  SELECT lang,
+         CASE WHEN {_BKT.format(salt=SP.MIX_SALT)} < {_MIX_RATE_SQL} THEN 1 ELSE 0 END AS kept
+  FROM documents)
+SELECT lang, COUNT(*) AS n_total, CAST(SUM(kept) AS BIGINT) AS n_kept,
+       ROUND(SUM(kept) / COUNT(*), 4) AS keep_rate
+FROM b GROUP BY lang
+""")(lambda s, d: SP.mix_summary(docs(s, d)))
+
+q("lm_unigram_logprob", """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents),
+freqs AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM freqs)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(-ln(cnt / total)), 4) AS mean_nll
+FROM toks JOIN freqs USING (word) CROSS JOIN tot
+GROUP BY doc_id
+""")(lambda s, d: SP.unigram_logprob(docs(s, d)))
+
 
 def t5_streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 custom stateful operator (applyInPandasWithState) driven to an
@@ -1188,6 +1232,12 @@ DEMOTED = [
     "ann_ivf_nprobe2_topk",
     # corpus-level keep-set; dedup_resolve_clusters is the in-window row
     "dedup_keep_corpus",
+    # sampling / mixing / LM-scoring plane (round 3): oracle-backed in the
+    # pytest tail; the in-window dedup/tq rows carry the training-pipeline
+    # driver evidence
+    "sample_split_summary",
+    "sample_mix_summary",
+    "lm_unigram_logprob",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

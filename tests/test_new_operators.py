@@ -342,3 +342,33 @@ def test_minhash_k32_family_and_banding_consistency(spark, sf_dir):
     assert len(planted) >= 10
     for src, dup in planted:
         assert any(x == y for x, y in zip(by_doc[src], by_doc[dup])), (src, dup)
+
+
+def test_sampling_split_stability_and_mix_consistency(spark, sf_dir):
+    """Sampling plane invariants (round-3 training-mix ops): (a) the
+    split assignment is a pure function of doc_id — identical under any
+    repartitioning; (b) mixed_corpus and mix_summary agree exactly on
+    what is kept; (c) unigram_logprob on a hand-computable corpus."""
+    from docling_nlp_api_spark.operators.sampling import (
+        mix_summary, mixed_corpus, unigram_logprob, with_split,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    s1 = {r["doc_id"]: r["split"] for r in with_split(docs.repartition(7)).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in with_split(docs.repartition(3)).collect()}
+    assert s1 == s2 and len(s1) == 300
+    assert set(s1.values()) == {"train", "val", "test"}
+
+    kept = mixed_corpus(docs).groupBy("lang").count().collect()
+    kept_by_lang = {r["lang"]: r["count"] for r in kept}
+    summ = {r["lang"]: (r["n_kept"], r["n_total"]) for r in mix_summary(docs).collect()}
+    for lang, (n_kept, n_total) in summ.items():
+        assert kept_by_lang.get(lang, 0) == n_kept, lang
+        assert 0 <= n_kept <= n_total
+
+    tiny = spark.createDataFrame(
+        [(1, "a a b"), (2, "b")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["mean_nll"]) for r in unigram_logprob(tiny).collect()}
+    # freqs: a=2, b=2, total=4 -> every token p=0.5 -> mean_nll = ln 2
+    assert got == {1: (3, 0.6931), 2: (1, 0.6931)}
