@@ -1125,6 +1125,24 @@ FROM toks JOIN freqs USING (word) CROSS JOIN tot
 GROUP BY doc_id
 """)(lambda s, d: SP.unigram_logprob(docs(s, d)))
 
+q("decon_ngram_overlap", f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       FROM tok WHERE len(toks) >= 3),
+flat AS (SELECT doc_id,
+                unnest(list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT))) AS h
+         FROM sh),
+bench AS (SELECT DISTINCT h FROM flat WHERE doc_id % {D.BENCH_MOD} = 0)
+SELECT f.doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       ROUND(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 4) AS contamination
+FROM flat f LEFT JOIN bench b ON f.h = b.h
+WHERE f.doc_id % {D.BENCH_MOD} != 0
+GROUP BY f.doc_id
+""")(lambda s, d: D.contamination_scores(docs(s, d)))
+
 
 def t5_streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 custom stateful operator (applyInPandasWithState) driven to an
@@ -1238,6 +1256,7 @@ DEMOTED = [
     "sample_split_summary",
     "sample_mix_summary",
     "lm_unigram_logprob",
+    "decon_ngram_overlap",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

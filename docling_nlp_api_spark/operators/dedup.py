@@ -432,6 +432,68 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     )
 
 
+BENCH_MOD = 97  # docs with doc_id % 97 == 0 stand in for the eval set
+
+
+def shingle_set_col():
+    """Per-row DISTINCT 3-word shingle hash array, computed row-locally
+    from a staged `toks` attribute (int32-md5 space shared with the
+    minhash plane). Callers must stage `toks` behind a Generate barrier
+    first (inline(array(struct(...)))) — referencing a tokenizer
+    PROJECTION from inside the lambda lets CollapseProject re-run the
+    regex per shingle (the measured 24x trap; see shingle_hashes_flat)."""
+    idx = F.expr(
+        "CASE WHEN size(toks) >= 3 THEN sequence(0, size(toks) - 3) "
+        "ELSE CAST(array() AS array<int>) END"
+    )
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.col("toks")[i], F.col("toks")[i + 1], F.col("toks")[i + 2]
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.conv(F.substring(F.md5(gram(i)), 1, 8), 16, 10).cast("long"))
+    )
+
+
+def contamination_scores(docs: DataFrame, bench_mod: int = BENCH_MOD) -> DataFrame:
+    """Benchmark DECONTAMINATION — the check every training corpus runs
+    before release: per-doc fraction of distinct 3-word shingles that
+    also appear in the held-out benchmark set (here: docs with
+    doc_id % bench_mod == 0 stand in for the eval suite; benchmark docs
+    are excluded from the scored output). Docs with fewer than 3 tokens
+    have no shingles and drop out, mirroring the minhash plane.
+
+    Shape: the distinct shingle-hash set is computed ROW-LOCALLY (one
+    tokenizer pass behind a Generate barrier, no corpus exchange), the
+    benchmark side is tiny by construction and becomes a broadcast hash
+    join against the exploded corpus shingles — a hash-set membership
+    probe per shingle, which is exactly the decontamination architecture
+    at 100 TB (swap the broadcast for a bloom filter when the eval set's
+    distinct-shingle table outgrows executor memory) — and the final
+    groupBy(doc_id) partial-aggregates to one row per doc per task
+    before its (tiny) exchange."""
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    base = docs.select("doc_id", F.inline(F.array(F.struct(toks.alias("toks"))))).select(
+        "doc_id", shingle_set_col().alias("hv")
+    )
+    corpus = base.filter(F.col("doc_id") % bench_mod != 0).select(
+        "doc_id", F.explode("hv").alias("h")
+    )
+    bench = (
+        base.filter(F.col("doc_id") % bench_mod == 0)
+        .select(F.explode("hv").alias("h"))
+        .distinct()
+        .withColumn("bhit", F.lit(1))
+    )
+    hits = corpus.join(F.broadcast(bench), "h", "left")
+    return hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.coalesce("bhit", F.lit(0))).alias("n_hit"),
+        F.round(
+            F.sum(F.coalesce("bhit", F.lit(0))) / F.count("*"), 4
+        ).alias("contamination"),
+    )
+
+
 def keep_corpus(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """The deduplicated corpus: canonical cluster representatives plus all
     unclustered docs — what a training pipeline actually feeds downstream.

@@ -372,3 +372,31 @@ def test_sampling_split_stability_and_mix_consistency(spark, sf_dir):
     got = {r["doc_id"]: (r["n_tokens"], r["mean_nll"]) for r in unigram_logprob(tiny).collect()}
     # freqs: a=2, b=2, total=4 -> every token p=0.5 -> mean_nll = ln 2
     assert got == {1: (3, 0.6931), 2: (1, 0.6931)}
+
+
+def test_contamination_planted(spark):
+    """Decontamination scores planted ground truth: a verbatim copy of a
+    benchmark doc scores 1.0, a doc sharing a half-overlapping window
+    scores in (0,1), unique text scores 0.0; benchmark docs themselves
+    are excluded from the scored output. Plan check: the benchmark side
+    must reach the corpus via a broadcast hash join (the per-shingle
+    membership probe), not a shuffle join."""
+    from docling_nlp_api_spark.operators.dedup import contamination_scores
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, bench_text),                                   # 0 % 97 == 0 -> benchmark
+        (1, bench_text),                                   # verbatim copy -> 1.0
+        (2, "alpha beta gamma delta nuovo xenon omicron pixel"),  # partial overlap
+        (3, "one two three four five six seven eight"),    # disjoint -> 0.0
+        (4, "xy zz"),                                      # < 3 tokens -> no shingles, absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = contamination_scores(df)
+    got = {r["doc_id"]: (r["n_shingles"], r["n_hit"], r["contamination"]) for r in out.collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (6, 6, 1.0)
+    assert got[2][0] == 6 and 0 < got[2][1] < 6 and 0 < got[2][2] < 1
+    assert got[3] == (6, 0, 0.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
