@@ -1125,6 +1125,28 @@ FROM toks JOIN freqs USING (word) CROSS JOIN tot
 GROUP BY doc_id
 """)(lambda s, d: SP.unigram_logprob(docs(s, d)))
 
+q("tq_repetition_signals", f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, len(toks) AS n_tokens,
+             list_transform(generate_series(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1]) AS g2,
+             list_transform(generate_series(1, len(toks) - 2),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+      FROM tok),
+flat AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM flat GROUP BY doc_id, w),
+tw AS (SELECT doc_id, MAX(c) AS topc FROM wc GROUP BY doc_id)
+SELECT g.doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST(CASE WHEN n_tokens > 0 THEN topc END AS INT) AS top_word_count,
+       CASE WHEN n_tokens > 0 THEN ROUND(topc / n_tokens, 4) END AS top_word_frac,
+       CASE WHEN n_tokens >= 2
+            THEN ROUND((len(g2) - len(list_distinct(g2))) / len(g2), 4) END AS dup_2gram_frac,
+       CASE WHEN n_tokens >= 3
+            THEN ROUND((len(g3) - len(list_distinct(g3))) / len(g3), 4) END AS dup_3gram_frac
+FROM g LEFT JOIN tw ON g.doc_id = tw.doc_id
+""")(lambda s, d: Q.repetition_signals(docs(s, d)))
+
 q("decon_ngram_overlap", f"""
 WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 sh AS (SELECT doc_id,
@@ -1257,6 +1279,7 @@ DEMOTED = [
     "sample_mix_summary",
     "lm_unigram_logprob",
     "decon_ngram_overlap",
+    "tq_repetition_signals",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

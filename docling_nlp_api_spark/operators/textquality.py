@@ -140,3 +140,95 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.array_min(grams).alias("min_gram_hash"),
         F.md5(nt).alias("doc_hash"),
     )
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, public):
+    docs dominated by repeated n-grams are low-quality model fodder. Per
+    doc: most-frequent-token mass and EXCESS duplicate 2-/3-gram
+    fractions ((n - n_distinct)/n — the share of n-gram slots occupied
+    by re-occurrences). Line-based variants are omitted: the corpus
+    fixture is single-line text, and the n-gram forms subsume them.
+
+    All row-local column math — zero shuffle, zero join, one pass; the
+    token array and its sorted form are each staged ONCE behind
+    inline-struct Generate barriers (the fingerprint/keywords pattern:
+    CollapseProject cannot re-evaluate across a Generate, so neither the
+    tokenizer nor the O(n log n) sort runs once per referencing
+    subexpression). The top-token count uses the sorted-run boundary
+    trick shared with exports.with_keywords: boundaries of equal-token
+    runs -> run lengths -> max, entirely inside codegen'd HOFs.
+
+    Cross-engine contract: fractions rounded to 4 decimals; guards emit
+    NULL for degenerate docs (no tokens / fewer than 2 or 3 tokens)."""
+    from ..spec import TOKEN_RE
+
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    base = docs.select("doc_id", F.inline(F.array(F.struct(toks.alias("toks")))))
+
+    # NB: the gram lambda must stay single-parameter — pyspark's HOF
+    # bridge counts ALL parameters (defaults included) to decide whether
+    # to pass the element index, so `lambda i, n=n:` would bind the index
+    # Column to n and blow up range(n).
+    def _gram(n: int):
+        idx = F.expr(
+            f"CASE WHEN size(toks) >= {n} THEN sequence(0, size(toks) - {n}) "
+            "ELSE CAST(array() AS array<int>) END"
+        )
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.get(F.col("toks"), i + j) for j in range(n)]),
+        )
+
+    grams = {n: _gram(n) for n in (2, 3)}
+    staged = base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.inline(
+            F.array(
+                F.struct(
+                    F.array_sort("toks").alias("srt"),
+                    grams[2].alias("g2"),
+                    grams[3].alias("g3"),
+                )
+            )
+        ),
+    )
+
+    srt = F.col("srt")
+    starts = F.filter(
+        F.transform(srt, lambda t, i: F.struct(i.alias("i"), t.alias("t"))),
+        lambda s: (s["i"] == F.lit(0)) | (s["t"] != F.get(srt, s["i"] - 1)),
+    )
+    # run over the STAGED boundary array (_starts) — transforming the raw
+    # `starts` expression here would re-evaluate the filter/transform chain
+    # in the final projection and void the barrier
+    bd = F.col("_starts")
+    run_lens = F.transform(
+        bd,
+        lambda s, j: F.when(j == F.size(bd) - 1, F.size(srt))
+        .otherwise(F.get(bd, j + 1)["i"]) - s["i"],
+    )
+
+    def dup_frac(col: str, minn: int):
+        n = F.size(F.col(col))
+        return F.when(
+            F.col("n_tokens") >= minn,
+            F.round((n - F.size(F.array_distinct(col))) / n, 4),
+        )
+
+    staged2 = staged.select(
+        "doc_id", "n_tokens", "srt", "g2", "g3",
+        F.inline(F.array(F.struct(starts.alias("_starts")))),
+    )
+    top_cnt = F.array_max(run_lens)
+    return staged2.select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("n_tokens") > 0, top_cnt).alias("top_word_count"),
+        F.when(F.col("n_tokens") > 0, F.round(top_cnt / F.col("n_tokens"), 4)).alias(
+            "top_word_frac"
+        ),
+        dup_frac("g2", 2).alias("dup_2gram_frac"),
+        dup_frac("g3", 3).alias("dup_3gram_frac"),
+    )

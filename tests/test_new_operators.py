@@ -400,3 +400,32 @@ def test_contamination_planted(spark):
     assert got[3] == (6, 0, 0.0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_repetition_signals_planted(spark):
+    """Gopher-style repetition signals on hand-computable docs: a
+    fully-repeated doc maxes every signal, an all-distinct doc zeroes the
+    dup fractions, a tokenless doc yields NULL guards."""
+    from docling_nlp_api_spark.operators.textquality import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaa aaa aaa aaa"),          # 4x same token
+            (2, "one two three four"),       # all distinct
+            (3, "xy zz"),                    # no >=3-letter tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_signals(df).collect()}
+    assert got[1] == {
+        "doc_id": 1, "n_tokens": 4, "top_word_count": 4, "top_word_frac": 1.0,
+        "dup_2gram_frac": round((3 - 1) / 3, 4), "dup_3gram_frac": 0.5,
+    }
+    assert got[2] == {
+        "doc_id": 2, "n_tokens": 4, "top_word_count": 1, "top_word_frac": 0.25,
+        "dup_2gram_frac": 0.0, "dup_3gram_frac": 0.0,
+    }
+    assert got[3] == {
+        "doc_id": 3, "n_tokens": 0, "top_word_count": None, "top_word_frac": None,
+        "dup_2gram_frac": None, "dup_3gram_frac": None,
+    }
