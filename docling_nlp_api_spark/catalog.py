@@ -20,6 +20,7 @@ from .operators import analytics as A
 from .operators import dedup as D
 from .operators import multimodal as M
 from .operators import nlp as N
+from .operators import pii as P
 from .operators import relational as R
 from .operators import sampling as SP
 from .operators import scalars as X
@@ -1166,6 +1167,88 @@ GROUP BY f.doc_id
 """)(lambda s, d: D.contamination_scores(docs(s, d)))
 
 
+# --- PII plane: the fixture has no organic PII, so both engines derive the
+# SAME deterministic augmentation column (doc_id-keyed email/IP/phone tails)
+# and the ops run over that. Regexes are the Java ∩ RE2 subset (pii.py).
+def _pii_aug(df: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    aug = (
+        F.when(d % 4 == 0, F.concat(
+            F.col("text"), F.lit(" contact agent"), d.cast("string"),
+            F.lit("@example.com today")))
+        .when(d % 4 == 1, F.concat(
+            F.col("text"), F.lit(" origin 10."), (d % 200).cast("string"),
+            F.lit(".0.17 flagged")))
+        .when(d % 4 == 2, F.concat(
+            F.col("text"), F.lit(" call +14155550"),
+            F.lpad((d % 1000).cast("string"), 3, "0"), F.lit(" now")))
+        .otherwise(F.col("text"))
+    )
+    return df.select("doc_id", aug.alias("text"))
+
+
+_PII_AUG_SQL = """
+SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN text || ' contact agent' || CAST(doc_id AS VARCHAR) || '@example.com today'
+    WHEN 1 THEN text || ' origin 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.17 flagged'
+    WHEN 2 THEN text || ' call +14155550' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' now'
+    ELSE text END AS text
+FROM documents
+"""
+
+q("pii_signals", f"""
+WITH aug AS ({_PII_AUG_SQL}),
+c AS (SELECT doc_id,
+        len(regexp_extract_all(lower(text), '{P.EMAIL_RE}')) AS e,
+        len(regexp_extract_all(lower(text), '{P.IPV4_RE}')) AS i,
+        len(regexp_extract_all(lower(text), '{P.PHONE_RE}')) AS p
+      FROM aug)
+SELECT doc_id, CAST(e AS INT) AS n_emails, CAST(i AS INT) AS n_ipv4,
+       CAST(p AS INT) AS n_phones, CAST(e + i + p > 0 AS INT) AS has_pii
+FROM c
+""")(lambda s, d: P.pii_signals(_pii_aug(docs(s, d))))
+
+q("pii_redact", f"""
+WITH aug AS ({_PII_AUG_SQL}),
+r AS (SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(lower(text),
+          '{P.EMAIL_RE}', '[EMAIL]', 'g'),
+          '{P.IPV4_RE}', '[IP]', 'g'),
+          '{P.PHONE_RE}', '[PHONE]', 'g') AS red
+      FROM aug)
+SELECT doc_id, md5(red) AS red_hash, CAST(length(red) AS INT) AS red_len
+FROM r
+""")(lambda s, d: P.redact(_pii_aug(docs(s, d))).select("doc_id", "red_hash", "red_len"))
+
+q("dedup_segment_boilerplate", f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+seg AS (SELECT doc_id, i AS seg_idx,
+               array_to_string(list_slice(toks, i*{D.SEG_TOKENS} + 1, i*{D.SEG_TOKENS} + {D.SEG_TOKENS}), ' ') AS seg
+        FROM tok, UNNEST(CASE WHEN len(toks) > 0
+                         THEN range(0, CAST(ceil(len(toks) / {D.SEG_TOKENS}.0) AS INT))
+                         ELSE [] END) AS u(i)),
+freq AS (SELECT md5(seg) AS h, COUNT(DISTINCT doc_id) AS nd FROM seg GROUP BY 1),
+fl AS (SELECT s.doc_id, s.seg_idx, s.seg, (f.nd >= {D.SEG_DOC_THRESHOLD}) AS common
+       FROM seg s JOIN freq f ON md5(s.seg) = f.h)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_segments,
+  CAST(SUM(CASE WHEN common THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+  ROUND(SUM(CASE WHEN common THEN 1 ELSE 0 END) / COUNT(*), 4) AS boilerplate_frac,
+  md5(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE NOT common)) AS clean_hash
+FROM fl GROUP BY doc_id
+""")(lambda s, d: D.segment_boilerplate(docs(s, d)))
+
+q("sample_temperature_weights", """
+WITH pl AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total, SUM(sqrt(n_docs)) AS qsum FROM pl)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       ROUND(n_docs / total, 6) AS p_share,
+       ROUND(sqrt(n_docs) / qsum, 6) AS temp_weight
+FROM pl CROSS JOIN t
+""")(lambda s, d: SP.temperature_weights(docs(s, d)))
+
+
 def t5_streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 custom stateful operator (applyInPandasWithState) driven to an
     exact SQL oracle: per-user running totals emitted once per micro-batch
@@ -1280,6 +1363,12 @@ DEMOTED = [
     "lm_unigram_logprob",
     "decon_ngram_overlap",
     "tq_repetition_signals",
+    # PII scrub / CCNet segment dedup / temperature mixing (round 3):
+    # oracle-backed in the pytest tail
+    "pii_signals",
+    "pii_redact",
+    "dedup_segment_boilerplate",
+    "sample_temperature_weights",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

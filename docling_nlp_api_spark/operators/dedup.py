@@ -494,6 +494,79 @@ def contamination_scores(docs: DataFrame, bench_mod: int = BENCH_MOD) -> DataFra
     )
 
 
+SEG_TOKENS = 10        # segment = 10-token window (the fixture is
+                       # single-line text, so fixed token windows stand in
+                       # for CCNet's newline-delimited paragraphs)
+SEG_DOC_THRESHOLD = 2  # segment seen in >= this many distinct docs -> boilerplate
+
+
+def segment_boilerplate(
+    docs: DataFrame,
+    seg_tokens: int = SEG_TOKENS,
+    doc_threshold: int = SEG_DOC_THRESHOLD,
+) -> DataFrame:
+    """CCNet-style paragraph-frequency dedup (Wenzek et al. 2019,
+    public): segments that recur across >= doc_threshold distinct docs
+    are boilerplate (cookie banners, nav text, planted duplicates) and
+    are removed from every doc that contains them. Emits per doc:
+    segment counts, boilerplate fraction, and the md5 of the cleaned
+    text (NULL when every segment was boilerplate).
+
+    Two-pass shape, the decontamination architecture inverted:
+      1. corpus pass builds the frequent-segment table — segments are
+         md5-hashed in the map stage so only (hash, doc_id) tuples cross
+         the exchange for the distinct-doc count, never segment text;
+         the above-threshold survivor set is tiny (bounded by how much
+         text the corpus *shares*) and broadcasts;
+      2. rewrite pass re-derives segments row-locally, probes the
+         broadcast hash set, and regroups kept segments per doc. The
+         doc_id regroup exchanges only KEPT segments — the same bytes
+         the cleaned corpus must materialize anyway. At 100 TB, if even
+         the frequent set outgrows memory, swap the broadcast for a
+         bloom filter and accept its false-positive removal rate (the
+         CCNet paper's own deployment choice)."""
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    idx = F.expr(
+        "CASE WHEN size(toks) > 0 THEN "
+        f"sequence(0, CAST(ceil(size(toks) / {seg_tokens}.0) AS INT) - 1) "
+        "ELSE CAST(array() AS array<int>) END"
+    )
+    segs = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("toks"), i * seg_tokens + 1, seg_tokens)
+        ),
+    )
+    seg_rows = (
+        docs.select("doc_id", F.inline(F.array(F.struct(toks.alias("toks")))))
+        .select("doc_id", F.posexplode(segs).alias("seg_idx", "seg"))
+        .select("doc_id", "seg_idx", "seg", F.md5("seg").alias("h"))
+    )
+    frequent = (
+        seg_rows.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("d"))
+        .filter(F.col("d") >= doc_threshold)
+        .select("h", F.lit(1).alias("common"))
+    )
+    flagged = seg_rows.join(F.broadcast(frequent), "h", "left")
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("common").isNull(),
+                F.struct(F.col("seg_idx").alias("i"), F.col("seg").alias("s")),
+            )
+        )
+    )
+    clean = F.concat_ws(" ", F.transform(kept, lambda x: x["s"]))
+    n_common = F.sum(F.coalesce("common", F.lit(0)))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        n_common.alias("n_boilerplate"),
+        F.round(n_common / F.count("*"), 4).alias("boilerplate_frac"),
+        F.when(F.size(kept) > 0, F.md5(clean)).alias("clean_hash"),
+    )
+
+
 def keep_corpus(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """The deduplicated corpus: canonical cluster representatives plus all
     unclustered docs — what a training pipeline actually feeds downstream.

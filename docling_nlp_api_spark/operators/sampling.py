@@ -97,6 +97,34 @@ def mix_summary(docs: DataFrame) -> DataFrame:
     )
 
 
+def temperature_weights(docs: DataFrame) -> DataFrame:
+    """Multilingual temperature-sampling weights (XLM-R / mT5 recipe,
+    public): upweight low-resource languages by sampling language l with
+    probability proportional to p_l^alpha instead of its corpus share
+    p_l. alpha is pinned to 0.5 so the exponent is sqrt() — IEEE-754
+    sqrt is CORRECTLY ROUNDED (unlike pow), which makes the weights
+    bit-identical in the DuckDB oracle with no epsilon contract.
+
+    Emits per language: doc count, corpus share p, and the normalized
+    temperature weight w = sqrt(n_l) / sum_l sqrt(n_l)  (equal to
+    p^0.5 / sum p^0.5 — the 1/sqrt(N) factors cancel).
+
+    Scale: one narrow groupBy(lang) — language cardinality is O(100) —
+    then a broadcast of the one-row total; the corpus text never leaves
+    the scan projection."""
+    per_lang = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = per_lang.agg(
+        F.sum("n_docs").alias("total"),
+        F.sum(F.sqrt("n_docs")).alias("qsum"),
+    )
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("total"), 6).alias("p_share"),
+        F.round(F.sqrt("n_docs") / F.col("qsum"), 6).alias("temp_weight"),
+    )
+
+
 def unigram_logprob(docs: DataFrame) -> DataFrame:
     """Unigram-LM quality score: mean -ln p(token) per doc under the
     corpus's OWN unigram distribution (the classic cheap LM filter — docs

@@ -429,3 +429,79 @@ def test_repetition_signals_planted(spark):
         "doc_id": 3, "n_tokens": 0, "top_word_count": None, "top_word_frac": None,
         "dup_2gram_frac": None, "dup_3gram_frac": None,
     }
+
+
+def test_pii_planted(spark):
+    """PII detection + redaction on hand-written rows: counts per type,
+    combined flag, and the exact redacted strings."""
+    from docling_nlp_api_spark.operators.pii import pii_signals, redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at bob.smith+x@corp.io or 192.168.1.1"),
+            (2, "call +12345678901 today"),
+            (3, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = {r["doc_id"]: r.asDict() for r in pii_signals(df).collect()}
+    assert sig[1] == {"doc_id": 1, "n_emails": 1, "n_ipv4": 1, "n_phones": 0, "has_pii": 1}
+    assert sig[2] == {"doc_id": 2, "n_emails": 0, "n_ipv4": 0, "n_phones": 1, "has_pii": 1}
+    assert sig[3] == {"doc_id": 3, "n_emails": 0, "n_ipv4": 0, "n_phones": 0, "has_pii": 0}
+
+    red = {r["doc_id"]: r["text_redacted"] for r in redact(df).collect()}
+    assert red[1] == "reach me at [EMAIL] or [IP]"
+    assert red[2] == "call [PHONE] today"
+    assert red[3] == "no pii here"
+
+
+def test_segment_boilerplate_planted(spark):
+    """CCNet-style segment dedup: a 10-token segment shared by three docs
+    is boilerplate everywhere; unique tails survive into clean_hash; a doc
+    that is ALL boilerplate gets a NULL clean_hash."""
+    import hashlib
+
+    from docling_nlp_api_spark.operators.dedup import segment_boilerplate
+
+    shared = "alpha bravo charl delta echoo foxtr golfy hotel india julie"
+    tail1 = "kilo lima mikee novem oscar"
+    tail2 = "papa quebe romeo sierr tango"
+    solo = "unifo victo whisk exray yanke zuluu alphaz bravoz charlz deltaz"
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} {tail1}"),
+            (2, f"{shared} {tail2}"),
+            (3, solo),
+            (4, shared),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in segment_boilerplate(df).collect()}
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got[1] == {
+        "doc_id": 1, "n_segments": 2, "n_boilerplate": 1,
+        "boilerplate_frac": 0.5, "clean_hash": h(tail1),
+    }
+    assert got[2]["n_boilerplate"] == 1 and got[2]["clean_hash"] == h(tail2)
+    assert got[3] == {
+        "doc_id": 3, "n_segments": 1, "n_boilerplate": 0,
+        "boilerplate_frac": 0.0, "clean_hash": h(solo),
+    }
+    assert got[4] == {
+        "doc_id": 4, "n_segments": 1, "n_boilerplate": 1,
+        "boilerplate_frac": 1.0, "clean_hash": None,
+    }
+
+
+def test_temperature_weights_planted(spark):
+    """alpha=0.5 temperature weights on a 4:1 split: exact sqrt arithmetic
+    (4 en + 1 de -> qsum 3, weights 2/3 and 1/3)."""
+    from docling_nlp_api_spark.operators.sampling import temperature_weights
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 4 else "de", "x") for i in range(5)],
+        "doc_id long, lang string, text string",
+    )
+    got = {r["lang"]: r.asDict() for r in temperature_weights(df).collect()}
+    assert got["en"] == {"lang": "en", "n_docs": 4, "p_share": 0.8, "temp_weight": round(2 / 3, 6)}
+    assert got["de"] == {"lang": "de", "n_docs": 1, "p_share": 0.2, "temp_weight": round(1 / 3, 6)}
