@@ -1248,6 +1248,64 @@ SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
 FROM pl CROSS JOIN t
 """)(lambda s, d: SP.temperature_weights(docs(s, d)))
 
+# generalized md5 bucket (mod != 100) for the resample / packing oracles
+_BKTM = (
+    "CAST(('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % {mod}"
+)
+
+q("sample_length_trim", f"""
+WITH h AS (SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY 1),
+t AS (SELECT SUM(c) AS n FROM h),
+cum AS (SELECT n_chars, c,
+               SUM(c) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum_incl
+        FROM h),
+keep AS (SELECT n_chars FROM cum CROSS JOIN t
+         WHERE cum_incl * 100 > n * {SP.TRIM_LO_PCT}
+           AND (cum_incl - c) * 100 < n * {SP.TRIM_HI_PCT})
+SELECT d.doc_id, d.n_chars FROM documents d JOIN keep USING (n_chars)
+""")(lambda s, d: SP.length_percentile_trim(docs(s, d)))
+
+q("sample_temperature_resample", f"""
+WITH pl AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+m AS (SELECT MIN(n_l) AS n_min FROM pl),
+r AS (SELECT lang,
+             CAST(floor(10000 * sqrt(n_min / n_l)) AS BIGINT) AS keep_bps
+      FROM pl CROSS JOIN m),
+b AS (SELECT d.lang, r.keep_bps,
+             CASE WHEN {_BKTM.format(salt=SP.TEMP_SALT, mod=10000)} < r.keep_bps
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents d JOIN r USING (lang))
+SELECT lang, COUNT(*) AS n_total, CAST(SUM(kept) AS BIGINT) AS n_kept,
+       MIN(keep_bps) AS keep_bps, ROUND(SUM(kept) / COUNT(*), 4) AS realized_rate
+FROM b GROUP BY lang
+""")(lambda s, d: SP.temperature_resample(docs(s, d)))
+
+q("sample_pack_sequences", f"""
+WITH base AS (
+  SELECT doc_id,
+         {_BKTM.format(salt=SP.PACK_SALT, mod=SP.PACK_SHARDS)} AS shard,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents),
+off AS (SELECT doc_id, shard, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+        FROM base)
+SELECT doc_id, shard, n_tokens, CAST(start_off AS BIGINT) AS start_off,
+       CAST(start_off // {SP.PACK_MAX_TOKENS} AS BIGINT) AS seq_idx,
+       CAST(start_off % {SP.PACK_MAX_TOKENS} AS BIGINT) AS seq_off
+FROM off
+""")(lambda s, d: SP.pack_sequences(docs(s, d)))
+
+q("sample_dataset_card", """
+SELECT lang, source,
+       CAST(GROUPING(lang) AS INT) AS g_lang,
+       CAST(GROUPING(source) AS INT) AS g_source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       ROUND(AVG(n_chars), 4) AS mean_chars
+FROM documents GROUP BY CUBE (lang, source)
+""")(lambda s, d: SP.dataset_card(docs(s, d)))
+
 
 def t5_streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 custom stateful operator (applyInPandasWithState) driven to an
@@ -1369,6 +1427,12 @@ DEMOTED = [
     "pii_redact",
     "dedup_segment_boilerplate",
     "sample_temperature_weights",
+    # corpus-shaping ops (round 3): exact length-percentile trim,
+    # temperature-mix materialization, sequence packing, dataset-card cube
+    "sample_length_trim",
+    "sample_temperature_resample",
+    "sample_pack_sequences",
+    "sample_dataset_card",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

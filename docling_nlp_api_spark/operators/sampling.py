@@ -16,7 +16,7 @@ inlined as literals (a broadcast join degenerates to a CASE)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SPLIT_SALT = "split:v1"     # versioned salt -> resampling = bump the salt
@@ -30,13 +30,13 @@ MIX_DEFAULT_PCT = 10        # languages outside the config keep 10%
 MIX_SALT = "mix:v1"
 
 
-def _bucket(salt: str, key: F.Column) -> F.Column:
-    """Deterministic bucket in [0, 100): first 4 hex digits of
-    md5(salt || key) mod 100 — uniform enough for split/mix rates at any
+def _bucket(salt: str, key: F.Column, mod: int = 100) -> F.Column:
+    """Deterministic bucket in [0, mod): first 4 hex digits of
+    md5(salt || key) mod `mod` — uniform enough for split/mix rates at any
     corpus size, identical arithmetic in DuckDB (conv/hex parity is the
     same trick the dedup plane pins)."""
     hx = F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 4)
-    return (F.conv(hx, 16, 10).cast("long") % 100).alias("bucket")
+    return (F.conv(hx, 16, 10).cast("long") % mod).alias("bucket")
 
 
 def with_split(docs: DataFrame, val_pct: int = VAL_PCT, test_pct: int = TEST_PCT) -> DataFrame:
@@ -122,6 +122,139 @@ def temperature_weights(docs: DataFrame) -> DataFrame:
         "n_docs",
         F.round(F.col("n_docs") / F.col("total"), 6).alias("p_share"),
         F.round(F.sqrt("n_docs") / F.col("qsum"), 6).alias("temp_weight"),
+    )
+
+
+TRIM_LO_PCT = 5             # drop docs below the 5th length percentile
+TRIM_HI_PCT = 95            # ... and above the 95th
+TEMP_SALT = "temp:v1"       # temperature-resample bucket salt
+PACK_SALT = "pack:v1"       # sequence-packing shard salt
+PACK_MAX_TOKENS = 512       # training sequence length
+PACK_SHARDS = 8             # packing shards (per-shard streams at scale)
+
+
+def length_percentile_trim(
+    docs: DataFrame, lo_pct: int = TRIM_LO_PCT, hi_pct: int = TRIM_HI_PCT
+) -> DataFrame:
+    """EXACT length-percentile trimming (the Gopher/C4 'drop the freak
+    tails' filter): keep a doc iff its length's percentile interval
+    overlaps (lo_pct, hi_pct) — i.e. cum_incl*100 > N*lo AND
+    cum_excl*100 < N*hi, all-integer arithmetic so both engines agree
+    bit-for-bit (no approx_percentile epsilon contract needed).
+
+    Scale shape: the quantile cutoffs come from a HISTOGRAM of the
+    integer length column — groupBy(n_chars) output is bounded by the
+    number of distinct lengths (~max doc length, independent of corpus
+    size), so the unpartitioned cumsum window runs over thousands of
+    rows, not the corpus. The kept-length set broadcasts back as a
+    semi-join probe; the corpus itself is one filter pass with no
+    shuffle and no global sort. This replaces the classic anti-pattern
+    (percent_rank over a corpus-wide ORDER BY length)."""
+    hist = docs.groupBy("n_chars").agg(F.count("*").alias("c"))
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("n_chars", "c", F.sum("c").over(w).alias("cum_incl"))
+    tot = hist.agg(F.sum("c").alias("n"))
+    keep = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("cum_incl") * 100 > F.col("n") * lo_pct)
+            & ((F.col("cum_incl") - F.col("c")) * 100 < F.col("n") * hi_pct)
+        )
+        .select("n_chars")
+    )
+    return docs.join(F.broadcast(keep), "n_chars", "semi").select("doc_id", "n_chars")
+
+
+def temperature_resample(docs: DataFrame) -> DataFrame:
+    """Materialize the alpha=0.5 temperature mix that temperature_weights
+    only reports: downsample each language to keep-rate sqrt(n_min/n_l)
+    (the downsample-only normalization — the smallest language keeps
+    everything, others shrink toward it, realizing p^0.5 proportions
+    without upsampling/duplication). The rate is quantized to basis
+    points via floor(10000*sqrt(n_min/n_l)) — division, sqrt, and the
+    *10000 are all IEEE correctly-rounded, floor is exact, so keep_bps
+    is bit-identical in the DuckDB oracle — and docs are kept by the
+    deterministic md5 bucket mod 10000 (same machinery as with_split).
+
+    Emits the per-language resample report: totals, kept counts, the
+    target keep_bps, and the realized rate.
+
+    Scale: pass 1 is a narrow groupBy(lang) count; the O(langs) rate
+    table broadcasts back onto a second narrow pass (doc_id + lang
+    only) with a conditional agg — text never leaves the scan."""
+    per_lang = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    nmin = per_lang.agg(F.min("n_l").alias("n_min"))
+    rates = per_lang.crossJoin(F.broadcast(nmin)).select(
+        "lang",
+        F.floor(F.lit(10000) * F.sqrt(F.col("n_min") / F.col("n_l"))).alias("keep_bps"),
+    )
+    b = _bucket(TEMP_SALT, F.col("doc_id"), mod=10000)
+    kept = (b < F.col("keep_bps")).cast("long")
+    return (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(kept).alias("n_kept"),
+            F.min("keep_bps").alias("keep_bps"),
+            F.round(F.sum(kept) / F.count("*"), 4).alias("realized_rate"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame, max_tokens: int = PACK_MAX_TOKENS, n_shards: int = PACK_SHARDS
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: docs are concatenated
+    in a deterministic order and cut into fixed max_tokens training
+    sequences; each doc is assigned the sequence where it STARTS plus
+    its token offset inside it (docs may straddle a boundary — that is
+    the concat-and-chunk contract).
+
+    A single global concatenation order would need a corpus-wide sort,
+    so the corpus is first split into md5 shards (the standard
+    pack-within-shards deployment: each shard is an independent training
+    stream, embarrassingly parallel, and adding shards scales the width).
+    Within a shard the running token offset is a cumsum window ordered
+    by doc_id — per-shard state, bounded by corpus/n_shards, no global
+    order anywhere. All arithmetic (cumsum, DIV, %) is integer-exact
+    cross-engine."""
+    ntok = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    shard = _bucket(PACK_SALT, F.col("doc_id"), mod=n_shards)
+    base = docs.select(
+        "doc_id", shard.alias("shard"), ntok.cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off")
+    return base.select("doc_id", "shard", "n_tokens", start).select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_off",
+        F.expr(f"start_off DIV {max_tokens}").alias("seq_idx"),
+        (F.col("start_off") % max_tokens).alias("seq_off"),
+    )
+
+
+def dataset_card(docs: DataFrame) -> DataFrame:
+    """The dataset-card rollup every corpus release publishes: doc and
+    char mass per (lang x source) cell PLUS both marginals and the grand
+    total, in ONE pass via CUBE grouping sets (Catalyst expands the sets
+    map-side with partial aggs — one scan, one narrow exchange of
+    O(cells) rows, vs the naive 4-scan union). grouping() flags
+    disambiguate a real NULL cell from a rollup row, mirrored by
+    DuckDB's GROUPING() in the oracle."""
+    return docs.cube("lang", "source").agg(
+        F.grouping("lang").cast("int").alias("g_lang"),
+        F.grouping("source").cast("int").alias("g_source"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars_total"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
     )
 
 

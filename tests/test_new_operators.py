@@ -505,3 +505,77 @@ def test_temperature_weights_planted(spark):
     got = {r["lang"]: r.asDict() for r in temperature_weights(df).collect()}
     assert got["en"] == {"lang": "en", "n_docs": 4, "p_share": 0.8, "temp_weight": round(2 / 3, 6)}
     assert got["de"] == {"lang": "de", "n_docs": 1, "p_share": 0.2, "temp_weight": round(1 / 3, 6)}
+
+
+def test_length_percentile_trim_planted(spark):
+    """Exact percentile trim on lengths 1..10 (one doc each) at
+    (20, 80): keep iff cum_incl > 2 and cum_excl < 8 -> lengths 3..8."""
+    from docling_nlp_api_spark.operators.sampling import length_percentile_trim
+
+    df = spark.createDataFrame(
+        [(i, "x" * i, i) for i in range(1, 11)],
+        "doc_id long, text string, n_chars long",
+    )
+    kept = sorted(r["n_chars"] for r in length_percentile_trim(df, 20, 80).collect())
+    assert kept == [3, 4, 5, 6, 7, 8]
+
+
+def test_temperature_resample_planted(spark):
+    """4 en + 1 de: n_min=1 -> en keeps at floor(10000*sqrt(1/4)) = 5000
+    bps, de at 10000 bps (everything). Kept counts verified against the
+    md5 bucket computed by hand."""
+    import hashlib
+
+    from docling_nlp_api_spark.operators.sampling import TEMP_SALT, temperature_resample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 4 else "de", "x") for i in range(5)],
+        "doc_id long, lang string, text string",
+    )
+    bkt = lambda i: int(hashlib.md5(f"{TEMP_SALT}{i}".encode()).hexdigest()[:4], 16) % 10000
+    en_kept = sum(1 for i in range(4) if bkt(i) < 5000)
+    got = {r["lang"]: r.asDict() for r in temperature_resample(df).collect()}
+    assert got["en"] == {
+        "lang": "en", "n_total": 4, "n_kept": en_kept, "keep_bps": 5000,
+        "realized_rate": round(en_kept / 4, 4),
+    }
+    assert got["de"] == {
+        "lang": "de", "n_total": 1, "n_kept": 1, "keep_bps": 10000, "realized_rate": 1.0,
+    }
+
+
+def test_pack_sequences_planted(spark):
+    """Concat-and-chunk with one shard, max 5 tokens: docs of 3/4/2
+    tokens start at offsets 0/3/7 -> sequences 0/0/1, offsets 0/3/2."""
+    from docling_nlp_api_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, "h i")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in pack_sequences(df, max_tokens=5, n_shards=1).collect()}
+    assert got[1] == {"doc_id": 1, "shard": 0, "n_tokens": 3, "start_off": 0, "seq_idx": 0, "seq_off": 0}
+    assert got[2] == {"doc_id": 2, "shard": 0, "n_tokens": 4, "start_off": 3, "seq_idx": 0, "seq_off": 3}
+    assert got[3] == {"doc_id": 3, "shard": 0, "n_tokens": 2, "start_off": 7, "seq_idx": 1, "seq_off": 2}
+
+
+def test_dataset_card_planted(spark):
+    """CUBE over 2 langs x 2 sources: 3 populated cells + 2+2 marginals
+    + grand total = 8 rows; grouping flags separate rollups from cells."""
+    from docling_nlp_api_spark.operators.sampling import dataset_card
+
+    df = spark.createDataFrame(
+        [(1, "en", "web", 10), (2, "en", "web", 20), (3, "en", "pdf", 30), (4, "de", "web", 40)],
+        "doc_id long, lang string, source string, n_chars long",
+    )
+    rows = {(r["lang"], r["source"]): r.asDict() for r in dataset_card(df).collect()}
+    assert len(rows) == 8
+    assert rows[("en", "web")] == {
+        "lang": "en", "source": "web", "g_lang": 0, "g_source": 0,
+        "n_docs": 2, "chars_total": 30, "mean_chars": 15.0,
+    }
+    assert rows[("de", None)]["n_docs"] == 1 and rows[("de", None)]["g_source"] == 1
+    assert rows[(None, None)] == {
+        "lang": None, "source": None, "g_lang": 1, "g_source": 1,
+        "n_docs": 4, "chars_total": 100, "mean_chars": 25.0,
+    }
