@@ -67,6 +67,32 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # zero Exchange anywhere in the plan (round 2's explode+agg shape
     # re-measured 1.7x slower locally; BENCH/regress_ab.json)
     "tq_fingerprint": (["Generate"], ["Exchange", r"(regexp_replace[\s\S]*){2,}"]),
+    # PII redaction: pure map pass — three regexp_replace fused into one
+    # codegen stage, zero shuffle anywhere
+    "pii_redact": ([CODEGEN], ["Exchange", "Join"]),
+    # exact percentile trim: the corpus side is a broadcast semi probe on
+    # the kept-length set, and the scan is pruned to exactly the two
+    # columns the op emits; the cumsum Window runs over the histogram
+    # subtree only (post-HashAggregate), never the corpus
+    "sample_length_trim": (
+        ["BroadcastHashJoin", r"LeftSemi", r"ReadSchema: struct<doc_id:bigint,n_chars:bigint>"],
+        ["SortMergeJoin"],
+    ),
+    # sequence packing: ONE hash exchange (the shard repartition for the
+    # per-shard cumsum window); no second shuffle, no global sort
+    "sample_pack_sequences": (
+        ["Window", r"hashpartitioning\(shard"],
+        [r"(\(\d+\) Exchange[\s\S]*){2,}", "rangepartitioning"],
+    ),
+    # dataset card: grouping sets compile to ONE scan + Expand + partial
+    # aggs — not a 4-scan Union of separate rollups
+    "sample_dataset_card": (["Expand", "HashAggregate"], ["Union"]),
+    # temperature resample: O(langs) rate table broadcast back onto the
+    # narrow (doc_id, lang) pass
+    "sample_temperature_resample": (["BroadcastHashJoin"], ["SortMergeJoin"]),
+    # CCNet segment dedup: the frequent-segment set probes back as a
+    # broadcast join; the distinct-doc count shuffles md5 hashes only
+    "dedup_segment_boilerplate": (["BroadcastHashJoin", "HashAggregate"], ["SortMergeJoin"]),
 }
 
 
