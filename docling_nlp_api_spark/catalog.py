@@ -698,6 +698,37 @@ SELECT doc_a, doc_b, jaccard FROM (
 ) WHERE jaccard >= 0.5
 """)(lambda s, d: D.candidate_pairs_jaccard(D.with_planted_dups(docs(s, d))))
 
+def _inc_frames(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Base corpus + the planted near-dup frame as an incoming snapshot."""
+    base = df.select("doc_id", "text")
+    new = base.filter(F.col("doc_id") % D.PLANT_EVERY == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(f"substr(text, 1, length(text) - {D.PLANT_TRUNC})").alias("text"),
+    )
+    return base, new
+
+
+q("dedup_incremental", f"""
+WITH {_NEAR_DUPS}, {_SHINGLES}, {_SIG},
+bnd AS ({_BANDS_SQL}),
+hset AS (SELECT doc_id, list_distinct(hs) AS hv FROM hs),
+nb AS (SELECT doc_id AS new_id, band, bucket FROM bnd WHERE doc_id >= 1000000),
+bs AS (SELECT doc_id AS base_id, band, bucket FROM bnd WHERE doc_id < 1000000),
+pairs AS (SELECT DISTINCT new_id, base_id FROM nb JOIN bs USING (band, bucket)),
+f AS (SELECT new_id, base_id,
+        ROUND(len(list_intersect(hn.hv, hb.hv)) * 1.0 /
+              (len(hn.hv) + len(hb.hv) - len(list_intersect(hn.hv, hb.hv))), 4) AS jaccard
+      FROM pairs JOIN hset hn ON hn.doc_id = new_id JOIN hset hb ON hb.doc_id = base_id),
+g AS (SELECT * FROM f WHERE jaccard >= 0.5)
+SELECT new_id, n_matches, best_jaccard, best_base FROM (
+  SELECT new_id, COUNT(*) OVER (PARTITION BY new_id) AS n_matches,
+         jaccard AS best_jaccard, base_id AS best_base,
+         ROW_NUMBER() OVER (PARTITION BY new_id
+                            ORDER BY jaccard DESC, base_id ASC) AS rn
+  FROM g)
+WHERE rn = 1
+""")(lambda s, d: D.incremental_dedup(*_inc_frames(docs(s, d))))
+
 # connected-components closure over the verified near-dup pair graph —
 # shared by dedup_resolve_clusters and dedup_keep_corpus
 _CC_CTES = f"""
@@ -1433,6 +1464,7 @@ DEMOTED = [
     "sample_temperature_resample",
     "sample_pack_sequences",
     "sample_dataset_card",
+    "dedup_incremental",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

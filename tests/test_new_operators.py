@@ -579,3 +579,24 @@ def test_dataset_card_planted(spark):
         "lang": None, "source": None, "g_lang": 1, "g_source": 1,
         "n_docs": 4, "chars_total": 100, "mean_chars": 25.0,
     }
+
+
+def test_incremental_dedup_planted(spark):
+    """New-batch doc 100 is an exact copy of base docs 1 AND 2 (identical
+    signatures collide in every band, jaccard 1.0; tie-break -> min base
+    id); new doc 101 shares no shingles with base and must be absent."""
+    text = "alpha bravo charlie delta echo foxtrot golf hotel"
+    other = "zulu yankee xray whiskey victor uniform tango sierra"
+    from docling_nlp_api_spark.operators.dedup import incremental_dedup
+
+    base = spark.createDataFrame(
+        [(1, text), (2, text), (3, "mike november oscar papa quebec romeo")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, text), (101, other)], "doc_id long, text string"
+    )
+    got = {r["new_id"]: r.asDict() for r in incremental_dedup(base, new).collect()}
+    assert got == {
+        100: {"new_id": 100, "n_matches": 2, "best_jaccard": 1.0, "best_base": 1},
+    }

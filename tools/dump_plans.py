@@ -93,6 +93,12 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # CCNet segment dedup: the frequent-segment set probes back as a
     # broadcast join; the distinct-doc count shuffles md5 hashes only
     "dedup_segment_boilerplate": (["BroadcastHashJoin", "HashAggregate"], ["SortMergeJoin"]),
+    # incremental dedup: candidates come from a (band, bucket) equi-join
+    # of the two index frames — never a cross join of new x base
+    "dedup_incremental": (
+        ["HashAggregate", "Join"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
