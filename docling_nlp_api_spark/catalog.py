@@ -1327,6 +1327,35 @@ SELECT doc_id, shard, n_tokens, CAST(start_off AS BIGINT) AS start_off,
 FROM off
 """)(lambda s, d: SP.pack_sequences(docs(s, d)))
 
+# charset plane: the fixture is clean ASCII, so both engines append the
+# SAME deterministic per-doc tails (accents / a control byte / U+FFFD)
+def _charset_aug(df: DataFrame) -> DataFrame:
+    d = F.col("doc_id") % 3
+    aug = (
+        F.when(d == 0, F.concat("text", F.lit(" café naïve")))
+        .when(d == 1, F.concat("text", F.lit("\x01")))
+        .otherwise(F.concat("text", F.lit("�")))
+    )
+    return df.select("doc_id", aug.alias("text"))
+
+
+q("tq_charset_signals", f"""
+WITH aug AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 3 AS INT)
+      WHEN 0 THEN text || ' café naïve'
+      WHEN 1 THEN text || chr(1)
+      ELSE text || '�' END AS text
+  FROM documents)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_seen,
+  CAST(len(regexp_extract_all(text, '{Q.NON_ASCII_RE}')) AS BIGINT) AS n_nonascii,
+  ROUND(len(regexp_extract_all(text, '{Q.NON_ASCII_RE}')) * 1.0 / length(text), 4) AS nonascii_frac,
+  CAST(len(regexp_extract_all(text, '{Q.CTRL_RE}')) AS BIGINT) AS n_ctrl,
+  CAST(len(regexp_extract_all(text, '�')) AS BIGINT) AS n_replacement
+FROM aug
+""")(lambda s, d: Q.charset_signals(_charset_aug(docs(s, d))))
+
 q("sample_dataset_card", """
 SELECT lang, source,
        CAST(GROUPING(lang) AS INT) AS g_lang,
@@ -1465,6 +1494,7 @@ DEMOTED = [
     "sample_pack_sequences",
     "sample_dataset_card",
     "dedup_incremental",
+    "tq_charset_signals",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

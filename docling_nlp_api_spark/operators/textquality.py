@@ -232,3 +232,39 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
         dup_frac("g2", 2).alias("dup_2gram_frac"),
         dup_frac("g3", 3).alias("dup_3gram_frac"),
     )
+
+
+# charset signal patterns — Java ∩ RE2 subset, shared with the SQL oracle.
+# Control class excludes \t \n \r (legitimate whitespace); U+FFFD is the
+# UTF-8 decoder's replacement char — any count > 0 means the doc was
+# mis-decoded upstream (the classic mojibake tell).
+NON_ASCII_RE = r"[^\x00-\x7f]"
+CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+REPL_CHAR = "�"
+
+
+def charset_signals(docs: DataFrame) -> DataFrame:
+    """Per-doc encoding-health signals (the C4/CCNet charset gate): total
+    chars, non-ASCII count + fraction, control-char count, and U+FFFD
+    replacement-char count. Docs with ctrl/replacement hits or an
+    implausible non-ASCII fraction for their claimed language get dropped
+    or re-decoded upstream.
+
+    One codegen map pass, zero shuffle — at 100 TB this fuses into
+    whatever scan already reads the text (same plan shape as
+    pii_signals). Counting per code point: both engines' regex and
+    length() operate on code points, so counts agree exactly."""
+    n_chars = F.length("text")
+    n_nonascii = F.size(F.regexp_extract_all(F.col("text"), F.lit(NON_ASCII_RE), 0))
+    n_ctrl = F.size(F.regexp_extract_all(F.col("text"), F.lit(CTRL_RE), 0))
+    n_repl = F.size(F.regexp_extract_all(F.col("text"), F.lit(REPL_CHAR), 0))
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_seen"),
+        n_nonascii.cast("long").alias("n_nonascii"),
+        F.round(
+            F.when(n_chars > 0, n_nonascii / n_chars).otherwise(F.lit(0.0)), 4
+        ).alias("nonascii_frac"),
+        n_ctrl.cast("long").alias("n_ctrl"),
+        n_repl.cast("long").alias("n_replacement"),
+    )

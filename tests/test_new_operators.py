@@ -600,3 +600,28 @@ def test_incremental_dedup_planted(spark):
     assert got == {
         100: {"new_id": 100, "n_matches": 2, "best_jaccard": 1.0, "best_base": 1},
     }
+
+
+def test_charset_signals_planted(spark):
+    """Hand-counted charset signals: accents, a control byte, U+FFFD, an
+    empty doc (zero-division guard)."""
+    from docling_nlp_api_spark.operators.textquality import charset_signals
+
+    df = spark.createDataFrame(
+        [(1, "héllo wörld"), (2, "ok\x01\x02ok"), (3, "bad��"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in charset_signals(df).collect()}
+    assert got[1] == {
+        "doc_id": 1, "n_chars_seen": 11, "n_nonascii": 2,
+        "nonascii_frac": round(2 / 11, 4), "n_ctrl": 0, "n_replacement": 0,
+    }
+    assert got[2] == {
+        "doc_id": 2, "n_chars_seen": 6, "n_nonascii": 0,
+        "nonascii_frac": 0.0, "n_ctrl": 2, "n_replacement": 0,
+    }
+    assert got[3]["n_replacement"] == 2 and got[3]["n_nonascii"] == 2
+    assert got[4] == {
+        "doc_id": 4, "n_chars_seen": 0, "n_nonascii": 0,
+        "nonascii_frac": 0.0, "n_ctrl": 0, "n_replacement": 0,
+    }
