@@ -1270,6 +1270,31 @@ SELECT doc_id,
 FROM fl GROUP BY doc_id
 """)(lambda s, d: D.segment_boilerplate(docs(s, d)))
 
+q("dedup_passages", f"""
+WITH {_NEAR_DUPS},
+tok AS (SELECT doc_id, {TOKS} AS toks FROM all_docs),
+gr AS (SELECT doc_id, len(toks) AS n_tokens, i - 1 AS pos,
+         CAST(('0x' || substr(md5(array_to_string(
+           list_slice(toks, i, i + {D.PASSAGE_K} - 1), ' ')), 1, 8)) AS BIGINT) AS h
+       FROM tok, UNNEST(generate_series(1, len(toks) - {D.PASSAGE_K} + 1)) AS u(i)
+       WHERE len(toks) >= {D.PASSAGE_K}),
+dup AS (SELECT h FROM gr GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+ds AS (SELECT g.doc_id, g.pos,
+         lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS prev
+       FROM gr g JOIN dup USING (h)),
+da AS (SELECT doc_id, COUNT(*) AS n_dup,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {D.PASSAGE_K} THEN 1 ELSE 0 END) AS n_regions,
+         SUM(CASE WHEN prev IS NULL THEN {D.PASSAGE_K} ELSE least(pos - prev, {D.PASSAGE_K}) END) AS cov
+       FROM ds GROUP BY doc_id),
+tot AS (SELECT doc_id, MAX(n_tokens) AS n_tokens, COUNT(*) AS n_grams FROM gr GROUP BY doc_id)
+SELECT t.doc_id,
+  CAST(t.n_grams AS BIGINT) AS n_grams,
+  CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_grams,
+  CAST(COALESCE(d.n_regions, 0) AS BIGINT) AS n_dup_regions,
+  ROUND(COALESCE(d.cov, 0) / t.n_tokens, 4) AS dup_frac
+FROM tot t LEFT JOIN da d ON t.doc_id = d.doc_id
+""")(lambda s, d: D.duplicate_passages(D.with_planted_dups(docs(s, d))))
+
 q("sample_temperature_weights", """
 WITH pl AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
 t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total, SUM(sqrt(n_docs)) AS qsum FROM pl)
@@ -1495,6 +1520,8 @@ DEMOTED = [
     "sample_dataset_card",
     "dedup_incremental",
     "tq_charset_signals",
+    # exact substring (passage-level) dedup, Lee et al. 2021 semantics
+    "dedup_passages",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -642,6 +642,92 @@ def segment_boilerplate(
     )
 
 
+PASSAGE_K = 8          # duplicated-passage gram width (tokens)
+
+
+def duplicate_passages(docs: DataFrame, k: int = PASSAGE_K, min_docs: int = 2) -> DataFrame:
+    """Exact cross-document SUBSTRING dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", public):
+    a k-token gram that appears verbatim in >= min_docs distinct docs
+    marks a duplicated region; overlapping/adjacent duplicated grams are
+    merged into maximal regions per doc. This is the passage-level
+    complement to the doc-level minhash plane and the frequency-based
+    segment plane: it finds the *byte ranges* shared across documents
+    (licence blocks, quoted passages, planted truncated copies), not
+    whole near-dup docs or globally frequent lines.
+
+    Emits per doc (docs with >= k tokens): n_grams, n_dup_grams,
+    n_dup_regions (maximal merged runs), dup_frac (fraction of the doc's
+    tokens covered by the union of duplicated gram intervals).
+
+    Shape — the suffix-array paper's semantics, re-expressed as two
+    hash passes instead of a global sort (a distributed suffix array
+    would be a full-corpus sort-shuffle; rolling grams need only):
+      1. gram pass: tokens staged once behind a Generate barrier, gram
+         start positions exploded, each gram md5-hashed in codegen —
+         only (doc_id, pos, h) longs cross the exchange, never text;
+      2. the cross-doc gram set (count_distinct(doc_id) >= min_docs) is
+         bounded by how much text the corpus SHARES and broadcasts
+         (bloom filter at 100 TB, same swap as the segment plane);
+      3. region merge is ROW-LOCAL: per doc, sorted dup positions ->
+         gap array -> region count (gaps > k start a new region) and
+         interval-union coverage (first gram covers k tokens, each next
+         adds min(gap, k)) — O(dup grams) per doc, no window shuffle
+         beyond the one doc_id regroup.
+    """
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    base = docs.select(
+        "doc_id", F.inline(F.array(F.struct(toks.alias("toks"))))
+    ).filter(F.size("toks") >= k)
+    grams = base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        "toks",
+        F.explode(F.expr(f"sequence(0, size(toks) - {k})")).alias("pos"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        F.conv(
+            F.substring(F.md5(F.array_join(F.expr(f"slice(toks, pos + 1, {k})"), " ")), 1, 8),
+            16, 10,
+        ).cast("long").alias("h"),
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("d"))
+        .filter(F.col("d") >= min_docs)
+        .select("h", F.lit(1).alias("dup"))
+    )
+    flagged = grams.join(F.broadcast(dup), "h", "left")
+    agg = flagged.groupBy("doc_id").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.count("*").alias("n_grams"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("dup").isNotNull(), F.col("pos")))
+        ).alias("ps"),
+    )
+    # gaps between consecutive sorted dup starts; sequence(1, 0) would be
+    # DESCENDING, so the <2 guard lives inside the CASE
+    gaps = F.expr(
+        "CASE WHEN size(ps) >= 2 THEN transform(sequence(1, size(ps) - 1), j -> ps[j] - ps[j-1]) "
+        "ELSE CAST(array() AS array<int>) END"
+    )
+    n_regions = F.when(F.size("ps") == 0, F.lit(0)).otherwise(
+        F.lit(1) + F.size(F.filter(gaps, lambda g: g > F.lit(k)))
+    )
+    coverage = F.when(F.size("ps") == 0, F.lit(0)).otherwise(
+        F.lit(k) + F.aggregate(gaps, F.lit(0), lambda acc, g: acc + F.least(g, F.lit(k)))
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.size("ps").cast("long").alias("n_dup_grams"),
+        n_regions.cast("long").alias("n_dup_regions"),
+        F.round(coverage / F.col("n_tokens"), 4).alias("dup_frac"),
+    )
+
+
 def keep_corpus(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """The deduplicated corpus: canonical cluster representatives plus all
     unclustered docs — what a training pipeline actually feeds downstream.

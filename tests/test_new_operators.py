@@ -625,3 +625,42 @@ def test_charset_signals_planted(spark):
         "doc_id": 4, "n_chars_seen": 0, "n_nonascii": 0,
         "nonascii_frac": 0.0, "n_ctrl": 0, "n_replacement": 0,
     }
+
+
+def test_duplicate_passages_planted(spark):
+    """Exact substring dedup (Lee et al. semantics): a 5-token run shared
+    by docs 1+2 plus a re-occurrence of its 4-token prefix at the END of
+    doc 1 yields two merged regions there; within-doc repetition alone
+    (doc 4) is NOT cross-doc duplication and scores zero. Words are all
+    >= 3 letters because TOKEN_RE drops shorter tokens."""
+    from docling_nlp_api_spark.operators.dedup import duplicate_passages
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie delta echo unia unib unic unid unie alpha bravo charlie delta"),
+            (2, "alpha bravo charlie delta echo zeta zetb zetc zetd zete"),
+            (3, "kilo lima mike nova oscar papa quebec romeo sierra tango"),
+            (4, "rrra rrrb rrrc rrrd xerox rrra rrrb rrrc rrrd"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in duplicate_passages(df, k=4).collect()}
+    # doc 1: dup gram starts [0, 1, 10] -> gaps [1, 9] -> 2 regions,
+    # coverage 4 + min(1,4) + min(9,4) = 9 of 14 tokens
+    assert got[1] == {
+        "doc_id": 1, "n_grams": 11, "n_dup_grams": 3,
+        "n_dup_regions": 2, "dup_frac": round(9 / 14, 4),
+    }
+    # doc 2: dup starts [0, 1] -> one region covering 5 of 10 tokens
+    assert got[2] == {
+        "doc_id": 2, "n_grams": 7, "n_dup_grams": 2,
+        "n_dup_regions": 1, "dup_frac": 0.5,
+    }
+    assert got[3] == {
+        "doc_id": 3, "n_grams": 7, "n_dup_grams": 0,
+        "n_dup_regions": 0, "dup_frac": 0.0,
+    }
+    assert got[4] == {
+        "doc_id": 4, "n_grams": 6, "n_dup_grams": 0,
+        "n_dup_regions": 0, "dup_frac": 0.0,
+    }

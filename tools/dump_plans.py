@@ -93,6 +93,13 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # CCNet segment dedup: the frequent-segment set probes back as a
     # broadcast join; the distinct-doc count shuffles md5 hashes only
     "dedup_segment_boilerplate": (["BroadcastHashJoin", "HashAggregate"], ["SortMergeJoin"]),
+    # passage dedup: cross-doc gram set broadcasts to the gram stream;
+    # region merge is row-local after one doc_id regroup — no sort join,
+    # no cross join, gram TEXT never crosses an exchange (hashes only)
+    "dedup_passages": (
+        ["BroadcastHashJoin", "Generate"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
     # incremental dedup: candidates come from a (band, bucket) equi-join
     # of the two index frames — never a cross join of new x base
     "dedup_incremental": (
