@@ -1295,6 +1295,42 @@ SELECT t.doc_id,
 FROM tot t LEFT JOIN da d ON t.doc_id = d.doc_id
 """)(lambda s, d: D.duplicate_passages(D.with_planted_dups(docs(s, d))))
 
+q("dedup_passage_rewrite", f"""
+WITH {_NEAR_DUPS},
+tok AS (SELECT doc_id, {TOKS} AS toks FROM all_docs),
+gr AS (SELECT doc_id, i - 1 AS pos,
+         CAST(('0x' || substr(md5(array_to_string(
+           list_slice(toks, i, i + {D.PASSAGE_K} - 1), ' ')), 1, 8)) AS BIGINT) AS h
+       FROM tok, UNNEST(generate_series(1, len(toks) - {D.PASSAGE_K} + 1)) AS u(i)
+       WHERE len(toks) >= {D.PASSAGE_K}),
+dup AS (SELECT h, MIN(doc_id) AS owner FROM gr GROUP BY h
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+cutg AS (SELECT g.doc_id, g.pos FROM gr g JOIN dup d USING (h) WHERE g.doc_id <> d.owner),
+w AS (SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+               OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {D.PASSAGE_K}
+             THEN 1 ELSE 0 END AS brk
+      FROM cutg),
+r0 AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM w),
+reg AS (SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + {D.PASSAGE_K} - 1 AS e
+        FROM r0 GROUP BY doc_id, grp),
+ti AS (SELECT doc_id, i - 1 AS idx, toks[i] AS tk
+       FROM tok, UNNEST(generate_series(1, len(toks))) AS u(i)
+       WHERE len(toks) >= {D.PASSAGE_K}),
+kept AS (SELECT t.doc_id, t.idx, t.tk FROM ti t
+         WHERE NOT EXISTS (SELECT 1 FROM reg r
+                           WHERE r.doc_id = t.doc_id AND t.idx BETWEEN r.s AND r.e)),
+ragg AS (SELECT doc_id, SUM(e - s + 1) AS n_removed, COUNT(*) AS n_regions FROM reg GROUP BY doc_id),
+ka AS (SELECT doc_id, md5(string_agg(tk, ' ' ORDER BY idx)) AS clean_hash FROM kept GROUP BY doc_id),
+st AS (SELECT doc_id, len(toks) AS n_tokens FROM tok WHERE len(toks) >= {D.PASSAGE_K})
+SELECT st.doc_id,
+  CAST(st.n_tokens AS BIGINT) AS n_tokens,
+  CAST(COALESCE(ragg.n_removed, 0) AS BIGINT) AS n_removed,
+  CAST(COALESCE(ragg.n_regions, 0) AS BIGINT) AS n_regions_removed,
+  ka.clean_hash
+FROM st LEFT JOIN ragg USING (doc_id) LEFT JOIN ka USING (doc_id)
+""")(lambda s, d: D.duplicate_passage_rewrite(D.with_planted_dups(docs(s, d))))
+
 q("sample_temperature_weights", """
 WITH pl AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
 t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total, SUM(sqrt(n_docs)) AS qsum FROM pl)
@@ -1522,6 +1558,7 @@ DEMOTED = [
     "tq_charset_signals",
     # exact substring (passage-level) dedup, Lee et al. 2021 semantics
     "dedup_passages",
+    "dedup_passage_rewrite",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

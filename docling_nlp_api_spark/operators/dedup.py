@@ -728,6 +728,94 @@ def duplicate_passages(docs: DataFrame, k: int = PASSAGE_K, min_docs: int = 2) -
     )
 
 
+def duplicate_passage_rewrite(
+    docs: DataFrame, k: int = PASSAGE_K, min_docs: int = 2
+) -> DataFrame:
+    """The CLEANED corpus for the passage plane — what duplicate_passages
+    detects, this removes (Lee et al. keep-one-copy semantics): every
+    cross-doc duplicated gram has an OWNER (the min doc_id containing
+    it); the owner keeps its text, every other doc has the gram's token
+    range cut out. Token ranges of removed grams are merged into maximal
+    regions (equal-length intervals union ⟺ gap > k starts a new
+    region) and the surviving tokens re-joined in order.
+
+    Emits per doc (>= k tokens): n_tokens, n_removed (tokens cut),
+    n_regions_removed, clean_hash = md5 of the space-joined kept tokens
+    (NULL when everything was cut). The rewrite is TOKEN-space — the
+    canonical form every downstream dedup consumer here uses.
+
+    Same two-hash-pass shape as duplicate_passages; the broadcast side
+    additionally carries the 1-long owner id. The cut itself is
+    row-local: an aggregate over the sorted removed-gram starts builds
+    the merged regions, a second aggregate walks the regions emitting
+    the inter-region token slices — O(dup grams + kept tokens) per doc,
+    no extra exchange beyond the one doc_id regroup."""
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    base = docs.select(
+        "doc_id", F.inline(F.array(F.struct(toks.alias("toks"))))
+    ).filter(F.size("toks") >= k)
+    grams = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.expr(f"sequence(0, size(toks) - {k})")).alias("pos"),
+    ).select(
+        "doc_id",
+        "toks",
+        "pos",
+        F.conv(
+            F.substring(F.md5(F.array_join(F.expr(f"slice(toks, pos + 1, {k})"), " ")), 1, 8),
+            16, 10,
+        ).cast("long").alias("h"),
+    )
+    dup = (
+        grams.select("doc_id", "h")
+        .groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("d"), F.min("doc_id").alias("owner"))
+        .filter(F.col("d") >= min_docs)
+        .select("h", "owner")
+    )
+    flagged = grams.join(F.broadcast(dup), "h", "left")
+    cut = (F.col("owner").isNotNull()) & (F.col("doc_id") != F.col("owner"))
+    agg = flagged.groupBy("doc_id").agg(
+        F.first("toks").alias("toks"),
+        F.array_sort(F.collect_list(F.when(cut, F.col("pos")))).alias("ps"),
+    )
+    # merged removed regions: struct<s,e> intervals; equal-length grams
+    # union exactly when the next start is within last.e + 1
+    regions = F.expr(
+        "aggregate(ps, CAST(array() AS array<struct<s:int,e:int>>), "
+        "(acc, p) -> IF(size(acc) > 0 AND p <= element_at(acc, -1).e + 1, "
+        f"  slice(acc, 1, size(acc) - 1) || array(named_struct('s', element_at(acc, -1).s, 'e', p + {k} - 1)), "
+        f"  acc || array(named_struct('s', p, 'e', p + {k} - 1))))"
+    )
+    # walk the disjoint regions emitting inter-region slices; finish with
+    # the tail slice after the last region
+    kept = F.expr(
+        "aggregate(regions, named_struct('cur', 0, 'parts', CAST(array() AS array<string>)), "
+        "(st, r) -> named_struct('cur', r.e + 1, "
+        "  'parts', st.parts || slice(toks, st.cur + 1, r.s - st.cur)), "
+        "st -> st.parts || slice(toks, st.cur + 1, size(toks) - st.cur))"
+    )
+    staged = agg.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.inline(F.array(F.struct(regions.alias("regions"), F.col("toks").alias("toks")))),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("aggregate(regions, 0, (a, r) -> a + r.e - r.s + 1)").alias("n_removed"),
+        F.size("regions").alias("n_regions_removed"),
+        kept.alias("kept"),
+    )
+    return staged.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.col("n_regions_removed").cast("long").alias("n_regions_removed"),
+        F.when(F.size("kept") > 0, F.md5(F.array_join("kept", " "))).alias("clean_hash"),
+    )
+
+
 def keep_corpus(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """The deduplicated corpus: canonical cluster representatives plus all
     unclustered docs — what a training pipeline actually feeds downstream.

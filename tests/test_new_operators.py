@@ -664,3 +664,42 @@ def test_duplicate_passages_planted(spark):
         "doc_id": 4, "n_grams": 6, "n_dup_grams": 0,
         "n_dup_regions": 0, "dup_frac": 0.0,
     }
+
+
+def test_duplicate_passage_rewrite_planted(spark):
+    """Keep-one-copy rewrite: the min-doc_id owner keeps its text, every
+    other doc has the duplicated token range cut out; a doc that is
+    nothing but a shared passage is fully cut (NULL clean_hash)."""
+    import hashlib
+
+    from docling_nlp_api_spark.operators.dedup import duplicate_passage_rewrite
+
+    d1 = "alpha bravo charlie delta echo unia unib unic unid unie alpha bravo charlie delta"
+    d2 = "alpha bravo charlie delta echo zeta zetb zetc zetd zete"
+    df = spark.createDataFrame(
+        [
+            (1, d1),
+            (2, d2),
+            (3, "kilo lima mike nova oscar papa quebec romeo sierra tango"),
+            (5, "alpha bravo charlie delta echo"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in duplicate_passage_rewrite(df, k=4).collect()}
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # doc 1 owns every shared gram -> untouched
+    assert got[1] == {
+        "doc_id": 1, "n_tokens": 14, "n_removed": 0,
+        "n_regions_removed": 0, "clean_hash": h(d1),
+    }
+    # doc 2 loses the 5-token shared prefix ([0,3] u [1,4] -> [0,4])
+    assert got[2] == {
+        "doc_id": 2, "n_tokens": 10, "n_removed": 5,
+        "n_regions_removed": 1, "clean_hash": h("zeta zetb zetc zetd zete"),
+    }
+    assert got[3]["n_removed"] == 0 and got[3]["clean_hash"] is not None
+    # doc 5 is ONLY the shared passage -> everything cut
+    assert got[5] == {
+        "doc_id": 5, "n_tokens": 5, "n_removed": 5,
+        "n_regions_removed": 1, "clean_hash": None,
+    }

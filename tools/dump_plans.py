@@ -100,6 +100,12 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "Generate"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
+    # keep-one-copy rewrite: same broadcast shape; the region merge and
+    # token re-slicing are row-local aggregates, never a window shuffle
+    "dedup_passage_rewrite": (
+        ["BroadcastHashJoin", "Generate"],
+        ["SortMergeJoin", "CartesianProduct", "Window"],
+    ),
     # incremental dedup: candidates come from a (band, bucket) equi-join
     # of the two index frames — never a cross join of new x base
     "dedup_incremental": (
