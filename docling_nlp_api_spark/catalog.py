@@ -1478,6 +1478,41 @@ QUERIES["s4_s8_extract_render"] = extract_render
 QUERIES["s1_s3_binaryfile_ingest"] = binaryfile_ingest_summary
 QUERIES["a12_pipeline_metrics"] = pipeline_metrics
 
+
+def s3_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 as continuous ingestion: stage a 3-file spans drop zone, run
+    the checkpointed availableNow extraction stream (the unmodified
+    Arrow kernel per micro-batch), summarize the sink. Rows-only by
+    design (custom kernel, no SQL form); batch-equality + exactly-once
+    restart evidence is pinned by test_streaming.py. Fixture docs come
+    from datagen (deterministic), independent of sf_dir."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import run_extract_stream, stage_span_chunks
+
+    base = tempfile.mkdtemp(prefix="sx_")
+    try:
+        src, out, ck = (os.path.join(base, d) for d in ("drop", "out", "ck"))
+        stage_span_chunks(spark, src, n_docs=60, n_chunks=3)
+        run_extract_stream(spark, src, out, ck)
+        return (
+            spark.read.parquet(out)
+            .select(
+                "doc_id",
+                "status",
+                F.size("spans").alias("n_spans"),
+                F.col("metadata")["word_count"].cast("long").alias("word_count"),
+            )
+            .localCheckpoint()  # materialize before the staging dir is removed
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["s3_stream_extract"] = s3_stream_extract
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 #
@@ -1559,6 +1594,9 @@ DEMOTED = [
     # exact substring (passage-level) dedup, Lee et al. 2021 semantics
     "dedup_passages",
     "dedup_passage_rewrite",
+    # rows-only: streaming extraction (batch-equality + exactly-once
+    # restart pinned by test_streaming.py)
+    "s3_stream_extract",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

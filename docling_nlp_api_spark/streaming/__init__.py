@@ -7,3 +7,8 @@ from .events import (  # noqa: F401
     upsert_stream_foreach_batch,
     user_totals_stream,
 )
+from .extract import (  # noqa: F401
+    read_span_stream,
+    run_extract_stream,
+    stage_span_chunks,
+)

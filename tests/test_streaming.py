@@ -205,3 +205,52 @@ def test_foreach_batch_upsert_matches_batch(spark, drop_zone, tmp_path):
         .agg(F.count("*").alias("api_calls"))
     )
     assert _rows(state) == _rows(batch)
+
+
+def test_extract_stream_matches_batch_and_resumes(spark, tmp_path):
+    """Streaming extraction: (1) an availableNow pass over the staged
+    drop zone produces EXACTLY the batch kernel's output on the same
+    docs (span-sequence equality per doc); (2) staging more files and
+    re-running with the same checkpoint extracts only the new docs —
+    no reprocessing, no duplicates (exactly-once across restart);
+    (3) an immediate restart with nothing new runs zero data batches."""
+    from docling_nlp_api_spark.datagen import spans_df
+    from docling_nlp_api_spark.operators.extract import extract
+    from docling_nlp_api_spark.streaming import (
+        run_extract_stream,
+        stage_span_chunks,
+    )
+
+    src = str(tmp_path / "drop")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    stage_span_chunks(spark, src, n_docs=90, n_chunks=3)
+    n1 = run_extract_stream(spark, src, out, ckpt)
+    assert n1 == 3  # one micro-batch per staged file
+
+    def canon(df):
+        return {
+            r["doc_id"]: (
+                [tuple(s) for s in r["spans"]],
+                r["status"],
+                r["metadata"]["word_count"],
+            )
+            for r in df.collect()
+        }
+
+    got = canon(spark.read.parquet(out))
+    want = canon(extract(spans_df(spark, 90)))
+    assert got == want and len(got) == 90
+
+    # later arrivals: 30 new docs land; same checkpoint -> only they run
+    stage_span_chunks(spark, src, n_docs=30, n_chunks=1, start_doc=90)
+    n2 = run_extract_stream(spark, src, out, ckpt)
+    assert n2 == 1
+    got2 = canon(spark.read.parquet(out))
+    assert len(got2) == 120  # 90 old + 30 new, each exactly once
+    want2 = canon(extract(spans_df(spark, 120)))
+    assert got2 == want2
+
+    # restart with nothing new: zero data micro-batches
+    assert run_extract_stream(spark, src, out, ckpt) == 0
