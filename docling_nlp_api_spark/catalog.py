@@ -1331,6 +1331,18 @@ SELECT st.doc_id,
 FROM st LEFT JOIN ragg USING (doc_id) LEFT JOIN ka USING (doc_id)
 """)(lambda s, d: D.duplicate_passage_rewrite(D.with_planted_dups(docs(s, d))))
 
+q("lm_bpe_pair_stats", f"""
+WITH tok AS (SELECT unnest({TOKS}) AS w FROM documents),
+wf AS (SELECT w, COUNT(*) AS wc FROM tok GROUP BY w),
+pr AS (SELECT w, wc, substr(w, i, 2) AS pair
+       FROM wf, UNNEST(generate_series(1, length(w) - 1)) AS u(i)),
+ag AS (SELECT pair, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words,
+              CAST(SUM(wc) AS BIGINT) AS pair_count
+       FROM pr GROUP BY pair)
+SELECT pair, n_words, pair_count FROM ag
+ORDER BY pair_count DESC, pair LIMIT 20
+""")(lambda s, d: SP.bpe_pair_stats(docs(s, d)))
+
 q("sample_temperature_weights", """
 WITH pl AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
 t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total, SUM(sqrt(n_docs)) AS qsum FROM pl)
@@ -1597,6 +1609,8 @@ DEMOTED = [
     # rows-only: streaming extraction (batch-equality + exactly-once
     # restart pinned by test_streaming.py)
     "s3_stream_extract",
+    # BPE merge-step pair counting (tokenizer training primitive)
+    "lm_bpe_pair_stats",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -292,3 +292,42 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
             F.round(F.avg("nll"), 4).alias("mean_nll"),
         )
     )
+
+
+def bpe_pair_stats(docs: DataFrame, top_n: int = 20) -> DataFrame:
+    """Tokenizer-training primitive: ONE BPE merge step over the corpus —
+    the frequency of every adjacent symbol pair (here: character bigrams
+    inside words, the first-iteration state), weighted by word frequency.
+    The top row is the pair BPE would merge next; at scale each training
+    iteration re-runs this with the merged vocab substituted in.
+
+    Scale shape (the standard map-reduce BPE design, e.g. SentencePiece's
+    distributed mode): pair counting runs over the DISTINCT-word
+    frequency table, never the raw token stream — Zipf makes |vocab|
+    ~sqrt(corpus mass), so the explode-pairs stage is vocabulary-sized.
+    Two narrow shuffles (word rollup, pair rollup; both partial-agg
+    map-side) and a TakeOrderedAndProject top-k — no global sort.
+
+    Emits (pair, n_words = distinct words containing it, pair_count =
+    occurrence count weighted by word frequency), count-desc, pair-asc
+    tiebreak for cross-engine determinism. Repeats inside one word
+    ("aaa" -> "aa" twice) count per occurrence, as BPE requires."""
+    from ..spec import TOKEN_RE
+
+    words = (
+        docs.select(F.explode(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    pairs = words.select(
+        "w", "wc", F.explode(F.expr("sequence(1, length(w) - 1)")).alias("i")
+    ).select("w", "wc", F.expr("substr(w, i, 2)").alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.count_distinct("w").alias("n_words"),
+            F.sum("wc").alias("pair_count"),
+        )
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(top_n)
+    )

@@ -703,3 +703,19 @@ def test_duplicate_passage_rewrite_planted(spark):
         "doc_id": 5, "n_tokens": 5, "n_removed": 5,
         "n_regions_removed": 1, "clean_hash": None,
     }
+
+
+def test_bpe_pair_stats_planted(spark):
+    """One BPE merge step: 'aa' wins (2 per 'aaa' x 2 occurrences + 1 per
+    'aab' x 2) with within-word repeats counted per occurrence; the tied
+    tail orders pair-asc deterministically."""
+    from docling_nlp_api_spark.operators.sampling import bpe_pair_stats
+
+    df = spark.createDataFrame(
+        [(1, "aaa bbb aaa"), (2, "aab aab")],
+        "doc_id long, text string",
+    )
+    rows = [tuple(r) for r in bpe_pair_stats(df).collect()]
+    assert rows[0] == ("aa", 2, 6)
+    assert set(rows[1:]) == {("ab", 1, 2), ("bb", 1, 2)}
+    assert rows[1][0] == "ab"  # count-tie broken pair-asc

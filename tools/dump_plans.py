@@ -106,6 +106,9 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "Generate"],
         ["SortMergeJoin", "CartesianProduct", "Window"],
     ),
+    # BPE pair counting: vocabulary-sized explode, partial-agg rollups,
+    # top-k must be TakeOrderedAndProject (never a global Sort)
+    "lm_bpe_pair_stats": (["TakeOrderedAndProject", "HashAggregate"], ["Sort "]),
     # incremental dedup: candidates come from a (band, bucket) equi-join
     # of the two index frames — never a cross join of new x base
     "dedup_incremental": (
