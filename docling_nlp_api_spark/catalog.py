@@ -1331,6 +1331,21 @@ SELECT st.doc_id,
 FROM st LEFT JOIN ragg USING (doc_id) LEFT JOIN ka USING (doc_id)
 """)(lambda s, d: D.duplicate_passage_rewrite(D.with_planted_dups(docs(s, d))))
 
+q("nlp_tfidf_top_terms", f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT t.doc_id, t.term, t.tf, d.df,
+         ROUND(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 4) AS score
+       FROM tf t JOIN dfx d USING (term) CROSS JOIN nd n),
+rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+       FROM sc)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score, CAST(rk AS INT) AS rk
+FROM rk WHERE rk <= 3
+""")(lambda s, d: N.tfidf_top_terms(docs(s, d)))
+
 q("lm_bpe_pair_stats", f"""
 WITH tok AS (SELECT unnest({TOKS}) AS w FROM documents),
 wf AS (SELECT w, COUNT(*) AS wc FROM tok GROUP BY w),
@@ -1611,6 +1626,8 @@ DEMOTED = [
     "s3_stream_extract",
     # BPE merge-step pair counting (tokenizer training primitive)
     "lm_bpe_pair_stats",
+    # idf-weighted keyword extraction (complements W2/A8 frequency form)
+    "nlp_tfidf_top_terms",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -166,3 +166,40 @@ def doc_range_rollup(docs: DataFrame) -> DataFrame:
         "lang", "documents_processed", "total_chars", "total_words",
         rate.alias("success_rate"), avg_words.alias("avg_words"),
     )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """idf-weighted keyword extraction: top-k terms per doc by
+    tf x ln(N/df), N = docs with >= 1 token, df = docs containing the
+    term. No stopword list needed — idf is the statistical form of one
+    (corpus-wide terms get ln(N/df) -> 0), which is why this op
+    complements the reference-parity frequency keywords (W2/A8).
+
+    Rank key is round(score, 4) with a term-asc tiebreak: ln differs
+    from DuckDB's by <= 1 ulp, so ordering raw doubles cross-engine is
+    a latent flake; 4-decimal quantization is the repo's float
+    contract. Scale shape: tf and df are both vocabulary/doc-term
+    sized partial-agg rollups, the df table is vocabulary-sized (Zipf)
+    and broadcasts, and the only row-expansion is the token explode the
+    tf rollup immediately collapses. The top-k window partitions by
+    doc_id — per-doc state, never a global sort."""
+    base = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = base.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = tf.select("doc_id").distinct().agg(F.count("*").alias("n_docs"))
+    df_tab = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_tab), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

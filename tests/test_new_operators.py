@@ -719,3 +719,23 @@ def test_bpe_pair_stats_planted(spark):
     assert rows[0] == ("aa", 2, 6)
     assert set(rows[1:]) == {("ab", 1, 2), ("bb", 1, 2)}
     assert rows[1][0] == "ab"  # count-tie broken pair-asc
+
+
+def test_tfidf_top_terms_planted(spark):
+    """tf x ln(N/df) with N=4: doc 1 has an exact score tie (1*ln(4) ==
+    2*ln(2)) broken term-asc; unique terms outrank corpus-wide ones."""
+    from docling_nlp_api_spark.operators.nlp import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "cat bird"), (3, "zzz yyy"), (4, "fish fish fish")],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_id"], r["rk"]): (r["term"], r["tf"], r["df"], r["score"])
+            for r in tfidf_top_terms(df).collect()}
+    assert rows[(1, 1)] == ("cat", 2, 2, 1.3863)   # 2*ln(2) ties 1*ln(4), cat < dog
+    assert rows[(1, 2)] == ("dog", 1, 1, 1.3863)
+    assert rows[(2, 1)] == ("bird", 1, 1, 1.3863)
+    assert rows[(2, 2)] == ("cat", 1, 2, 0.6931)
+    assert rows[(3, 1)][0] == "yyy" and rows[(3, 2)][0] == "zzz"
+    assert rows[(4, 1)] == ("fish", 3, 1, 4.1589)
+    assert len(rows) == 7

@@ -109,6 +109,9 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # BPE pair counting: vocabulary-sized explode, partial-agg rollups,
     # top-k must be TakeOrderedAndProject (never a global Sort)
     "lm_bpe_pair_stats": (["TakeOrderedAndProject", "HashAggregate"], ["Sort "]),
+    # tf-idf: df table broadcasts (vocabulary-sized); the top-k window
+    # partitions by doc_id — per-doc state, never a global sort
+    "nlp_tfidf_top_terms": (["BroadcastHashJoin", "Window"], ["SortMergeJoin"]),
     # incremental dedup: candidates come from a (band, bucket) equi-join
     # of the two index frames — never a cross join of new x base
     "dedup_incremental": (
