@@ -1331,6 +1331,23 @@ SELECT st.doc_id,
 FROM st LEFT JOIN ragg USING (doc_id) LEFT JOIN ka USING (doc_id)
 """)(lambda s, d: D.duplicate_passage_rewrite(D.with_planted_dups(docs(s, d))))
 
+q("sample_dsir_weights", """
+WITH tok AS (SELECT doc_id,
+        CAST(lang = 'en' AS INT) AS in_target,
+        unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents),
+c AS (SELECT word, COUNT(*) AS cc, SUM(in_target) AS ct FROM tok GROUP BY word),
+t AS (SELECT CAST(SUM(cc) AS BIGINT) AS tc, CAST(SUM(ct) AS BIGINT) AS tt,
+             COUNT(*) AS v FROM c),
+w AS (SELECT word,
+        ln(((ct + 1) * (tc + v)) / (CAST((cc + 1) AS DOUBLE) * (tt + v))) AS lr
+      FROM c CROSS JOIN t)
+SELECT doc_id, in_target, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(lr), 4) AS mean_log_ratio
+FROM tok JOIN w USING (word)
+GROUP BY doc_id, in_target
+""")(lambda s, d: SP.importance_weights(docs(s, d)))
+
 q("nlp_tfidf_top_terms", f"""
 WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
@@ -1628,6 +1645,8 @@ DEMOTED = [
     "lm_bpe_pair_stats",
     # idf-weighted keyword extraction (complements W2/A8 frequency form)
     "nlp_tfidf_top_terms",
+    # DSIR importance weights (target-domain data selection signal)
+    "sample_dsir_weights",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

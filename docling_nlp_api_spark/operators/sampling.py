@@ -331,3 +331,53 @@ def bpe_pair_stats(docs: DataFrame, top_n: int = 20) -> DataFrame:
         .orderBy(F.desc("pair_count"), "pair")
         .limit(top_n)
     )
+
+
+def importance_weights(docs: DataFrame, target_lang: str = "en") -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR; Xie et al. 2023,
+    public): score every doc by the mean per-token log-ratio
+    ln(p_target(w) / p_raw(w)) between add-1-smoothed unigram models of
+    a TARGET domain (here: lang = target_lang) and the raw corpus. High
+    scores mark raw-corpus docs that look like the target — the
+    selection signal DSIR resamples by; [[sample_temperature_resample]]
+    provides the materialization step.
+
+    Scale shape (same contract as unigram_logprob): both unigram models
+    are vocabulary-sized rollups (Zipf ~sqrt corpus mass); the joint
+    weight table — one log-ratio per word — broadcasts back to the
+    token stream, and the per-doc mean partial-aggregates map-side.
+    Smoothing uses the raw-corpus vocabulary V for both models (the
+    target is a subset, so V covers it); every quantity is an exact
+    integer until the final double division + ln, and the mean rounds
+    to 4 decimals (the repo's cross-engine float contract)."""
+    toks = docs.select(
+        "doc_id",
+        (F.col("lang") == target_lang).cast("int").alias("in_target"),
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), 0)).alias("word"),
+    )
+    counts = toks.groupBy("word").agg(
+        F.count("*").alias("cc"),
+        F.sum("in_target").alias("ct"),
+    )
+    totals = counts.agg(
+        F.sum("cc").alias("tc"),
+        F.sum("ct").alias("tt"),
+        F.count("*").alias("v"),
+    )
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "word",
+        F.log(
+            ((F.col("ct") + 1) * (F.col("tc") + F.col("v")))
+            / ((F.col("cc") + 1) * (F.col("tt") + F.col("v")))
+        ).alias("lr"),
+    )
+    return (
+        toks.join(F.broadcast(weights), "word")
+        .groupBy("doc_id", "in_target")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("lr"), 4).alias("mean_log_ratio"),
+        )
+        .select("doc_id", "in_target", F.col("n_tokens").cast("long").alias("n_tokens"),
+                "mean_log_ratio")
+    )

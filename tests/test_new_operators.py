@@ -739,3 +739,38 @@ def test_tfidf_top_terms_planted(spark):
     assert rows[(3, 1)][0] == "yyy" and rows[(3, 2)][0] == "zzz"
     assert rows[(4, 1)] == ("fish", 3, 1, 4.1589)
     assert len(rows) == 7
+
+
+def test_dsir_importance_weights_planted(spark):
+    """DSIR weights: a non-target doc written in target-like vocabulary
+    must outscore a non-target doc with off-domain vocabulary; exact
+    values pinned by an in-test add-1 unigram mirror."""
+    import math
+    from collections import Counter
+
+    from docling_nlp_api_spark.operators.sampling import importance_weights
+
+    corpus = [
+        (1, "en", "ttt ttt aaa"),
+        (2, "en", "ttt aaa"),
+        (3, "de", "ooo ooo aaa"),
+        (4, "de", "ttt ttt aaa"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, lang string, text string")
+
+    all_w = [w for _, _, t in corpus for w in t.split()]
+    tgt_w = [w for _, l, t in corpus if l == "en" for w in t.split()]
+    cc, ct = Counter(all_w), Counter(tgt_w)
+    tc, tt, v = len(all_w), len(tgt_w), len(cc)
+    lr = {w: math.log(((ct[w] + 1) * (tc + v)) / ((cc[w] + 1) * (tt + v))) for w in cc}
+    want = {
+        d: (int(l == "en"), len(t.split()),
+            round(sum(lr[w] for w in t.split()) / len(t.split()), 4))
+        for d, l, t in corpus
+    }
+
+    got = {r["doc_id"]: (r["in_target"], r["n_tokens"], r["mean_log_ratio"])
+           for r in importance_weights(df).collect()}
+    assert got == want
+    assert got[4][2] > got[3][2]  # target-like beats off-domain
+    assert got[1][2] > 0 > got[3][2]

@@ -112,6 +112,9 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # tf-idf: df table broadcasts (vocabulary-sized); the top-k window
     # partitions by doc_id — per-doc state, never a global sort
     "nlp_tfidf_top_terms": (["BroadcastHashJoin", "Window"], ["SortMergeJoin"]),
+    # DSIR: vocabulary-sized weight table broadcasts to the token
+    # stream; per-doc mean partial-aggregates map-side
+    "sample_dsir_weights": (["BroadcastHashJoin", "HashAggregate"], ["SortMergeJoin"]),
     # incremental dedup: candidates come from a (band, bucket) equi-join
     # of the two index frames — never a cross join of new x base
     "dedup_incremental": (
