@@ -1331,6 +1331,25 @@ SELECT st.doc_id,
 FROM st LEFT JOIN ragg USING (doc_id) LEFT JOIN ka USING (doc_id)
 """)(lambda s, d: D.duplicate_passage_rewrite(D.with_planted_dups(docs(s, d))))
 
+q("lm_bigram_logprob", """
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             FROM documents),
+big AS (SELECT doc_id, toks[i] AS prev, toks[i+1] AS w
+        FROM tok, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 2),
+c2 AS (SELECT prev, w, COUNT(*) AS c2 FROM big GROUP BY prev, w),
+c1 AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY prev),
+vt AS (SELECT COUNT(DISTINCT word) AS v
+       FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+             FROM documents)),
+sc AS (SELECT b.doc_id,
+         ln(CAST(c1.c1 + vt.v AS DOUBLE) / (c2.c2 + 1)) AS nll
+       FROM big b JOIN c2 USING (prev, w) JOIN c1 USING (prev) CROSS JOIN vt)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(nll), 4) AS mean_nll
+FROM sc GROUP BY doc_id
+""")(lambda s, d: SP.bigram_logprob(docs(s, d)))
+
 q("sample_dsir_weights", """
 WITH tok AS (SELECT doc_id,
         CAST(lang = 'en' AS INT) AS in_target,
@@ -1647,6 +1666,8 @@ DEMOTED = [
     "nlp_tfidf_top_terms",
     # DSIR importance weights (target-domain data selection signal)
     "sample_dsir_weights",
+    # bigram-LM quality scoring (n-gram step toward CCNet's KenLM filter)
+    "lm_bigram_logprob",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -381,3 +381,53 @@ def importance_weights(docs: DataFrame, target_lang: str = "en") -> DataFrame:
         .select("doc_id", "in_target", F.col("n_tokens").cast("long").alias("n_tokens"),
                 "mean_log_ratio")
     )
+
+
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Bigram-LM quality scoring — the n-gram step past unigram_logprob
+    toward CCNet's KenLM filter: per-doc mean -ln p(w_i | w_{i-1}) under
+    an add-1 model, p(w|prev) = (c2(prev,w)+1) / (c1(prev)+V) with
+    c1(prev) = sum_w c2(prev,w) (context occurrences) and V = corpus
+    distinct-word count. Higher mean NLL = text the corpus-level model
+    finds surprising (noise, mojibake, wrong-language).
+
+    Scale shape: bigrams are built ROW-LOCALLY behind a Generate barrier
+    (one tokenizer pass, struct-pair transform) before the explode; the
+    bigram count table is Zipf-bounded but larger than the vocab, so the
+    probe is an equi-join on (prev, w) — both sides narrow — rather than
+    a forced broadcast; AQE picks broadcast when it fits (it does at
+    sandbox scale). c1 and V are vocabulary-sized and always broadcast.
+    Per-doc mean partial-aggregates map-side; round-4 is the
+    cross-engine float contract."""
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), 0)
+    base = docs.select("doc_id", F.inline(F.array(F.struct(toks.alias("toks")))))
+    big = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN "
+                "transform(sequence(1, size(toks) - 1), "
+                "          i -> struct(toks[i-1] AS prev, toks[i] AS w)) "
+                "ELSE CAST(array() AS array<struct<prev:string,w:string>>) END"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.w").alias("w"))
+    c2 = big.groupBy("prev", "w").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    v = (
+        docs.select(F.explode(toks).alias("word"))
+        .agg(F.count_distinct("word").alias("v"))
+    )
+    scored = (
+        big.join(c2, ["prev", "w"])
+        .join(F.broadcast(c1), "prev")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.log((F.col("c1") + F.col("v")) / (F.col("c2") + 1)).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("nll"), 4).alias("mean_nll"),
+    )

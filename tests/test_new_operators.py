@@ -774,3 +774,48 @@ def test_dsir_importance_weights_planted(spark):
     assert got == want
     assert got[4][2] > got[3][2]  # target-like beats off-domain
     assert got[1][2] > 0 > got[3][2]
+
+
+def test_bigram_logprob_planted(spark):
+    """Bigram NLL: a doc repeating the corpus's dominant bigram scores a
+    LOWER mean NLL than one made of bigrams seen once; exact values
+    pinned by an in-test add-1 mirror (V from the full token stream,
+    c1 = context occurrences)."""
+    import math
+    from collections import Counter
+
+    from docling_nlp_api_spark.operators.sampling import bigram_logprob
+
+    corpus = [
+        (1, "aa bb aa bb aa bb"),
+        (2, "cc dd ee"),
+        (3, "aa bb cc"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    def toks(t):
+        return t.split()
+
+    allw = [w for _, t in corpus for w in toks(t)]
+    bigs = [
+        (ts[i - 1], ts[i])
+        for _, t in corpus
+        for ts in [toks(t)]
+        for i in range(1, len(ts))
+    ]
+    c2 = Counter(bigs)
+    c1 = Counter(p for p, _ in bigs)
+    v = len(set(allw))
+    want = {}
+    for d, t in corpus:
+        ts = toks(t)
+        nlls = [
+            math.log((c1[ts[i - 1]] + v) / (c2[(ts[i - 1], ts[i])] + 1))
+            for i in range(1, len(ts))
+        ]
+        want[d] = (len(nlls), round(sum(nlls) / len(nlls), 4))
+
+    got = {r["doc_id"]: (r["n_bigrams"], r["mean_nll"])
+           for r in bigram_logprob(df).collect()}
+    assert got == want
+    assert got[1][1] < got[2][1]  # dominant-bigram doc is least surprising

@@ -115,6 +115,12 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # DSIR: vocabulary-sized weight table broadcasts to the token
     # stream; per-doc mean partial-aggregates map-side
     "sample_dsir_weights": (["BroadcastHashJoin", "HashAggregate"], ["SortMergeJoin"]),
+    # bigram LM: row-local bigram build behind a Generate; count-table
+    # probes are equi-joins (AQE broadcasts at this scale), no cross join
+    "lm_bigram_logprob": (
+        ["Generate", "HashAggregate"],
+        ["CartesianProduct"],
+    ),
     # incremental dedup: candidates come from a (band, bucket) equi-join
     # of the two index frames — never a cross join of new x base
     "dedup_incremental": (
