@@ -1331,6 +1331,11 @@ SELECT st.doc_id,
 FROM st LEFT JOIN ragg USING (doc_id) LEFT JOIN ka USING (doc_id)
 """)(lambda s, d: D.duplicate_passage_rewrite(D.with_planted_dups(docs(s, d))))
 
+# rows-only by design: iterative driver-loop algorithm (the k-means
+# pattern) — pinned against a Python BPE reference by
+# tests/test_bpe_learn_property.py
+QUERIES["lm_bpe_learn"] = lambda s, d: SP.bpe_learn(docs(s, d), n_merges=5)
+
 q("lm_bigram_logprob", """
 WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
              FROM documents),
@@ -1668,6 +1673,8 @@ DEMOTED = [
     "sample_dsir_weights",
     # bigram-LM quality scoring (n-gram step toward CCNet's KenLM filter)
     "lm_bigram_logprob",
+    # rows-only: iterative BPE vocabulary learning (property-pytest-pinned)
+    "lm_bpe_learn",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -431,3 +431,78 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("nll"), 4).alias("mean_nll"),
     )
+
+
+def bpe_learn(docs: DataFrame, n_merges: int = 5) -> DataFrame:
+    """Full BPE vocabulary LEARNING — n_merges greedy iterations of the
+    merge step bpe_pair_stats counts once. Classic driver-loop iterative
+    algorithm on tiny state (the Lloyd's-k-means pattern of
+    similarity.py): the distributed side only ever touches the
+    DISTINCT-word symbol table (vocabulary-sized, persisted between
+    rounds); each round one (pair, count) row reaches the driver and
+    returns as three literals in a row-local fold.
+
+    Merge semantics match standard BPE training: greedy left-to-right
+    non-overlapping replacement ("aaaa" under merge (a,a) -> [aa, aa]),
+    ties broken (count desc, a asc, b asc). Emits the learned merge
+    table (rank, a, b, pair_count) — rows-only by design (iterative,
+    not SQL-expressible; pinned by the property test against a Python
+    reference in test_bpe_learn_property.py)."""
+    from ..spec import TOKEN_RE
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    cur = words.select(
+        "wc", F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").alias("syms")
+    ).persist()
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rnd in range(1, n_merges + 1):
+            pairs = cur.select(
+                "wc",
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(syms) >= 2 THEN "
+                        "transform(sequence(1, size(syms) - 1), "
+                        "          i -> struct(syms[i-1] AS a, syms[i] AS b)) "
+                        "ELSE CAST(array() AS array<struct<a:string,b:string>>) END"
+                    )
+                ).alias("p"),
+            )
+            best = (
+                pairs.groupBy("p.a", "p.b")
+                .agg(F.sum("wc").alias("cnt"))
+                .orderBy(F.desc("cnt"), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+            merges.append((rnd, a, b, cnt))
+            la, lb, lm = F.lit(a), F.lit(b), F.lit(a + b)
+            nxt = cur.select(
+                "wc",
+                F.aggregate(
+                    "syms",
+                    F.expr("CAST(array() AS array<string>)"),
+                    lambda acc, s: F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == la)
+                        & (s == lb),
+                        F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lm)),
+                    ).otherwise(F.concat(acc, F.array(s))),
+                ).alias("syms"),
+            ).persist()
+            nxt.count()  # materialize before dropping the parent cache
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        merges or [], "rank int, a string, b string, pair_count long"
+    )
