@@ -1581,6 +1581,21 @@ def s3_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["s3_stream_extract"] = s3_stream_extract
 
+
+def span_boilerplate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (the spans fixture is generated, not a DuckDB view):
+    cross-doc repeated (kind, text) spans flagged as boilerplate — the
+    extraction plane's segment_boilerplate. The fixture's pageno/image
+    spans recur organically; exact semantics pinned by the planted
+    pytest in test_new_operators.py."""
+    from .datagen import spans_df
+    from .operators.dedup import span_boilerplate
+
+    return span_boilerplate(spans_df(spark, min(_n_docs_for(sf_dir), 2000)))
+
+
+QUERIES["u1_span_boilerplate"] = span_boilerplate_summary
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 #
@@ -1675,6 +1690,8 @@ DEMOTED = [
     "lm_bigram_logprob",
     # rows-only: iterative BPE vocabulary learning (property-pytest-pinned)
     "lm_bpe_learn",
+    # rows-only: span-model boilerplate removal (planted-pytest-pinned)
+    "u1_span_boilerplate",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -826,3 +826,62 @@ def keep_corpus(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     return docs.join(F.broadcast(drop), "doc_id", "left_anti").select(
         "doc_id", F.md5("text").alias("text_md5")
     )
+
+
+SPAN_BOILER_MIN_DOCS = 10
+
+
+def span_boilerplate(spans_table: DataFrame, min_docs: int = SPAN_BOILER_MIN_DOCS) -> DataFrame:
+    """Boilerplate detection on the SPAN model — the extraction plane's
+    form of segment_boilerplate: a (kind, text) span payload recurring
+    in >= min_docs distinct docs is boilerplate (page-number markers,
+    repeated media refs, shared anchors — the fixture's pageno spans
+    organically recur across ~30% of docs). Emits per doc: span counts,
+    boilerplate fraction, and the md5 of the kept (kind:text) sequence
+    in offset order (NULL when everything was boilerplate).
+
+    Same two-pass shape as segment_boilerplate: the corpus pass ships
+    only (hash, doc_id) pairs into the distinct-doc count, the
+    above-threshold set is bounded by what the corpus SHARES and
+    broadcasts back, and the rewrite regroups kept spans per doc —
+    bloom-filter swap at 100 TB. Runs BEFORE the kernel so boilerplate
+    never costs extraction time downstream."""
+    flat = spans_table.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.offset").alias("off"),
+    ).select(
+        "doc_id", "kind", "text", "off",
+        F.md5(F.concat_ws(":", "kind", "text")).alias("h"),
+    )
+    frequent = (
+        flat.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h", F.lit(1).alias("common"))
+    )
+    flagged = flat.join(F.broadcast(frequent), "h", "left")
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("common").isNull(),
+                F.struct(
+                    F.col("off").alias("o"),
+                    F.concat_ws(":", "kind", "text").alias("kt"),
+                ),
+            )
+        )
+    )
+    n_common = F.sum(F.coalesce("common", F.lit(0)))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        n_common.cast("long").alias("n_boilerplate"),
+        F.round(n_common / F.count("*"), 4).alias("boilerplate_frac"),
+        F.when(
+            F.size(kept) > 0,
+            F.md5(F.concat_ws("|", F.transform(kept, lambda x: x["kt"]))),
+        ).alias("clean_hash"),
+    )

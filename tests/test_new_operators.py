@@ -819,3 +819,47 @@ def test_bigram_logprob_planted(spark):
            for r in bigram_logprob(df).collect()}
     assert got == want
     assert got[1][1] < got[2][1]  # dominant-bigram doc is least surprising
+
+
+def test_span_boilerplate_planted(spark):
+    """Span-model boilerplate: a (kind, text) payload recurring in >=
+    min_docs distinct docs is cut from every doc; kept spans hash in
+    offset order; an all-boilerplate doc gets a NULL clean_hash; the
+    same text under a DIFFERENT kind is not pooled."""
+    import hashlib
+
+    from docling_nlp_api_spark.operators.dedup import span_boilerplate
+
+    def span(kind, text, off):
+        return {"kind": kind, "text": text, "media_ref": "", "offset": off}
+
+    rows = []
+    # docs 1..10 share a pageno marker; each has a unique paragraph AFTER it
+    for d in range(1, 11):
+        rows.append((f"d{d}", [span("pageno", "page 1", 0),
+                               span("paragraph", f"unique text {d}", 10)]))
+    # doc 11 is ONLY the shared marker
+    rows.append(("d11", [span("pageno", "page 1", 0)]))
+    # doc 12 carries the same TEXT under another kind (not pooled: only
+    # 1 doc has this (kind,text) so it survives)
+    rows.append(("d12", [span("heading", "page 1", 0)]))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = {r["doc_id"]: r.asDict() for r in span_boilerplate(df, min_docs=10).collect()}
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got["d3"] == {
+        "doc_id": "d3", "n_spans": 2, "n_boilerplate": 1,
+        "boilerplate_frac": 0.5, "clean_hash": h("paragraph:unique text 3"),
+    }
+    assert got["d11"] == {
+        "doc_id": "d11", "n_spans": 1, "n_boilerplate": 1,
+        "boilerplate_frac": 1.0, "clean_hash": None,
+    }
+    assert got["d12"] == {
+        "doc_id": "d12", "n_spans": 1, "n_boilerplate": 0,
+        "boilerplate_frac": 0.0, "clean_hash": h("heading:page 1"),
+    }
+    assert sum(r["n_boilerplate"] for r in got.values()) == 11
