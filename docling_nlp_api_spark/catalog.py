@@ -24,6 +24,7 @@ from .operators import pii as P
 from .operators import relational as R
 from .operators import sampling as SP
 from .operators import scalars as X
+from .operators import sketches as SK
 from .operators import similarity as S
 from .operators import textquality as Q
 from .spec import STOPWORDS_40, TOKEN_RE
@@ -1336,6 +1337,36 @@ FROM st LEFT JOIN ragg USING (doc_id) LEFT JOIN ka USING (doc_id)
 # tests/test_bpe_learn_property.py
 QUERIES["lm_bpe_learn"] = lambda s, d: SP.bpe_learn(docs(s, d), n_merges=5)
 
+q("sk_hll_distinct", f"""
+WITH src AS (SELECT event_type AS grp,
+        CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events),
+r0 AS (SELECT grp, h >> 52 AS bucket, h & 4503599627370495 AS w FROM src),
+r1 AS (SELECT grp, bucket,
+         CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rank
+       FROM r0),
+regs AS (SELECT grp, bucket, MAX(rank) AS rank FROM r1 GROUP BY grp, bucket),
+ag AS (SELECT grp,
+         SUM(CAST(1 AS BIGINT) << CAST(53 - rank AS INT)) AS hsum_int,
+         COUNT(*) AS np
+       FROM regs GROUP BY grp),
+raw AS (SELECT grp, np,
+          {SK.HLL_ALPHA * SK.HLL_M * SK.HLL_M!r} /
+            (hsum_int / 9007199254740992.0 + (256 - np)) AS raw
+        FROM ag),
+est AS (SELECT grp,
+          ROUND(CASE WHEN raw <= {2.5 * SK.HLL_M} AND (256 - np) > 0
+                     THEN 256.0 * ln(256.0 / (256 - np)) ELSE raw END, 4) AS hll_estimate
+        FROM raw),
+ex AS (SELECT event_type AS grp, COUNT(DISTINCT event_id) AS exact_distinct
+       FROM events GROUP BY 1)
+SELECT ex.grp AS event_type,
+  CAST(exact_distinct AS BIGINT) AS exact_distinct,
+  hll_estimate,
+  ROUND(abs(hll_estimate - exact_distinct) / exact_distinct, 4) AS rel_err
+FROM ex JOIN est USING (grp)
+""")(lambda s, d: SK.hll_distinct(events(s, d), "event_type", "event_id"))
+
 q("lm_bigram_logprob", """
 WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
              FROM documents),
@@ -1692,6 +1723,8 @@ DEMOTED = [
     "lm_bpe_learn",
     # rows-only: span-model boilerplate removal (planted-pytest-pinned)
     "u1_span_boilerplate",
+    # deterministic HLL sketch (exact cross-engine estimate parity)
+    "sk_hll_distinct",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -863,3 +863,48 @@ def test_span_boilerplate_planted(spark):
         "boilerplate_frac": 0.0, "clean_hash": h("heading:page 1"),
     }
     assert sum(r["n_boilerplate"] for r in got.values()) == 11
+
+
+def test_hll_sketch_merge_and_accuracy(spark):
+    """Deterministic HLL: (1) register tables from two disjoint batches
+    max-merge into EXACTLY the union's sketch (the property that makes
+    the sketch shardable across snapshots/partitions); (2) estimate
+    accuracy stays within 4 sigma of the paper's 1.04/sqrt(m) bound
+    across two orders of magnitude of cardinality."""
+    import pyspark.sql.functions as F
+
+    from docling_nlp_api_spark.operators.sketches import (
+        HLL_M,
+        hll_distinct,
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    df = spark.range(0, 30000).select(
+        F.when(F.col("id") < 300, "small")
+        .when(F.col("id") < 3000, "mid")
+        .otherwise("large")
+        .alias("grp"),
+        F.col("id").alias("v"),
+    )
+    out = {r["grp"]: r for r in hll_distinct(df, "grp", "v").collect()}
+    sigma = 1.04 / (HLL_M ** 0.5)
+    assert set(out) == {"small", "mid", "large"}
+    for r in out.values():
+        assert r["rel_err"] <= 4 * sigma, dict(r.asDict())
+
+    # merge: two disjoint halves, one group each
+    a = df.filter("v % 2 = 0")
+    b = df.filter("v % 2 = 1")
+    ra = hll_registers(a, "grp", "v")
+    rb = hll_registers(b, "grp", "v")
+    merged = (
+        ra.unionByName(rb)
+        .groupBy("grp", "bucket")
+        .agg(F.max("rank").alias("rank"))
+    )
+    got = {r["grp"]: r["hll_estimate"]
+           for r in hll_estimate_from_registers(merged).collect()}
+    want = {r["grp"]: r["hll_estimate"]
+            for r in hll_estimate_from_registers(hll_registers(df, "grp", "v")).collect()}
+    assert got == want

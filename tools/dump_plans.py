@@ -121,6 +121,9 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["Generate", "HashAggregate"],
         ["CartesianProduct"],
     ),
+    # HLL sketch: fixed m register rows per group cross the exchange
+    # (max partial-agg map-side), never the value stream
+    "sk_hll_distinct": (["HashAggregate"], ["SortMergeJoin", "CartesianProduct"]),
     # incremental dedup: candidates come from a (band, bucket) equi-join
     # of the two index frames — never a cross join of new x base
     "dedup_incremental": (
