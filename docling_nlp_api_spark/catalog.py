@@ -1386,6 +1386,48 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
 FROM sc GROUP BY doc_id
 """)(lambda s, d: SP.bigram_logprob(docs(s, d)))
 
+_BLM = {  # bloom constants mirrored from dedup.py (pinned family rows 0..2)
+    "P": 4294967311, "M": 32768,
+    "A": [1099087573, 2034678437, 1831565813],
+    "B": [217645177, 1343714161, 987654323],
+}
+_BLOOM_POS = " UNION ALL ".join(
+    f"SELECT doc_id, h, (({_BLM['A'][i]} * h + {_BLM['B'][i]}) % {_BLM['P']}) % {_BLM['M']} AS pos FROM {{src}}"
+    for i in range(3)
+)
+
+q("decon_bloom_overlap", f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       FROM tok WHERE len(toks) >= 3),
+flat AS (SELECT doc_id,
+                unnest(list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT))) AS h
+         FROM sh),
+bench AS (SELECT DISTINCT h, CAST(0 AS BIGINT) AS doc_id FROM flat WHERE doc_id % {D.BENCH_MOD} = 0),
+bpos AS ({_BLOOM_POS.format(src='bench')}),
+bits AS (SELECT CAST(pos // 63 AS INT) AS word,
+                bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+         FROM bpos GROUP BY 1),
+cp AS (SELECT doc_id, h FROM flat WHERE doc_id % {D.BENCH_MOD} != 0),
+pp AS ({_BLOOM_POS.format(src='cp')}),
+hits AS (SELECT doc_id, h,
+           bool_and(((COALESCE(b.bits, 0) >> CAST(pos % 63 AS INT)) & 1) = 1) AS bloom_hit
+         FROM pp LEFT JOIN bits b ON CAST(pos // 63 AS INT) = b.word
+         GROUP BY doc_id, h)
+SELECT c.doc_id,
+  COUNT(*) AS n_shingles,
+  CAST(SUM(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+  CAST(SUM(CASE WHEN hi.bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_bloom,
+  ROUND((SUM(CASE WHEN hi.bloom_hit THEN 1 ELSE 0 END)
+         - SUM(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END)) / COUNT(*), 4) AS fp_frac
+FROM cp c
+JOIN hits hi ON c.doc_id = hi.doc_id AND c.h = hi.h
+LEFT JOIN bench e ON c.h = e.h
+GROUP BY c.doc_id
+""")(lambda s, d: D.contamination_scores_bloom(docs(s, d)))
+
 q("sample_dsir_weights", """
 WITH tok AS (SELECT doc_id,
         CAST(lang = 'en' AS INT) AS in_target,
@@ -1725,6 +1767,8 @@ DEMOTED = [
     "u1_span_boilerplate",
     # deterministic HLL sketch (exact cross-engine estimate parity)
     "sk_hll_distinct",
+    # bloom-filter decontamination (the broadcast-free scale path, made real)
+    "decon_bloom_overlap",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -908,3 +908,29 @@ def test_hll_sketch_merge_and_accuracy(spark):
     want = {r["grp"]: r["hll_estimate"]
             for r in hll_estimate_from_registers(hll_registers(df, "grp", "v")).collect()}
     assert got == want
+
+
+def test_bloom_decontamination_superset_and_fp(spark, sf_dir):
+    """Bloom decontamination: bloom hits are a strict SUPERSET of exact
+    hits at any filter size; the default 32k-bit filter is effectively
+    exact on the fixture (fp ~1e-5/probe), while a saturated 64-bit
+    filter must produce false positives — and even those are
+    deterministic (the DuckDB oracle reproduces them bit-for-bit)."""
+    import pyspark.sql.functions as F
+
+    from docling_nlp_api_spark.operators.dedup import contamination_scores_bloom
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    out = contamination_scores_bloom(docs).cache()
+    assert out.filter("n_hit_bloom < n_hit").count() == 0
+    tot = out.agg(F.sum("n_shingles").alias("n"),
+                  F.sum("n_hit_bloom").alias("b"), F.sum("n_hit").alias("e")).collect()[0]
+    assert (tot["b"] - tot["e"]) <= max(1, tot["n"] // 1000)  # ~exact at 32k bits
+    out.unpersist()
+
+    tiny = contamination_scores_bloom(docs, m_bits=64).cache()
+    assert tiny.filter("n_hit_bloom < n_hit").count() == 0
+    fp = tiny.agg(F.sum(F.col("n_hit_bloom") - F.col("n_hit"))).collect()[0][0]
+    assert fp > 0  # saturated filter must false-positive
+    tiny.unpersist()

@@ -124,6 +124,9 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # HLL sketch: fixed m register rows per group cross the exchange
     # (max partial-agg map-side), never the value stream
     "sk_hll_distinct": (["HashAggregate"], ["SortMergeJoin", "CartesianProduct"]),
+    # bloom decon: probe side is a row-local bit test against a LITERAL
+    # bitmap — the only join left is the exact-ground-truth broadcast
+    "decon_bloom_overlap": (["BroadcastHashJoin", "Generate"], ["SortMergeJoin"]),
     # incremental dedup: candidates come from a (band, bucket) equi-join
     # of the two index frames — never a cross join of new x base
     "dedup_incremental": (
