@@ -1386,6 +1386,32 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
 FROM sc GROUP BY doc_id
 """)(lambda s, d: SP.bigram_logprob(docs(s, d)))
 
+_CMS = {"P": 4294967311, "W": 1024,
+        "A": [1099087573, 2034678437, 1831565813],
+        "B": [217645177, 1343714161, 987654323]}
+_CMS_IDX = " UNION ALL ".join(
+    f"SELECT word, cnt, {i} AS r, "
+    f"(({_CMS['A'][i]} * h + {_CMS['B'][i]}) % {_CMS['P']}) % {_CMS['W']} AS idx FROM {{src}}"
+    for i in range(3)
+)
+
+q("sk_cms_word_counts", f"""
+WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+             FROM documents),
+wf AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+hs AS (SELECT word, cnt, CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS h FROM wf),
+fl AS ({_CMS_IDX.format(src='hs')}),
+sk AS (SELECT r, idx, CAST(SUM(cnt) AS BIGINT) AS c FROM fl GROUP BY r, idx),
+top AS (SELECT word, cnt, h FROM hs ORDER BY cnt DESC, word LIMIT 20),
+pr AS ({_CMS_IDX.format(src='top')}),
+est AS (SELECT word, MAX(cnt) AS exact_cnt, MIN(c) AS cms_est
+        FROM pr JOIN sk USING (r, idx) GROUP BY word)
+SELECT word, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact_cnt AS BIGINT) AS over
+FROM est
+""")(lambda s, d: SK.cms_word_counts(docs(s, d)))
+
 _BLM = {  # bloom constants mirrored from dedup.py (pinned family rows 0..2)
     "P": 4294967311, "M": 32768,
     "A": [1099087573, 2034678437, 1831565813],
@@ -1769,6 +1795,8 @@ DEMOTED = [
     "sk_hll_distinct",
     # bloom-filter decontamination (the broadcast-free scale path, made real)
     "decon_bloom_overlap",
+    # CountMin frequency sketch (heavy hitters vs exact counts)
+    "sk_cms_word_counts",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

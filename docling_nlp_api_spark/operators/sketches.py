@@ -104,3 +104,60 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+CMS_W = 1024   # counters per row
+CMS_D = 3      # hash rows (universal family rows 0..2, shared with dedup)
+
+
+def cms_word_counts(docs: DataFrame, top_n: int = 20,
+                    w: int = CMS_W, d: int = CMS_D) -> DataFrame:
+    """CountMin frequency sketch (Cormode & Muthukrishnan 2005, public)
+    over the corpus word stream, reported against exact counts for the
+    top-n words: estimate = min over d rows of counter[(A_i*h+B_i) mod P
+    mod w], h = first 32 md5 bits of the word — the same pinned
+    universal family the dedup/bloom planes use, so the whole sketch is
+    cross-engine deterministic and the oracle checks the OVERESTIMATES
+    bit-for-bit (CMS never undercounts; `over` is the collision noise).
+
+    Scale shape: counters are built from the vocabulary-sized word-count
+    rollup (weighted by count), never the raw token stream, so the
+    sketch stage shuffles <= d*w integer rows total; the top-n probe is
+    a broadcast join of 20 rows against the <= d*w-row sketch. Sketches
+    from different shards merge by elementwise ADD of counters (the
+    linearity property), mirrored by the merge pytest."""
+    from .dedup import MH_P, mh_constants
+
+    a, b = mh_constants(d)
+    words = (
+        docs.select(F.explode(F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), 0)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    h = F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+    hashed = words.select("word", "cnt", h.alias("h"))
+    rows = []
+    for i in range(d):
+        idx = ((F.lit(a[i]) * F.col("h") + F.lit(b[i])) % F.lit(MH_P)) % F.lit(w)
+        rows.append(hashed.select(F.lit(i).alias("r"), idx.alias("idx"), "cnt", "word"))
+    flat = rows[0]
+    for r in rows[1:]:
+        flat = flat.unionByName(r)
+    sketch = flat.groupBy("r", "idx").agg(F.sum("cnt").alias("c"))
+    top = hashed.orderBy(F.desc("cnt"), "word").limit(top_n)
+    probes = None
+    for i in range(d):
+        idx = ((F.lit(a[i]) * F.col("h") + F.lit(b[i])) % F.lit(MH_P)) % F.lit(w)
+        p = top.select("word", "cnt", F.lit(i).alias("r"), idx.alias("idx"))
+        probes = p if probes is None else probes.unionByName(p)
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "idx"])
+        .groupBy("word")
+        .agg(F.first("cnt").alias("exact_cnt"), F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "word",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("over"),
+    )

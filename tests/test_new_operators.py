@@ -934,3 +934,32 @@ def test_bloom_decontamination_superset_and_fp(spark, sf_dir):
     fp = tiny.agg(F.sum(F.col("n_hit_bloom") - F.col("n_hit"))).collect()[0][0]
     assert fp > 0  # saturated filter must false-positive
     tiny.unpersist()
+
+
+def test_cms_sketch_collisions_and_merge(spark, sf_dir):
+    """CountMin: never undercounts at any width; a saturated 8-counter
+    sketch must overcount somewhere; and sketches of two disjoint halves
+    ADD into the whole corpus's estimates (linearity)."""
+    import pyspark.sql.functions as F
+
+    from docling_nlp_api_spark.operators.sketches import cms_word_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    out = cms_word_counts(docs).cache()
+    assert out.count() == 20
+    assert out.filter("over < 0").count() == 0
+    out.unpersist()
+
+    tiny = cms_word_counts(docs, w=8).cache()
+    assert tiny.filter("over < 0").count() == 0
+    assert tiny.agg(F.sum("over")).collect()[0][0] > 0  # forced collisions
+    tiny.unpersist()
+
+    # linearity: estimates over (evens UNION odds) == estimates over all,
+    # because the sketch of a union is the elementwise sum of sketches
+    halves = cms_word_counts(
+        docs.filter("doc_id % 2 = 0").unionByName(docs.filter("doc_id % 2 = 1"))
+    )
+    whole = cms_word_counts(docs)
+    assert sorted(map(tuple, halves.collect())) == sorted(map(tuple, whole.collect()))

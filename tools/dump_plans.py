@@ -127,6 +127,9 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # bloom decon: probe side is a row-local bit test against a LITERAL
     # bitmap — the only join left is the exact-ground-truth broadcast
     "decon_bloom_overlap": (["BroadcastHashJoin", "Generate"], ["SortMergeJoin"]),
+    # CMS: vocabulary-sized rollup feeds <= d*w counter rows; the top-20
+    # probe joins a broadcast sketch — no sort join, no global sort
+    "sk_cms_word_counts": (["HashAggregate", "TakeOrderedAndProject"], ["SortMergeJoin"]),
     # incremental dedup: candidates come from a (band, bucket) equi-join
     # of the two index frames — never a cross join of new x base
     "dedup_incremental": (
