@@ -96,3 +96,54 @@ def test_passage_plane_matches_python_reference(spark, batch_texts):
         for r in duplicate_passage_rewrite(df, k=K).collect()
     }
     assert got_rewrite == want_rewrite, f"texts={batch_texts!r}"
+
+
+def _ref_segment_boilerplate(texts, seg_tokens=10, doc_threshold=2):
+    """Direct Python mirror of dedup.segment_boilerplate semantics."""
+    import hashlib
+    import math
+    import re as _re
+
+    from docling_nlp_api_spark.spec import TOKEN_RE as _TR
+
+    segs = {}
+    for d, t in texts.items():
+        toks = _re.findall(_TR, t.lower())
+        segs[d] = [
+            " ".join(toks[i * seg_tokens : (i + 1) * seg_tokens])
+            for i in range(math.ceil(len(toks) / seg_tokens))
+        ]
+    from collections import Counter
+
+    docs_per_seg = Counter()
+    for d, ss in segs.items():
+        for s in set(ss):
+            docs_per_seg[s] += 1
+    out = {}
+    for d, ss in segs.items():
+        if not ss:
+            continue
+        common = [s for s in ss if docs_per_seg[s] >= doc_threshold]
+        kept = [s for s in ss if docs_per_seg[s] < doc_threshold]
+        clean = hashlib.md5(" ".join(kept).encode()).hexdigest() if kept else None
+        out[d] = (len(ss), len(common), round(len(common) / len(ss), 4), clean)
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpora)
+def test_segment_boilerplate_matches_python_reference(spark, batch_texts):
+    """CCNet segment dedup equals its Python mirror on random corpora
+    drawn from a tiny vocabulary (short docs -> most docs are a single
+    partial window, maximizing shared-segment collisions)."""
+    from docling_nlp_api_spark.operators.dedup import segment_boilerplate
+
+    batch = dict(enumerate(batch_texts))
+    df = spark.createDataFrame(list(batch.items()), "doc_id long, text string")
+    want = _ref_segment_boilerplate(batch)
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_boilerplate"],
+                      r["boilerplate_frac"], r["clean_hash"])
+        for r in segment_boilerplate(df).collect()
+    }
+    assert got == want, f"texts={batch_texts!r}"
