@@ -924,7 +924,13 @@ def contamination_scores_bloom(
     shingles the expected fp rate is (1 - e^(-k*n/m))^k ~ 1%. The
     deterministic md5/universal-hash construction means DuckDB rebuilds
     the identical bitmap, so even the false positives are exactly
-    oracle-checked."""
+    oracle-checked.
+
+    NOTE: construction is EAGER — building the literal bitmap runs the
+    benchmark-slice scan at call time (the k-means/BPE driver-loop
+    pattern: tiny state reaches the driver, returns as literals). The
+    benchmark shingle frame is localCheckpoint-ed so the bitmap build
+    and the exact-hit ground-truth join share one tokenize pass."""
     toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
     base = docs.select("doc_id", F.inline(F.array(F.struct(toks.alias("toks"))))).select(
         "doc_id", shingle_set_col().alias("hv")
@@ -936,6 +942,7 @@ def contamination_scores_bloom(
         base.filter(F.col("doc_id") % bench_mod == 0)
         .select(F.explode("hv").alias("h"))
         .distinct()
+        .localCheckpoint()  # one tokenize pass shared by bitmap + exact join
     )
     # build: k positions per benchmark shingle -> word/bit -> bit_or
     pos = bench_h.select(

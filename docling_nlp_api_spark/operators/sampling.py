@@ -66,14 +66,21 @@ def split_summary(docs: DataFrame) -> DataFrame:
     )
 
 
-def mixed_corpus(docs: DataFrame) -> DataFrame:
-    """Language-stratified downsampling: keep a doc iff its mix bucket <
-    its language's configured rate. Deterministic, one filter pass."""
+def _mix_keep_pred() -> F.Column:
+    """THE mixing contract: keep a doc iff its md5 mix bucket < its
+    language's configured rate. Shared by mixed_corpus (the filter) and
+    mix_summary (the report) so the two can never drift."""
     b = _bucket(MIX_SALT, F.col("doc_id"))
     rate = F.lit(MIX_DEFAULT_PCT)
     for lang, pct in sorted(MIX_RATES_PCT.items()):
         rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
-    return docs.filter(b < rate)
+    return b < rate
+
+
+def mixed_corpus(docs: DataFrame) -> DataFrame:
+    """Language-stratified downsampling: one deterministic filter pass
+    over the shared keep predicate."""
+    return docs.filter(_mix_keep_pred())
 
 
 def mix_summary(docs: DataFrame) -> DataFrame:
@@ -81,11 +88,7 @@ def mix_summary(docs: DataFrame) -> DataFrame:
     mixed_corpus — the mixing report. Computed in ONE pass over the
     corpus (conditional agg on the keep predicate), not a self-join of
     kept against total."""
-    b = _bucket(MIX_SALT, F.col("doc_id"))
-    rate = F.lit(MIX_DEFAULT_PCT)
-    for lang, pct in sorted(MIX_RATES_PCT.items()):
-        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
-    kept = (b < rate).cast("long")
+    kept = _mix_keep_pred().cast("long")
     return (
         docs.select("lang", kept.alias("kept"))
         .groupBy("lang")
@@ -319,8 +322,18 @@ def bpe_pair_stats(docs: DataFrame, top_n: int = 20) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("wc"))
     )
+    # the <2-char guard matters: Spark's sequence(1, 0) is DESCENDING
+    # ([1, 0]) and would fabricate self-pairs for 1-char words if the
+    # tokenizer is ever relaxed below TOKEN_RE's 3-letter minimum
     pairs = words.select(
-        "w", "wc", F.explode(F.expr("sequence(1, length(w) - 1)")).alias("i")
+        "w",
+        "wc",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(w) >= 2 THEN sequence(1, length(w) - 1) "
+                "ELSE CAST(array() AS array<int>) END"
+            )
+        ).alias("i"),
     ).select("w", "wc", F.expr("substr(w, i, 2)").alias("pair"))
     return (
         pairs.groupBy("pair")

@@ -95,6 +95,11 @@ def run_extract_stream(
     exactly-once evidence). The extraction itself is the unmodified
     batch kernel: mapInArrow is stateless, so Structured Streaming
     applies it per micro-batch with no semantic delta vs batch."""
+    # recentProgress is a ring buffer capped at
+    # spark.sql.streaming.numRecentProgressUpdates (default 100) — a drop
+    # of >100 files would silently undercount; raise the cap for the
+    # drain so the returned batch count stays exact
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
     stream = extract(read_span_stream(spark, src_dir))
     q = (
         stream.writeStream.format("parquet")
