@@ -1336,6 +1336,8 @@ FROM st LEFT JOIN ragg USING (doc_id) LEFT JOIN ka USING (doc_id)
 # pattern) — pinned against a Python BPE reference by
 # tests/test_bpe_learn_property.py
 QUERIES["lm_bpe_learn"] = lambda s, d: SP.bpe_learn(docs(s, d), n_merges=5)
+# BPE apply: encode via the vocabulary mapping (rows-only, same suite)
+QUERIES["lm_bpe_token_counts"] = lambda s, d: SP.bpe_token_counts(docs(s, d), n_merges=5)
 
 q("sk_hll_distinct", f"""
 WITH src AS (SELECT event_type AS grp,
@@ -1787,8 +1789,9 @@ DEMOTED = [
     "sample_dsir_weights",
     # bigram-LM quality scoring (n-gram step toward CCNet's KenLM filter)
     "lm_bigram_logprob",
-    # rows-only: iterative BPE vocabulary learning (property-pytest-pinned)
+    # rows-only: iterative BPE vocabulary learning + apply (property-pytest-pinned)
     "lm_bpe_learn",
+    "lm_bpe_token_counts",
     # rows-only: span-model boilerplate removal (planted-pytest-pinned)
     "u1_span_boilerplate",
     # deterministic HLL sketch (exact cross-engine estimate parity)

@@ -446,31 +446,19 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
     )
 
 
-def bpe_learn(docs: DataFrame, n_merges: int = 5) -> DataFrame:
-    """Full BPE vocabulary LEARNING — n_merges greedy iterations of the
-    merge step bpe_pair_stats counts once. Classic driver-loop iterative
-    algorithm on tiny state (the Lloyd's-k-means pattern of
-    similarity.py): the distributed side only ever touches the
-    DISTINCT-word symbol table (vocabulary-sized, persisted between
-    rounds); each round one (pair, count) row reaches the driver and
-    returns as three literals in a row-local fold.
-
-    Merge semantics match standard BPE training: greedy left-to-right
-    non-overlapping replacement ("aaaa" under merge (a,a) -> [aa, aa]),
-    ties broken (count desc, a asc, b asc). Emits the learned merge
-    table (rank, a, b, pair_count) — rows-only by design (iterative,
-    not SQL-expressible; pinned by the property test against a Python
-    reference in test_bpe_learn_property.py)."""
+def _bpe_loop(docs: DataFrame, n_merges: int):
+    """Shared BPE training loop: returns (merge list, final word->symbols
+    frame, localCheckpoint-ed so callers are free of cache lifetimes).
+    See bpe_learn for the algorithm/scale notes."""
     from ..spec import TOKEN_RE
 
-    spark = docs.sparkSession
     words = (
         docs.select(F.explode(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("wc"))
     )
     cur = words.select(
-        "wc", F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").alias("syms")
+        "w", "wc", F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").alias("syms")
     ).persist()
     merges: list[tuple[int, str, str, int]] = []
     try:
@@ -499,6 +487,7 @@ def bpe_learn(docs: DataFrame, n_merges: int = 5) -> DataFrame:
             merges.append((rnd, a, b, cnt))
             la, lb, lm = F.lit(a), F.lit(b), F.lit(a + b)
             nxt = cur.select(
+                "w",
                 "wc",
                 F.aggregate(
                     "syms",
@@ -514,8 +503,60 @@ def bpe_learn(docs: DataFrame, n_merges: int = 5) -> DataFrame:
             nxt.count()  # materialize before dropping the parent cache
             cur.unpersist()
             cur = nxt
+        final = cur.localCheckpoint()
     finally:
         cur.unpersist()
-    return spark.createDataFrame(
+    return merges, final
+
+
+def bpe_learn(docs: DataFrame, n_merges: int = 5) -> DataFrame:
+    """Full BPE vocabulary LEARNING — n_merges greedy iterations of the
+    merge step bpe_pair_stats counts once. Classic driver-loop iterative
+    algorithm on tiny state (the Lloyd's-k-means pattern of
+    similarity.py): the distributed side only ever touches the
+    DISTINCT-word symbol table (vocabulary-sized, persisted between
+    rounds); each round one (pair, count) row reaches the driver and
+    returns as three literals in a row-local fold.
+
+    Merge semantics match standard BPE training: greedy left-to-right
+    non-overlapping replacement ("aaaa" under merge (a,a) -> [aa, aa]),
+    ties broken (count desc, a asc, b asc). Emits the learned merge
+    table (rank, a, b, pair_count) — rows-only by design (iterative,
+    not SQL-expressible; pinned by the property test against a Python
+    reference in test_bpe_learn_property.py)."""
+    merges, _ = _bpe_loop(docs, n_merges)
+    return docs.sparkSession.createDataFrame(
         merges or [], "rank int, a string, b string, pair_count long"
+    )
+
+
+def bpe_token_counts(docs: DataFrame, n_merges: int = 5) -> DataFrame:
+    """BPE APPLY — the second half of tokenizer training: encode the
+    corpus under the learned merges. The at-scale design tokenizes the
+    VOCABULARY, not the corpus: the training loop's final word->symbols
+    frame (vocabulary-sized) already IS the encoder table, so encoding
+    reduces to a broadcast join of the corpus word stream against
+    (word, n_subword_tokens) and a per-doc rollup — the corpus text is
+    never re-folded. Emits per doc: n_words, n_bpe_tokens, and the mean
+    subword fan-out round(n_bpe_tokens / n_words, 4) (compression the
+    learned vocab achieves; 1.0 = every word became one token).
+
+    Rows-only by design (iterative upstream); pinned against a Python
+    learn+apply mirror in test_bpe_learn_property.py."""
+    from ..spec import TOKEN_RE
+
+    _, final = _bpe_loop(docs, n_merges)
+    mapping = final.select("w", F.size("syms").alias("n_sub"))
+    stream = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)).alias("w"),
+    )
+    return (
+        stream.join(F.broadcast(mapping), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_bpe_tokens"),
+            F.round(F.sum("n_sub") / F.count("*"), 4).alias("tokens_per_word"),
+        )
     )

@@ -70,3 +70,43 @@ def test_bpe_learn_nonoverlap(spark):
         (3, "aa", "aa", 2),
         (4, "aa", "ab", 2),
     ]
+
+
+def ref_bpe_token_counts(texts: dict[int, str], n_merges: int):
+    """Learn merges with ref_bpe, then apply them per word and count."""
+    merges = ref_bpe(list(texts.values()), n_merges)
+
+    def encode(word: str) -> int:
+        syms = list(word)
+        for _, a, b, _c in merges:
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    want = {}
+    for d, t in texts.items():
+        ws = re.findall(TOKEN_RE, t.lower())
+        if not ws:
+            continue
+        subs = [encode(w) for w in ws]
+        want[d] = (len(ws), sum(subs), round(sum(subs) / len(ws), 4))
+    return want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpora)
+def test_bpe_token_counts_matches_python_reference(spark, texts):
+    """BPE APPLY: encoding through the vocabulary mapping equals a
+    Python learn-then-encode mirror (same merges, same greedy fold)."""
+    from docling_nlp_api_spark.operators.sampling import bpe_token_counts
+
+    batch = dict(enumerate(texts))
+    df = spark.createDataFrame(list(batch.items()), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["tokens_per_word"])
+           for r in bpe_token_counts(df, n_merges=4).collect()}
+    assert got == ref_bpe_token_counts(batch, 4), f"texts={texts!r}"

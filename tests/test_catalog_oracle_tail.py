@@ -10,8 +10,8 @@ ID keeps green evidence either as a driver row or as a pytest row.
 Rows-only demoted entries (no oracle) are covered elsewhere:
 s1_s3_binaryfile_ingest by test_new_operators.py, a12_pipeline_metrics by
 test_pipeline_resume.py, s3_stream_extract by test_streaming.py,
-lm_bpe_learn by test_bpe_learn_property.py, u1_span_boilerplate by
-test_new_operators.py.
+lm_bpe_learn and lm_bpe_token_counts by test_bpe_learn_property.py,
+u1_span_boilerplate by test_new_operators.py.
 """
 
 from __future__ import annotations
