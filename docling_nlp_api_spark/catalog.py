@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import analytics as A
+from .operators import classifier as C
 from .operators import dedup as D
 from .operators import multimodal as M
 from .operators import nlp as N
@@ -956,18 +957,24 @@ def pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule's exactly-once bookkeeping). Rows-only check: wall-clock columns
     are inherently nondeterministic, so only deterministic columns are
     projected. Fresh output dir per invocation (resume is covered by
-    tests/test_pipeline_resume.py)."""
+    tests/test_pipeline_resume.py); the metrics projection is pinned via
+    localCheckpoint so the staging dir can be removed before returning —
+    repeated bench rounds must not accumulate /tmp pipeline outputs."""
+    import shutil
     import tempfile
 
     from .datagen import spans_df
     from .plans.pipeline import ExtractionPipeline
 
     out_dir = tempfile.mkdtemp(prefix="a12_metrics_")
-    pipe = ExtractionPipeline(spark, out_dir, run_id="a12", n_partitions=8, batch_size=8)
-    pipe.run(spans_df(spark, 500))
-    return pipe.read_metrics().select(
-        "run_id", "partition_id", "docs_in", "docs_out", "docs_failed", "spans_in", "spans_out"
-    )
+    try:
+        pipe = ExtractionPipeline(spark, out_dir, run_id="a12", n_partitions=8, batch_size=8)
+        pipe.run(spans_df(spark, 500))
+        return pipe.read_metrics().select(
+            "run_id", "partition_id", "docs_in", "docs_out", "docs_failed", "spans_in", "spans_out"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def _staged_stream(spark: SparkSession, sf_dir: str):
@@ -1456,6 +1463,44 @@ LEFT JOIN bench e ON c.h = e.h
 GROUP BY c.doc_id
 """)(lambda s, d: D.contamination_scores_bloom(docs(s, d)))
 
+q("clf_nb_class_stats", """
+WITH toks AS (SELECT doc_id, lang,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+              FROM documents)
+SELECT lang, COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       COUNT(DISTINCT word) AS class_vocab
+FROM toks GROUP BY lang
+""")(lambda s, d: C.nb_class_stats(docs(s, d)))
+
+q("clf_nb_predict", """
+WITH toks AS (SELECT doc_id, lang,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+              FROM documents),
+wc AS (SELECT doc_id, word, COUNT(*) AS k FROM toks GROUP BY 1, 2),
+cc AS (SELECT lang, word, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+ct AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM cc GROUP BY 1),
+vt AS (SELECT COUNT(DISTINCT word) AS vocab FROM toks),
+pri AS (SELECT lang, COUNT(*) AS nd FROM documents GROUP BY 1),
+ndt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd_tot FROM documents),
+pc AS (SELECT wc.doc_id, ct.lang,
+              SUM(wc.k * ln(COALESCE(cc.c, 0) + 1)) AS s,
+              CAST(SUM(wc.k) AS BIGINT) AS ntok
+       FROM wc CROSS JOIN ct
+       LEFT JOIN cc ON cc.word = wc.word AND cc.lang = ct.lang
+       GROUP BY 1, 2),
+fin AS (SELECT pc.doc_id, pc.lang,
+               ROUND(s - ntok * ln(CAST(ct.tot + vt.vocab AS DOUBLE))
+                       + ln(CAST(pri.nd AS DOUBLE)) - ln(ndt.nd_tot), 4) AS score
+        FROM pc JOIN ct USING (lang) JOIN pri USING (lang)
+        CROSS JOIN vt CROSS JOIN ndt),
+rk AS (SELECT doc_id, lang, score,
+              ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, lang ASC) AS rn
+       FROM fin)
+SELECT doc_id, lang AS pred_lang, score FROM rk WHERE rn = 1
+""")(lambda s, d: C.nb_classify(docs(s, d)))
+
 q("sample_dsir_weights", """
 WITH tok AS (SELECT doc_id,
         CAST(lang = 'en' AS INT) AS in_target,
@@ -1800,6 +1845,10 @@ DEMOTED = [
     "decon_bloom_overlap",
     # CountMin frequency sketch (heavy hitters vs exact counts)
     "sk_cms_word_counts",
+    # Naive Bayes classifier: distributed train (one groupBy) + broadcast-
+    # model inference (the model-based quality/language filter step)
+    "clf_nb_class_stats",
+    "clf_nb_predict",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}
