@@ -28,6 +28,7 @@ from .operators import scalars as X
 from .operators import sketches as SK
 from .operators import similarity as S
 from .operators import textquality as Q
+from .operators import urls as U
 from .spec import STOPWORDS_40, TOKEN_RE
 
 # ---------------------------------------------------------------------------
@@ -1260,6 +1261,116 @@ SELECT doc_id, md5(red) AS red_hash, CAST(length(red) AS INT) AS red_len
 FROM r
 """)(lambda s, d: P.redact(_pii_aug(docs(s, d))).select("doc_id", "red_hash", "red_len"))
 
+
+def _url_aug(df: DataFrame) -> DataFrame:
+    """Deterministic URL augmentation (the corpus has no URL column; the
+    pii.py pattern): scheme/subdomain/TLD/port/path/query/fragment all
+    derived from doc_id so the DuckDB oracle reconstructs the identical
+    string. Deliberately exercises every normalization rule: uppercase
+    authority, default port, tracking params in both ?- and &-position,
+    fragments, /index.html, and a two-level TLD (co.uk)."""
+    d = F.col("doc_id")
+    scheme = F.when(d % 5 == 0, "http").otherwise("https")
+    sub = F.element_at(
+        F.array(F.lit("WWW."), F.lit("m."), F.lit("cdn."), F.lit("")), (d % 4 + 1).cast("int")
+    )
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net"), F.lit("co.uk"), F.lit("io")),
+        (d % 5 + 1).cast("int"),
+    )
+    url = F.concat(
+        scheme,
+        F.lit("://"),
+        sub,
+        F.col("source"),
+        F.lit("."),
+        tld,
+        F.when(d % 6 == 0, ":443").otherwise(""),
+        F.lit("/docs/"),
+        (d % 50).cast("string"),
+        F.when(d % 3 == 0, "/index.html").otherwise(""),
+        F.when(d % 3 == 1, F.concat(F.lit("?id="), (d % 25).cast("string"))).otherwise(""),
+        F.when(
+            d % 2 == 0, F.concat(F.when(d % 3 == 1, "&").otherwise("?"), F.lit("utm_source=feed"))
+        ).otherwise(""),
+        F.when(d % 9 == 0, "#section-2").otherwise(""),
+    )
+    return df.select("doc_id", "lang", "n_chars", url.alias("url"))
+
+
+_URL_AUG_SQL = """
+SELECT doc_id, lang, n_chars,
+  (CASE WHEN doc_id % 5 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+  (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'WWW.' WHEN 1 THEN 'm.'
+        WHEN 2 THEN 'cdn.' ELSE '' END) ||
+  source || '.' ||
+  (CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        WHEN 2 THEN 'net' WHEN 3 THEN 'co.uk' ELSE 'io' END) ||
+  (CASE WHEN doc_id % 6 = 0 THEN ':443' ELSE '' END) ||
+  '/docs/' || CAST(doc_id % 50 AS VARCHAR) ||
+  (CASE WHEN doc_id % 3 = 0 THEN '/index.html' ELSE '' END) ||
+  (CASE WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id % 25 AS VARCHAR) ELSE '' END) ||
+  (CASE WHEN doc_id % 2 = 0 THEN
+     (CASE WHEN doc_id % 3 = 1 THEN '&' ELSE '?' END) || 'utm_source=feed' ELSE '' END) ||
+  (CASE WHEN doc_id % 9 = 0 THEN '#section-2' ELSE '' END) AS url
+FROM documents
+"""
+
+# normalize + parse + registrable domain, mirrored from operators/urls.py
+# (backreference syntax is per-engine: DuckDB \\1, Spark $1 — same groups)
+_URL_DOM_SQL = f"""
+aug AS ({_URL_AUG_SQL}),
+n1 AS (SELECT doc_id, lang, n_chars,
+         lower(regexp_extract(url, '^[a-zA-Z]+://[^/]*', 0)) ||
+         regexp_replace(url, '^[a-zA-Z]+://[^/]*', '') AS u
+       FROM aug),
+n2 AS (SELECT doc_id, lang, n_chars,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(u, '#.*$', ''),
+                   '{U.TRACKING_RE}', '', 'g'),
+                 '^([^?&]*)&', '\\1?'),
+               '^(https://[^/:?#]+):443([/?]|$)', '\\1\\2'),
+             '^(http://[^/:?#]+):80([/?]|$)', '\\1\\2'),
+           '/index\\.html$', '/') AS url_norm
+       FROM n1),
+p AS (SELECT doc_id, lang, n_chars, url_norm,
+        regexp_extract(url_norm, '^[a-z]+://([^/:?#]+)', 1) AS host
+      FROM n2),
+pt AS (SELECT *, string_split(host, '.') AS parts FROM p),
+dom AS (SELECT doc_id, lang, n_chars, url_norm, host,
+          CASE WHEN len(parts) >= 3 AND (parts[-2] || '.' || parts[-1])
+                    IN ('co.uk','com.au','co.jp','ac.uk','com.br')
+               THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+               ELSE parts[-2] || '.' || parts[-1] END AS domain
+        FROM pt)
+"""
+
+_URL_BL = "(" + ", ".join(f"'{b}'" for b in U.BLOCKLIST) + ")"
+
+q("url_parse_normalize", f"""
+WITH {_URL_DOM_SQL}
+SELECT doc_id, url_norm, host, domain FROM dom
+""")(lambda s, d: U.parse_normalize(_url_aug(docs(s, d))))
+
+q("url_domain_rollup", f"""
+WITH {_URL_DOM_SQL}
+SELECT domain, COUNT(*) AS n_docs, COUNT(DISTINCT host) AS n_hosts,
+       COUNT(DISTINCT lang) AS n_langs, ROUND(AVG(n_chars), 2) AS avg_chars
+FROM dom GROUP BY domain
+""")(lambda s, d: U.domain_rollup(U.parse(U.normalize(_url_aug(docs(s, d))))))
+
+q("url_blocklist_summary", f"""
+WITH {_URL_DOM_SQL}
+SELECT CAST(SUM(CASE WHEN domain NOT IN {_URL_BL} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN domain IN {_URL_BL} THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       COUNT(DISTINCT CASE WHEN domain IN {_URL_BL} THEN domain END) AS n_domains_blocked
+FROM dom
+""")(lambda s, d: U.blocklist_summary(U.parse(U.normalize(_url_aug(docs(s, d))))))
+
 q("dedup_segment_boilerplate", f"""
 WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 seg AS (SELECT doc_id, i AS seg_idx,
@@ -1849,6 +1960,11 @@ DEMOTED = [
     # model inference (the model-based quality/language filter step)
     "clf_nb_class_stats",
     "clf_nb_predict",
+    # URL/domain provenance plane: normalization + registrable domain,
+    # domain-level curation rollup, blocklist filtering (C4/RefinedWeb)
+    "url_parse_normalize",
+    "url_domain_rollup",
+    "url_blocklist_summary",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}
