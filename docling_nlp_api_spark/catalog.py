@@ -1363,6 +1363,53 @@ SELECT domain, COUNT(*) AS n_docs, COUNT(DISTINCT host) AS n_hosts,
 FROM dom GROUP BY domain
 """)(lambda s, d: U.domain_rollup(U.parse(U.normalize(_url_aug(docs(s, d))))))
 
+def _funnel_aug(df: DataFrame) -> DataFrame:
+    """Sparse mojibake plant (~5% of docs) so the funnel's charset gate
+    fires on an otherwise pure-ASCII fixture; mirrored in the SQL."""
+    aug = F.when(F.col("doc_id") % 19 == 3, F.concat("text", F.lit("\x01"))).otherwise(
+        F.col("text")
+    )
+    return df.select("doc_id", aug.alias("text"))
+
+
+q("tq_filter_funnel", f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 19 = 3 THEN text || chr(1) ELSE text END AS text
+  FROM documents),
+raw AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\S+')) AS words,
+         len(regexp_extract_all(text, '{Q.CTRL_RE}')) AS n_ctrl,
+         len(regexp_extract_all(text, '�')) AS n_repl,
+         len(regexp_extract_all(text, '[.!?,;:]')) AS punct,
+         length(text) AS chars,
+         {TOKS} AS toks
+  FROM aug),
+wc AS (SELECT doc_id, w, COUNT(*) AS c
+       FROM (SELECT doc_id, unnest(toks) AS w FROM raw) GROUP BY 1, 2),
+tw AS (SELECT doc_id, MAX(c) AS topc FROM wc GROUP BY 1),
+m AS (
+  SELECT r.doc_id, words, n_ctrl, n_repl,
+         CASE WHEN len(toks) > 0 THEN len(list_filter(toks, w -> w IN ({STOP_SQL}))) * 1.0 / len(toks)
+              ELSE 0.0 END AS sr,
+         CASE WHEN chars > 0 THEN punct * 1.0 / chars ELSE 0.0 END AS pr,
+         CASE WHEN len(toks) > 0 THEN ROUND(topc * 1.0 / len(toks), 4) END AS twf
+  FROM raw r LEFT JOIN tw ON r.doc_id = tw.doc_id),
+f AS (
+  SELECT doc_id, words, n_ctrl, n_repl, twf AS top_word_frac,
+         ROUND(0.5 * least(words / 100.0, 1.0) + 0.3 * (1.0 - sr)
+               + 0.2 * (1.0 - least(pr * 10, 1.0)), 4) AS quality
+  FROM m)
+SELECT doc_id, words, top_word_frac, quality,
+       CASE WHEN n_ctrl > 0 OR n_repl > 0 THEN 'charset'
+            WHEN words < {Q.GATE_MIN_WORDS} THEN 'too_short'
+            WHEN top_word_frac > {Q.GATE_TOP_WORD_FRAC} THEN 'repetition'
+            WHEN quality < {Q.GATE_MIN_QUALITY} THEN 'low_quality'
+            ELSE 'keep' END AS verdict
+FROM f
+""")(lambda s, d: Q.filter_funnel(_funnel_aug(docs(s, d))))
+
 q("url_blocklist_summary", f"""
 WITH {_URL_DOM_SQL}
 SELECT CAST(SUM(CASE WHEN domain NOT IN {_URL_BL} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -1965,6 +2012,8 @@ DEMOTED = [
     "url_parse_normalize",
     "url_domain_rollup",
     "url_blocklist_summary",
+    # composed quality-gate funnel (ordered first-fail reasons, one pass)
+    "tq_filter_funnel",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -196,19 +196,12 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     )
 
     srt = F.col("srt")
-    starts = F.filter(
-        F.transform(srt, lambda t, i: F.struct(i.alias("i"), t.alias("t"))),
-        lambda s: (s["i"] == F.lit(0)) | (s["t"] != F.get(srt, s["i"] - 1)),
-    )
+    starts = _sorted_run_starts(srt)
     # run over the STAGED boundary array (_starts) — transforming the raw
     # `starts` expression here would re-evaluate the filter/transform chain
     # in the final projection and void the barrier
     bd = F.col("_starts")
-    run_lens = F.transform(
-        bd,
-        lambda s, j: F.when(j == F.size(bd) - 1, F.size(srt))
-        .otherwise(F.get(bd, j + 1)["i"]) - s["i"],
-    )
+    run_lens = _run_lengths(bd, F.size(srt))
 
     def dup_frac(col: str, minn: int):
         n = F.size(F.col(col))
@@ -231,6 +224,27 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
         ),
         dup_frac("g2", 2).alias("dup_2gram_frac"),
         dup_frac("g3", 3).alias("dup_3gram_frac"),
+    )
+
+
+def _sorted_run_starts(srt: F.Column) -> F.Column:
+    """Boundary structs {i, t} of equal-token runs in a SORTED array —
+    the codegen'd frequency trick shared by repetition_signals and
+    filter_funnel (and, in spirit, exports.with_keywords): a token's
+    count is the gap to the next run start, no groupBy needed."""
+    return F.filter(
+        F.transform(srt, lambda t, i: F.struct(i.alias("i"), t.alias("t"))),
+        lambda s: (s["i"] == F.lit(0)) | (s["t"] != F.get(srt, s["i"] - 1)),
+    )
+
+
+def _run_lengths(bd: F.Column, total: F.Column) -> F.Column:
+    """Run lengths from a STAGED boundary array (next start - this start;
+    the last run ends at `total`)."""
+    return F.transform(
+        bd,
+        lambda s, j: F.when(j == F.size(bd) - 1, total).otherwise(F.get(bd, j + 1)["i"])
+        - s["i"],
     )
 
 
@@ -267,4 +281,90 @@ def charset_signals(docs: DataFrame) -> DataFrame:
         ).alias("nonascii_frac"),
         n_ctrl.cast("long").alias("n_ctrl"),
         n_repl.cast("long").alias("n_replacement"),
+    )
+
+
+# filter-funnel gate thresholds (FineWeb-style pipeline config; shared
+# verbatim with the SQL oracle in catalog.py)
+GATE_MIN_WORDS = 20
+GATE_TOP_WORD_FRAC = 0.20
+GATE_MIN_QUALITY = 0.60
+
+
+def filter_funnel(docs: DataFrame) -> DataFrame:
+    """The composed quality gate a FineWeb/RefinedWeb-style pipeline runs
+    per doc: ordered gates, FIRST failing gate names the drop reason —
+    charset (mojibake) -> too_short -> repetition -> low_quality -> keep.
+    Emits (doc_id, words, top_word_frac, quality, verdict): the verdict
+    drives the keep-filter, the signal columns make the funnel auditable
+    (per-reason histograms are one groupBy away, and "why did my doc
+    drop" is answerable without re-running the gates).
+
+    Single map pass, zero shuffle, zero join: every signal the individual
+    operators expose (charset_signals, quality_score, the
+    repetition_signals top-word mass) is recomputed as column algebra
+    over TWO staged Generate barriers — the sorted token array first,
+    its run boundaries second (the CollapseProject guard; sharing one
+    tokenizer/sort pass across all gates is the point of composing them).
+    At 100 TB this is the same plan shape as any other map-only signal:
+    it fuses into the scan, and the funnel verdict column is what the
+    keep-filter pushes down.
+
+    Cross-engine contract: quality and top_word_frac rounded to 4
+    decimals BEFORE threshold comparison (round-then-compare, the repo's
+    float rule); token-less docs carry NULL top_word_frac, and NULL
+    comparisons fall through the CASE identically in both engines."""
+    from ..spec import STOPWORDS_40, TOKEN_RE
+
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    s1 = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).alias("words"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(CTRL_RE), 0)).alias("n_ctrl"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(REPL_CHAR), 0)).alias("n_repl"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?,;:]"), 0)).alias("punct"),
+        F.length("text").alias("chars"),
+        F.inline(F.array(F.struct(F.array_sort(toks).alias("srt")))),
+    )
+    srt = F.col("srt")
+    s2 = s1.select(
+        "doc_id",
+        "words",
+        "n_ctrl",
+        "n_repl",
+        "punct",
+        "chars",
+        F.size(srt).alias("n_toks"),
+        F.size(F.filter(srt, lambda w: w.isin(*STOPWORDS_40))).alias("n_stop"),
+        F.inline(F.array(F.struct(_sorted_run_starts(srt).alias("_starts")))),
+    )
+
+    n_toks = F.col("n_toks")
+    topc = F.array_max(_run_lengths(F.col("_starts"), n_toks))
+    twf = F.when(n_toks > 0, F.round(topc / n_toks, 4))
+    sr = F.when(n_toks > 0, F.col("n_stop") / n_toks).otherwise(F.lit(0.0))
+    pr = F.when(F.col("chars") > 0, F.col("punct") / F.col("chars")).otherwise(F.lit(0.0))
+    quality = F.round(
+        0.5 * F.least(F.col("words") / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (1.0 - sr)
+        + 0.2 * (1.0 - F.least(pr * 10, F.lit(1.0))),
+        4,
+    )
+    s3 = s2.select(
+        "doc_id",
+        "words",
+        "n_ctrl",
+        "n_repl",
+        twf.alias("top_word_frac"),
+        quality.alias("quality"),
+    )
+    verdict = (
+        F.when((F.col("n_ctrl") > 0) | (F.col("n_repl") > 0), "charset")
+        .when(F.col("words") < GATE_MIN_WORDS, "too_short")
+        .when(F.col("top_word_frac") > GATE_TOP_WORD_FRAC, "repetition")
+        .when(F.col("quality") < GATE_MIN_QUALITY, "low_quality")
+        .otherwise("keep")
+    )
+    return s3.select(
+        "doc_id", "words", "top_word_frac", "quality", verdict.alias("verdict")
     )

@@ -963,3 +963,52 @@ def test_cms_sketch_collisions_and_merge(spark, sf_dir):
     )
     whole = cms_word_counts(docs)
     assert sorted(map(tuple, halves.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_filter_funnel_planted(spark):
+    """One doc per gate, plus gate-order conflicts: a doc failing both
+    charset and too_short must report charset (first-fail semantics)."""
+    from docling_nlp_api_spark.operators.textquality import filter_funnel
+
+    long_good = ("the quick brown fox jumps over the lazy dog and then "
+                 "walks away into the forest while birds sing overhead "
+                 "under a warm evening sky full of color ") * 2
+    rep = "spam " * 60  # one token owns the whole doc
+    df = spark.createDataFrame(
+        [
+            (1, long_good),                    # keep
+            (2, "tiny doc"),                   # too_short
+            (3, rep),                          # repetition (words >= 20)
+            (4, "x\x01 " + long_good),         # charset beats everything
+            (5, "a\x01"),                      # charset beats too_short
+            (6, ";;;;; " * 30),                # low punct/stopword quality
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.verdict for r in filter_funnel(df).collect()}
+    assert got == {
+        1: "keep",
+        2: "too_short",
+        3: "repetition",
+        4: "charset",
+        5: "charset",
+        6: "low_quality",
+    }
+
+
+def test_filter_funnel_signals_consistent_with_operators(spark, sf_dir):
+    """The funnel's embedded signals must equal the standalone operators'
+    on the raw corpus (same expressions, composed vs separate)."""
+    from docling_nlp_api_spark.operators.textquality import (
+        filter_funnel,
+        quality_score,
+        repetition_signals,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    fun = {r.doc_id: r for r in filter_funnel(docs).collect()}
+    qs = {r.doc_id: r.quality for r in quality_score(docs).collect()}
+    tw = {r.doc_id: r.top_word_frac for r in repetition_signals(docs).collect()}
+    for did, row in fun.items():
+        assert row.quality == qs[did]
+        assert row.top_word_frac == tw[did]
