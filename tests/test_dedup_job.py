@@ -1,0 +1,66 @@
+"""End-to-end test for the dedup job entrypoint (jobs/dedup_job.py):
+the operators are oracle-verified individually; this pins their
+composition — table coherence, metrics arithmetic, and idempotent
+re-runs over the same input."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+
+from dedup_job import run_dedup  # noqa: E402
+
+from docling_nlp_api_spark.operators.dedup import with_planted_dups  # noqa: E402
+
+
+def _docs(spark, sf_dir):
+    return with_planted_dups(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def test_dedup_job_end_to_end(spark, sf_dir):
+    out = tempfile.mkdtemp(prefix="dedup_job_")
+    try:
+        docs = _docs(spark, sf_dir)
+        m = run_dedup(spark, docs, out)
+
+        keep = spark.read.parquet(os.path.join(out, "keep"))
+        clusters = spark.read.parquet(os.path.join(out, "clusters"))
+        disk = json.load(open(os.path.join(out, "metrics.json")))
+        assert disk == m
+
+        # arithmetic: every input doc is kept or dropped, exactly once
+        assert m["n_kept"] + m["n_dropped_neardup"] == m["n_docs_in"] == docs.count()
+        assert keep.count() == m["n_kept"]
+        assert keep.select("doc_id").distinct().count() == m["n_kept"]
+
+        # coherence: canonical cluster members kept, non-canonical dropped
+        kept_ids = {r.doc_id for r in keep.select("doc_id").collect()}
+        for r in clusters.collect():
+            assert (r.doc_id in kept_ids) == bool(r.is_canonical)
+            assert r.is_canonical == (r.doc_id == r.canonical_id)
+
+        # the planted near-dups (doc_id + 1000000, truncated text) must
+        # cluster with their sources, and the source (min id) wins
+        planted = {r.doc_id for r in clusters.filter("doc_id >= 1000000").collect()}
+        assert planted, "no planted dup was clustered"
+        canon = {r.doc_id: r.canonical_id for r in clusters.collect()}
+        for pid in planted:
+            assert canon[pid] < 1000000
+
+        # idempotence: a second run over the same input reproduces the
+        # metrics and the keep-set byte-for-byte
+        out2 = tempfile.mkdtemp(prefix="dedup_job2_")
+        try:
+            m2 = run_dedup(spark, docs, out2)
+            assert m2 == m
+            keep2 = spark.read.parquet(os.path.join(out2, "keep"))
+            assert sorted(map(tuple, keep2.collect())) == sorted(map(tuple, keep.collect()))
+        finally:
+            shutil.rmtree(out2, ignore_errors=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
