@@ -1659,6 +1659,50 @@ rk AS (SELECT doc_id, lang, score,
 SELECT doc_id, lang AS pred_lang, score FROM rk WHERE rn = 1
 """)(lambda s, d: C.nb_classify(docs(s, d)))
 
+def _lr_oracle_sql(final: str, dim: int = 64, lr: float = 0.1, iters: int = 3) -> str:
+    """DuckDB mirror of classifier._lr_fit: the GD loop unrolled as CTE
+    chains (the kmeans unrolled-Lloyd pattern). The cross-engine contract
+    is ROUND(z, 6) -> ROUND(sigmoid, 6) -> ROUND(weight update, 6) every
+    iteration; `final` picks the weights table or the scored corpus."""
+    sql = f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % {dim} AS bucket,
+         COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        FROM documents)
+  GROUP BY 1, 2),
+lab AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS y FROM documents),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+w0 AS (SELECT range AS bucket, 0.0 AS w FROM range({dim}))"""
+    for t in range(1, iters + 1):
+        sql += f""",
+z{t} AS (SELECT f.doc_id, ROUND(SUM(f.cnt * w{t - 1}.w), 6) AS z
+         FROM f JOIN w{t - 1} USING (bucket) GROUP BY 1),
+p{t} AS (SELECT z{t}.doc_id, ROUND(1.0 / (1.0 + exp(-z)), 6) AS p, lab.y
+         FROM z{t} JOIN lab USING (doc_id)),
+g{t} AS (SELECT f.bucket, SUM(f.cnt * (p{t}.p - p{t}.y)) AS g
+         FROM f JOIN p{t} USING (doc_id) GROUP BY 1),
+w{t} AS (SELECT w{t - 1}.bucket, ROUND(w{t - 1}.w - {lr} * COALESCE(g{t}.g, 0) / nd.n, 6) AS w
+         FROM w{t - 1} LEFT JOIN g{t} USING (bucket) CROSS JOIN nd)"""
+    if final == "weights":
+        sql += f"\nSELECT CAST(bucket AS INT) AS bucket, w AS weight FROM w{iters}"
+    else:
+        sql += f""",
+zf AS (SELECT f.doc_id, ROUND(SUM(f.cnt * w{iters}.w), 6) AS z
+       FROM f JOIN w{iters} USING (bucket) GROUP BY 1)
+SELECT zf.doc_id, lab.y, ROUND(1.0 / (1.0 + exp(-z)), 4) AS score,
+       CAST(ROUND(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS INT) AS pred
+FROM zf JOIN lab USING (doc_id)"""
+    return sql
+
+
+q("clf_lr_weights", _lr_oracle_sql("weights"))(
+    lambda s, d: C.lr_weights_df(s, docs(s, d))
+)
+
+q("clf_lr_scores", _lr_oracle_sql("scores"))(lambda s, d: C.lr_scores(docs(s, d)))
+
 q("sample_dsir_weights", """
 WITH tok AS (SELECT doc_id,
         CAST(lang = 'en' AS INT) AS in_target,
@@ -2014,6 +2058,10 @@ DEMOTED = [
     "url_blocklist_summary",
     # composed quality-gate funnel (ordered first-fail reasons, one pass)
     "tq_filter_funnel",
+    # logistic regression via distributed full-batch GD (driver loop,
+    # unrolled-iteration DuckDB mirror — gradient-TRAINED model parity)
+    "clf_lr_weights",
+    "clf_lr_scores",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

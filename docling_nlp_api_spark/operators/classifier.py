@@ -9,19 +9,17 @@ model anywhere; this plane supplies what a 100 TB corpus actually needs:
 a classifier whose TRAINING is a corpus aggregation and whose INFERENCE
 is a broadcast-model join — no MLlib, no driver-side fit, no Python UDF.
 
-Why Naive Bayes (and not logistic regression / fastText embeddings):
-- training is ONE groupBy: class-conditional token counts. The model is
-  the (class, word, count) table — vocabulary-sized (Zipf: ~sqrt of
-  corpus mass), never corpus-sized, so it broadcasts;
-- inference is exact integer counts pushed through ln() — the only
-  floats are IEEE-double ln/sum, which both engines bind identically, so
-  an EXACT cross-engine oracle exists (same contract as
-  sampling.unigram_logprob); an SGD-trained model would need the
-  driver-loop machinery kmeans_fit already demonstrates without gaining
-  oracle precision;
-- at small vocabularies NB is literally a linear model over one-hot
-  token counts — the same hypothesis class fastText's supervised mode
-  optimizes, with closed-form (counting) training.
+Two model families, matching the two ways production pipelines train:
+- Naive Bayes (nb_*): closed-form counting — training is ONE groupBy
+  producing the vocabulary-sized (class, word, count) model (Zipf:
+  ~sqrt of corpus mass, so it broadcasts); inference is exact integer
+  counts pushed through ln() (the sampling.unigram_logprob contract).
+  At small vocabularies NB is literally a linear model over one-hot
+  token counts — fastText's hypothesis class with counting training.
+- Logistic regression (lr_*): iterative full-batch gradient descent as
+  a driver loop over a dim-sized weight vector (the kmeans_fit
+  pattern) — the evidence that gradient-TRAINED models, not just
+  counted ones, are bit-reproducible cross-engine.
 
 Scale shape (10^12 docs):
   1. token pass -> per-doc word counts (doc_id, word, k): map-side
@@ -136,4 +134,122 @@ def nb_classify(docs: DataFrame) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("lang").alias("pred_lang"), "score")
+    )
+
+
+# --- trained linear model: logistic regression via distributed GD --------
+
+LR_DIM = 64        # hashing-trick feature dimension (weights stay literal)
+LR_RATE = 0.1      # full-batch learning rate
+LR_ITERS = 3       # unrolled verbatim in the DuckDB oracle
+LR_TARGET_LANG = "en"
+
+
+def _lr_features(docs: DataFrame, dim: int = LR_DIM) -> DataFrame:
+    """Hashing-trick bag-of-words: (doc_id, bucket, cnt) with
+    bucket = first-32-bits-of-md5(word) mod dim — the repo's portable
+    universal hash (dedup.shingle_hashes_flat's idiom), exact in DuckDB.
+    Collisions are the hashing trick's feature, not a bug: the model
+    learns over the folded space on both engines identically."""
+    b = F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long") % dim
+    return (
+        _tokens(docs)
+        .select("doc_id", b.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _lr_fit(
+    docs: DataFrame,
+    dim: int = LR_DIM,
+    lr: float = LR_RATE,
+    iters: int = LR_ITERS,
+    target_lang: str = LR_TARGET_LANG,
+) -> tuple[list[float], DataFrame]:
+    """Full-batch gradient descent as a driver loop over tiny state — the
+    kmeans_fit pattern (similarity.py): each iteration is two distributed
+    aggregations (per-doc margin, per-bucket gradient) and only the
+    dim-sized gradient vector ever reaches the driver; the next
+    iteration's weights return as literals in the plan. w0 = 0.
+
+    This is exactly how a fastText-style quality classifier trains on a
+    corpus too large for single-node fitters: the feature table is
+    corpus-sized but narrow (doc_id, bucket, cnt), checkpointed once and
+    re-scanned per iteration (at 100 TB: staged to parquet instead).
+
+    Cross-engine contract (the kmeans ROUND(…,6) rule, compounded): the
+    per-doc margin z, the sigmoid p, and each weight update are all
+    rounded to 6 decimals — aggregation order differs between engines,
+    and an unrounded 1e-15 drift at iteration 1 would compound into
+    visibly different weights by iteration 3. Featureless docs are
+    excluded from the margin join: x = 0 contributes nothing to any
+    gradient component, so inner joins are exact, not an approximation.
+
+    Gradient-signal note: sigma(0) = 0.5 at w0 = 0, so iteration 1's
+    gradient is (1/n) * sum x_i (0.5 - y_i) — buckets whose mass skews
+    toward the target class start positive immediately; no symmetry
+    breaking is needed (unlike k-means init)."""
+    feat = _lr_features(docs, dim).localCheckpoint(eager=True)
+    labels = docs.select("doc_id", (F.col("lang") == target_lang).cast("int").alias("y"))
+    n = docs.count()
+
+    w = [0.0] * dim
+    for _ in range(iters):
+        wlit = F.array(*[F.lit(v) for v in w])
+        z = feat.groupBy("doc_id").agg(
+            F.round(
+                F.sum(F.col("cnt") * F.element_at(wlit, (F.col("bucket") + 1).cast("int"))), 6
+            ).alias("z")
+        )
+        p = labels.join(z, "doc_id").select(
+            "doc_id",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6).alias("p"),
+            "y",
+        )
+        grad = (
+            feat.join(p, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("cnt") * (F.col("p") - F.col("y"))).alias("g"))
+            .collect()
+        )
+        gd = {r["bucket"]: r["g"] for r in grad}
+        w = [round(w[j] - lr * gd.get(j, 0.0) / n, 6) for j in range(dim)]
+    return w, feat
+
+
+def lr_train(docs: DataFrame, **kw) -> list[float]:
+    """The fitted weight vector (see _lr_fit)."""
+    return _lr_fit(docs, **kw)[0]
+
+
+def lr_weights_df(spark: SparkSession, docs: DataFrame, dim: int = LR_DIM) -> DataFrame:
+    """The trained model as a table: (bucket, weight) — dim rows. This is
+    the catalog's evidence that distributed TRAINING (not just inference)
+    is bit-reproducible cross-engine."""
+    w, _ = _lr_fit(docs, dim)
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(w)], "bucket int, weight double"
+    )
+
+
+def lr_scores(docs: DataFrame, dim: int = LR_DIM) -> DataFrame:
+    """Inference with the freshly trained model: per-doc sigmoid score
+    (rounded to 4) and thresholded prediction. The weights enter the plan
+    as literals — at 10^12 docs scoring is one map-side join-free pass
+    over the feature aggregation (the model never shuffles)."""
+    w, feat = _lr_fit(docs, dim)
+    wlit = F.array(*[F.lit(v) for v in w])
+    z = feat.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("cnt") * F.element_at(wlit, (F.col("bucket") + 1).cast("int"))), 6
+        ).alias("z")
+    )
+    labels = docs.select("doc_id", (F.col("lang") == LR_TARGET_LANG).cast("int").alias("y"))
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 4)
+    return labels.join(z, "doc_id").select(
+        "doc_id",
+        "y",
+        score.alias("score"),
+        (score >= 0.5).cast("int").alias("pred"),
     )

@@ -96,3 +96,54 @@ def test_class_stats_shapes(spark):
     stats = {r.lang: (r.n_docs, r.n_tokens, r.class_vocab)
              for r in C.nb_class_stats(_docs(spark, rows)).collect()}
     assert stats == {"aa": (2, 5, 3), "bb": (1, 1, 1)}
+
+
+def test_lr_learns_separable_vocab(spark):
+    """GD on a linearly separable planted corpus: 'en' docs carry marker
+    tokens disjoint from the rest; after 3 full-batch iterations the
+    model must classify every doc correctly and push the marker buckets'
+    weights positive."""
+    rows = []
+    for i in range(12):
+        rows.append((i, "alpha beta alpha beta gamma", "en"))
+        rows.append((100 + i, "delta epsilon zeta epsilon", "fr"))
+    docs = _docs(spark, [(d, t, g) for d, t, g in rows])
+    scored = {r.doc_id: (r.y, r.pred, r.score) for r in C.lr_scores(docs).collect()}
+    assert len(scored) == 24
+    for did, (y, pred, _s) in scored.items():
+        assert pred == y, (did, scored[did])
+    # en scores strictly above fr scores (margin exists, not a 0.5 tie)
+    en_min = min(s for _, (y, _p, s) in scored.items() if y == 1)
+    fr_max = max(s for _, (y, _p, s) in scored.items() if y == 0)
+    assert en_min > 0.5 > fr_max
+
+
+def test_lr_weights_match_hand_rolled_gd(spark):
+    """One tiny corpus, the full 3-iteration GD replayed in Python with
+    the exact rounding contract — pins the driver-loop arithmetic
+    (feature hashing included) independent of the DuckDB oracle."""
+    import hashlib
+
+    rows = [(1, "cat cat dog", "en"), (2, "fish fish", "fr")]
+    docs = _docs(spark, rows)
+    got = {r.bucket: r.weight for r in C.lr_weights_df(spark, docs).collect()}
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % C.LR_DIM
+
+    feats = {1: {}, 2: {}}
+    for did, text, _ in rows:
+        for w in text.split():
+            feats[did][bucket(w)] = feats[did].get(bucket(w), 0) + 1
+    y = {1: 1, 2: 0}
+    n = 2.0
+    wts = [0.0] * C.LR_DIM
+    for _ in range(C.LR_ITERS):
+        grad = [0.0] * C.LR_DIM
+        for did, fv in feats.items():
+            z = round(sum(c * wts[b] for b, c in fv.items()), 6)
+            p = round(1.0 / (1.0 + math.exp(-z)), 6)
+            for b, c in fv.items():
+                grad[b] += c * (p - y[did])
+        wts = [round(wts[j] - C.LR_RATE * grad[j] / n, 6) for j in range(C.LR_DIM)]
+    assert got == {j: wts[j] for j in range(C.LR_DIM)}
