@@ -1697,6 +1697,55 @@ FROM zf JOIN lab USING (doc_id)"""
     return sql
 
 
+q("lm_trigram_backoff", f"""
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             FROM documents),
+tr AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+       FROM tok, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+       WHERE len(toks) >= 3),
+bg AS (SELECT doc_id, toks[i] AS a, toks[i+1] AS b
+       FROM tok, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+       WHERE len(toks) >= 2),
+c3 AS (SELECT w1, w2, w3, COUNT(*) AS c FROM tr
+       WHERE doc_id % {SP.TRIGRAM_TRAIN_MOD} = 0 GROUP BY 1, 2, 3),
+c2 AS (SELECT a, b, COUNT(*) AS c FROM bg
+       WHERE doc_id % {SP.TRIGRAM_TRAIN_MOD} = 0 GROUP BY 1, 2),
+c1 AS (SELECT w, COUNT(*) AS c
+       FROM (SELECT doc_id, unnest(toks) AS w FROM tok)
+       WHERE doc_id % {SP.TRIGRAM_TRAIN_MOD} = 0 GROUP BY 1),
+nv AS (SELECT CAST(SUM(c) AS DOUBLE) AS n, COUNT(*) AS v FROM c1),
+sc AS (SELECT e.doc_id,
+         CASE WHEN c3.c IS NOT NULL THEN c3.c * 1.0 / ctx.c
+              WHEN bo.c IS NOT NULL THEN {SP.TRIGRAM_ALPHA} * bo.c / d2.c
+              ELSE {SP.TRIGRAM_ALPHA * SP.TRIGRAM_ALPHA} * (COALESCE(u3.c, 0) + 1) / (nv.n + nv.v)
+         END AS s
+       FROM tr e
+       LEFT JOIN c3 ON e.w1 = c3.w1 AND e.w2 = c3.w2 AND e.w3 = c3.w3
+       LEFT JOIN c2 ctx ON ctx.a = e.w1 AND ctx.b = e.w2
+       LEFT JOIN c2 bo ON bo.a = e.w2 AND bo.b = e.w3
+       LEFT JOIN c1 d2 ON d2.w = e.w2
+       LEFT JOIN c1 u3 ON u3.w = e.w3
+       CROSS JOIN nv
+       WHERE e.doc_id % {SP.TRIGRAM_TRAIN_MOD} != 0)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       ROUND(AVG(-ln(s)), 4) AS mean_nll
+FROM sc GROUP BY doc_id
+""")(lambda s, d: SP.trigram_backoff_logprob(docs(s, d)))
+
+q("a13_sessionize", f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+l AS (SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+s AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > {A.SESSION_GAP_US} THEN 1 ELSE 0 END AS is_new
+      FROM l),
+c AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM s)
+SELECT user_id, CAST(session_no AS INT) AS session_no, COUNT(*) AS n_events,
+       MIN(us) AS start_us, MAX(us) AS end_us,
+       MAX(us) - MIN(us) AS duration_us
+FROM c GROUP BY 1, 2
+""")(lambda s, d: A.sessionize(events(s, d)))
+
 q("clf_lr_weights", _lr_oracle_sql("weights"))(
     lambda s, d: C.lr_weights_df(s, docs(s, d))
 )
@@ -2062,6 +2111,11 @@ DEMOTED = [
     # unrolled-iteration DuckDB mirror — gradient-TRAINED model parity)
     "clf_lr_weights",
     "clf_lr_scores",
+    # gap-based sessionization (partitioned window + rollup)
+    "a13_sessionize",
+    # held-out trigram LM with stupid backoff (CCNet perplexity gate,
+    # one tier past lm_bigram_logprob; every backoff tier exercises)
+    "lm_trigram_backoff",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -331,3 +331,50 @@ def set_ops_weeks(events: DataFrame) -> DataFrame:
     i = w1.intersect(w2).agg(F.count("*").alias("n")).select(F.lit("intersect").alias("op"), "n")
     x = w1.exceptAll(w2).agg(F.count("*").alias("n")).select(F.lit("except").alias("op"), "n")
     return u.unionByName(i).unionByName(x)
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity boundary
+
+
+def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Classic gap-based sessionization: per user, a new session starts
+    when the inactivity gap exceeds ``gap_us``; emits per-session rollups
+    (user_id, session_no, n_events, start_us, end_us, duration_us).
+
+    Shape: ONE window partitioned by user_id (lag for the gap, running
+    sum of boundaries for the session ordinal) + one partial-agg rollup
+    on (user_id, session_no). At 10^12 events this is the canonical
+    partitioned-window plan — one hash exchange on user_id, per-user
+    state only, no global sort (the lag and the cumsum share the same
+    window frame, so Spark sorts each user's partition slice once).
+
+    Cross-engine exactness: timestamps compared in integer MICROSECONDS
+    (unix_micros / epoch_us — parquet's native resolution; casting to
+    seconds would truncate and merge distinct instants), ties in the
+    event order pinned by event_id."""
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    # ts is parquet TIMESTAMP_NTZ; the session is pinned UTC, so the cast
+    # to instant-typed TIMESTAMP is identity and unix_micros == epoch_us
+    e = events.select(
+        "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    gap = F.col("us") - F.lag("us").over(w)
+    flagged = e.select(
+        "user_id",
+        "us",
+        "event_id",
+        F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0).alias("is_new"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "us",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int").alias(
+            "session_no"
+        ),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )

@@ -560,3 +560,85 @@ def bpe_token_counts(docs: DataFrame, n_merges: int = 5) -> DataFrame:
             F.round(F.sum("n_sub") / F.count("*"), 4).alias("tokens_per_word"),
         )
     )
+
+
+TRIGRAM_ALPHA = 0.4      # stupid-backoff discount (Brants et al. 2007)
+TRIGRAM_TRAIN_MOD = 2    # train split: doc_id % mod == 0; score the rest
+
+
+def trigram_backoff_logprob(docs: DataFrame, alpha: float = TRIGRAM_ALPHA) -> DataFrame:
+    """Held-out trigram LM scoring with stupid backoff (Brants et al.
+    2007 — the web-scale LM that drops normalization for countability):
+    count tables come from the doc_id%2==0 split, the OTHER split is
+    scored, so unseen n-grams actually occur and every backoff tier
+    exercises (a self-corpus trigram model never backs off).
+
+        S(w3|w1 w2) = c3/c2(w1 w2)                 if the trigram was seen
+                    = alpha * c2(w2 w3)/c1(w2)     elif the bigram was seen
+                    = alpha^2 * (c1(w3)+1)/(N+V)   else (add-1 unigram floor)
+
+    Per eval doc: mean -ln S over its trigrams (round 4) — the CCNet-style
+    perplexity gate one tier past bigram_logprob.
+
+    Scale shape: the three count tables are n-gram-Zipf-bounded (real
+    deployments prune singletons, shrinking c3 by ~half; the plan is
+    unchanged) and join the eval trigram stream as equi-joins — AQE
+    broadcasts whatever fits, and every join key is already corpus-
+    partitioned narrow strings. The token arrays Generate row-locally
+    (the shingle_hashes_flat pattern); nothing corpus-sized shuffles
+    except the eval trigram stream itself, once per count-table probe."""
+    from ..spec import TOKEN_RE  # noqa: F401  (tokenizer parity note: LM plane uses [a-z0-9]+)
+
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), 0)
+    base = docs.select("doc_id", toks.alias("toks"))
+    train = base.filter(F.col("doc_id") % TRIGRAM_TRAIN_MOD == 0)
+    evald = base.filter(F.col("doc_id") % TRIGRAM_TRAIN_MOD != 0)
+
+    def ngrams(df: DataFrame, n: int, names: list[str]) -> DataFrame:
+        idx = F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {n} THEN sequence(0, size(toks) - {n}) "
+                "ELSE CAST(array() AS array<int>) END"
+            )
+        ).alias("i")
+        flat = df.select("doc_id", "toks", idx)
+        return flat.select(
+            "doc_id", *[F.expr(f"toks[i+{j}]").alias(names[j]) for j in range(n)]
+        )
+
+    c3 = ngrams(train, 3, ["w1", "w2", "w3"]).groupBy("w1", "w2", "w3").agg(
+        F.count("*").alias("c3")
+    )
+    c2 = ngrams(train, 2, ["a", "b"]).groupBy("a", "b").agg(F.count("*").alias("c2"))
+    c1 = ngrams(train, 1, ["w"]).groupBy("w").agg(F.count("*").alias("c1"))
+    nv = c1.agg(F.sum("c1").cast("double").alias("n"), F.count("*").alias("v"))
+
+    ev = ngrams(evald, 3, ["w1", "w2", "w3"])
+    joined = (
+        ev.join(c3, ["w1", "w2", "w3"], "left")
+        .join(
+            c2.select(F.col("a").alias("w1"), F.col("b").alias("w2"), F.col("c2").alias("ctx")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            c2.select(F.col("a").alias("w2"), F.col("b").alias("w3"), F.col("c2").alias("bo")),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(c1.select(F.col("w").alias("w2"), F.col("c1").alias("d2")), ["w2"], "left")
+        .join(c1.select(F.col("w").alias("w3"), F.col("c1").alias("u3")), ["w3"], "left")
+        .crossJoin(F.broadcast(nv))
+    )
+    s = (
+        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("ctx"))
+        .when(F.col("bo").isNotNull(), F.lit(alpha) * F.col("bo") / F.col("d2"))
+        .otherwise(
+            F.lit(alpha * alpha) * (F.coalesce(F.col("u3"), F.lit(0)) + 1) / (F.col("n") + F.col("v"))
+        )
+    )
+    return (
+        joined.select("doc_id", (-F.log(s)).alias("nll"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_trigrams"), F.round(F.avg("nll"), 4).alias("mean_nll"))
+    )

@@ -1012,3 +1012,58 @@ def test_filter_funnel_signals_consistent_with_operators(spark, sf_dir):
     for did, row in fun.items():
         assert row.quality == qs[did]
         assert row.top_word_frac == tw[did]
+
+
+def test_sessionize_planted(spark):
+    """Hand-built event stream: gaps straddling the 30-min boundary,
+    multi-user isolation, exact-boundary gap NOT splitting (strict >),
+    and a single-event session with zero duration."""
+    from docling_nlp_api_spark.operators.analytics import sessionize
+
+    m = 60 * 1_000_000  # one minute in micros
+    rows = [
+        # user 1: events at 0, 10, 40 (gap 30 == boundary: same session),
+        # then 71 (gap 31 > 30: new session)
+        (1, 1, 0), (2, 1, 10 * m), (3, 1, 40 * m), (4, 1, 71 * m),
+        # user 2: one lone event
+        (5, 2, 5 * m),
+    ]
+    df = spark.createDataFrame(
+        [(eid, uid, us) for eid, uid, us in rows],
+        "event_id long, user_id long, us long",
+    ).select(
+        "event_id",
+        "user_id",
+        (F.col("us") / 1_000_000).cast("timestamp").alias("ts"),
+    )
+    got = {
+        (r.user_id, r.session_no): (r.n_events, r.start_us, r.end_us, r.duration_us)
+        for r in sessionize(df).collect()
+    }
+    assert got == {
+        (1, 1): (3, 0, 40 * m, 40 * m),
+        (1, 2): (1, 71 * m, 71 * m, 0),
+        (2, 1): (1, 5 * m, 5 * m, 0),
+    }
+
+
+def test_trigram_backoff_planted(spark):
+    """All three backoff tiers on one hand-computed pair of docs:
+    train = 'a b c a b d' (N=6, V=4, c3(a,b,c)=1, c2(a,b)=2, c1(a)=2);
+    eval  = 'q a b c x' ->
+      (q,a,b): trigram unseen, bigram (a,b) seen -> 0.4 * 2/2 = 0.4
+      (a,b,c): seen               -> 1/2 = 0.5
+      (b,c,x): bigram (c,x) unseen, x OOV -> 0.16 * (0+1)/(6+4) = 0.016
+    """
+    import math
+
+    from docling_nlp_api_spark.operators.sampling import trigram_backoff_logprob
+
+    df = spark.createDataFrame(
+        [(0, "a b c a b d"), (1, "q a b c x")],
+        "doc_id long, text string",
+    )
+    rows = trigram_backoff_logprob(df).collect()
+    assert len(rows) == 1 and rows[0].doc_id == 1
+    expect = round(sum(-math.log(s) for s in (0.4, 0.5, 0.016)) / 3, 4)
+    assert (rows[0].n_trigrams, rows[0].mean_nll) == (3, expect)
