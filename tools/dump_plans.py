@@ -136,6 +136,26 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "Join"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # quality-gate funnel: all gates share one tokenize+sort behind TWO
+    # staged Generates; the whole funnel is a map pass — no shuffle/join,
+    # and the tokenizer regex appears exactly once
+    "tq_filter_funnel": (
+        [r"(Generate[\s\S]*){2,}"],
+        ["Exchange", "Join", r"(regexp_extract_all\(lower[\s\S]*){2,}"],
+    ),
+    # URL normalize+parse: pure codegen'd string algebra fused into the
+    # scan — zero shuffle, zero join
+    "url_parse_normalize": ([CODEGEN], ["Exchange", "Join"]),
+    # domain blocklist: the curation list joins as a broadcast, never a
+    # sort-merge of corpus x list
+    "url_blocklist_summary": (["BroadcastHashJoin"], ["SortMergeJoin"]),
+    # NB classifier: the model tables (class counts/totals/priors) are
+    # all broadcast — the corpus-sized word-count stream never sort-merge
+    # joins; the |classes| fan-out is the intended BroadcastNestedLoop
+    "clf_nb_predict": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
 }
 
 
