@@ -978,7 +978,7 @@ def pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
-def _staged_stream(spark: SparkSession, sf_dir: str):
+def _staged_stream(spark: SparkSession, sf_dir: str, flush_horizon_days: int | None = None):
     """Stage the events table as a 3-chunk drop zone + fresh checkpoint
     dir for a deterministic availableNow streaming run. Returns
     (stream, checkpoint_dir, base_dir); callers rmtree base_dir once the
@@ -992,7 +992,10 @@ def _staged_stream(spark: SparkSession, sf_dir: str):
     base = tempfile.mkdtemp(prefix="stream_")
     import os as _os
 
-    drop = stage_event_chunks(spark, sf_dir, _os.path.join(base, "drop"), n_chunks=3)
+    drop = stage_event_chunks(
+        spark, sf_dir, _os.path.join(base, "drop"), n_chunks=3,
+        flush_horizon_days=flush_horizon_days,
+    )
     return read_event_stream(spark, drop), _os.path.join(base, "ck"), base
 
 
@@ -1010,6 +1013,29 @@ def t3_streaming_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_available_now(daily_counts_stream(stream), checkpoint_dir=ck)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def t6_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 via Structured Streaming: merging per-user session windows in
+    append mode — results flush when the watermark passes a session's
+    end, so the staged drop zone carries a trailing sentinel event
+    (user_id = -1, ts = max + 3 days) standing in for a live stream's
+    continuing traffic; the sentinel is filtered back out. The oracle is
+    the batch lag-window computation — session_window's boundary
+    semantics match sessionize's (split only at gap > 30 min; verified by
+    the planted boundary pytest), the emitted end is last event + gap."""
+    import shutil
+
+    from .streaming import run_available_now, session_counts_stream
+
+    stream, ck, base = _staged_stream(spark, sf_dir, flush_horizon_days=3)
+    try:
+        res = run_available_now(
+            session_counts_stream(stream), output_mode="append", checkpoint_dir=ck
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return res.filter(F.col("user_id") >= 0)
 
 
 def t4_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1697,6 +1723,19 @@ FROM zf JOIN lab USING (doc_id)"""
     return sql
 
 
+q("t6_stream_sessions", f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+l AS (SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+s AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > {A.SESSION_GAP_US} THEN 1 ELSE 0 END AS is_new
+      FROM l),
+c AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sno
+      FROM s)
+SELECT user_id, MIN(us) AS start_us, MAX(us) + {A.SESSION_GAP_US} AS end_us,
+       COUNT(*) AS n_events
+FROM c GROUP BY user_id, sno
+""")(t6_streaming_sessions)
+
 q("lm_trigram_backoff", f"""
 WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
              FROM documents),
@@ -2116,6 +2155,9 @@ DEMOTED = [
     # held-out trigram LM with stupid backoff (CCNet perplexity gate,
     # one tier past lm_bigram_logprob; every backoff tier exercises)
     "lm_trigram_backoff",
+    # streaming session windows (merging stateful windows, append mode +
+    # sentinel watermark flush; oracle = batch lag-window mirror)
+    "t6_stream_sessions",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

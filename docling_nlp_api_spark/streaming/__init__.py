@@ -2,6 +2,7 @@ from .events import (  # noqa: F401
     daily_counts_stream,
     read_event_stream,
     run_available_now,
+    session_counts_stream,
     sliding_rate_stream,
     stage_event_chunks,
     upsert_stream_foreach_batch,

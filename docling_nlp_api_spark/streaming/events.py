@@ -33,7 +33,11 @@ EVENT_SCHEMA = (
 
 
 def stage_event_chunks(
-    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_chunks: int = 4,
+    flush_horizon_days: int | None = None,
 ) -> str:
     """Split the batch events table into n_chunks FLAT parquet files under
     out_dir in event_id order — a deterministic simulated arrival stream
@@ -41,7 +45,12 @@ def stage_event_chunks(
     strictly later than chunk k). Flat files, not chunk=k subdirs: the
     file source would otherwise partition-infer a `chunk` column that
     clashes with the explicit schema; staging order also fixes the
-    source's (mtime, path) processing order."""
+    source's (mtime, path) processing order.
+
+    flush_horizon_days: when set, append ONE sentinel event (user_id=-1,
+    ts = max ts + horizon) as a trailing chunk — it drags the watermark
+    past every real window so append-mode sinks (session windows) emit
+    their final state; consumers filter user_id = -1 back out."""
     import glob
     import shutil
 
@@ -60,6 +69,25 @@ def stage_event_chunks(
         (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
         shutil.move(part, os.path.join(out_dir, f"chunk_{k:03d}.parquet"))
         shutil.rmtree(tmp)
+    if flush_horizon_days is not None:
+        tmp = os.path.join(out_dir, "_stage_tmp")
+        (
+            ev.agg(F.max("ts").alias("mx"))
+            .select(
+                F.lit(n).cast("long").alias("event_id"),
+                (F.col("mx") + F.expr(f"INTERVAL {flush_horizon_days} DAYS")).alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("_flush").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        shutil.move(part, os.path.join(out_dir, f"chunk_{n_chunks:03d}.parquet"))
+        shutil.rmtree(tmp)
     return out_dir
 
 
@@ -73,6 +101,38 @@ def read_event_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.parquet(src_dir)
+
+
+def session_counts_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """T6 streaming form: per-user SESSION windows — the genuinely
+    streaming-native stateful concept (windows merge as events arrive;
+    the state store holds open sessions until the watermark passes their
+    end). Batch twin: analytics.sessionize (lag + boundary cumsum).
+
+    Boundary semantics (pinned by the planted pytest): session_window
+    merges an event landing AT the open session's end (inclusive — an
+    exactly-gap-sized hole does NOT split), matching sessionize's strict
+    `> gap` split exactly; the only delta is the emitted end, which is
+    last-event + gap rather than last-event.
+
+    Append mode only (merging windows cannot re-emit in complete mode):
+    results flush when the watermark passes a session's end, so a
+    finished drop-zone run needs one trailing sentinel event past every
+    real session (stage_event_chunks flush_horizon_days) — the batch-
+    equality harness's stand-in for a live stream's continuing traffic."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            F.unix_micros(F.col("w.end")).alias("end_us"),
+            "n_events",
+        )
+    )
 
 
 def daily_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -254,3 +254,64 @@ def test_extract_stream_matches_batch_and_resumes(spark, tmp_path):
 
     # restart with nothing new: zero data micro-batches
     assert run_extract_stream(spark, src, out, ckpt) == 0
+
+
+def test_session_stream_matches_batch_sessionize(spark, tmp_path):
+    """T6: streaming session windows over the staged chunks must equal
+    the batch sessionize() rollups modulo the documented deltas (emitted
+    end = last event + gap; this corpus has no exact-boundary gaps, so
+    the >=-vs-> split semantics agree)."""
+    from docling_nlp_api_spark.operators.analytics import SESSION_GAP_US, sessionize
+    from docling_nlp_api_spark.streaming import session_counts_stream
+
+    drop = stage_event_chunks(
+        spark, SF, str(tmp_path / "drop"), n_chunks=3, flush_horizon_days=3
+    )
+    res = run_available_now(
+        session_counts_stream(read_event_stream(spark, drop)),
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ck"),
+    ).filter(F.col("user_id") >= 0)
+
+    batch = sessionize(spark.read.parquet(f"{SF}/events.parquet")).select(
+        "user_id",
+        "start_us",
+        (F.col("end_us") + SESSION_GAP_US).alias("end_us"),
+        "n_events",
+    )
+    got = _rows(res.select("user_id", "start_us", "end_us", "n_events"))
+    want = _rows(batch)
+    assert got == want and len(got) > 0
+
+
+def test_session_window_boundary_semantics(spark, tmp_path):
+    """Pin the boundary semantics: an exactly-gap-sized hole MERGES in
+    session_window (the open session's end is inclusive) — identical to
+    batch sessionize's strict `> gap` split, so the two definitions agree
+    everywhere, not just on gap-free fixtures."""
+    from docling_nlp_api_spark.operators.analytics import sessionize
+    from docling_nlp_api_spark.streaming import session_counts_stream
+
+    m = 60 * 1_000_000
+    ev = spark.createDataFrame(
+        [(0, 1, 0), (1, 1, 30 * m), (2, 1, 90 * m), (99, -1, 10_000 * m)],
+        "event_id long, user_id long, us long",
+    ).select(
+        "event_id",
+        "user_id",
+        (F.col("us") / 1_000_000).cast("timestamp").alias("ts"),
+        F.lit("t").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    _stage_flat(ev, tmp_path / "drop2", "chunk_000")
+    res = run_available_now(
+        session_counts_stream(read_event_stream(spark, str(tmp_path / "drop2"))),
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ck2"),
+    ).filter(F.col("user_id") >= 0)
+    # streaming: the exactly-30-min gap merges -> sessions of 2 and 1
+    assert sorted(r.n_events for r in res.collect()) == [1, 2]
+    # batch (strict >) agrees: events at 0 and 30min share a session
+    batch = sessionize(ev.filter("user_id >= 0"))
+    assert sorted(r.n_events for r in batch.collect()) == [1, 2]
