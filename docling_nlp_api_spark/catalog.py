@@ -687,6 +687,22 @@ FROM ({_BANDS_SQL})
 GROUP BY band, bucket HAVING COUNT(*) > 1
 """)(lambda s, d: D.lsh_buckets(D.with_planted_dups(docs(s, d))))
 
+q("dedup_lsh_recall", f"""
+WITH {_NEAR_DUPS}, {_SHINGLES}, {_SIG},
+bnd AS ({_BANDS_SQL}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bnd a JOIN bnd b USING (band, bucket) WHERE a.doc_id < b.doc_id),
+pl AS (SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+       FROM documents WHERE doc_id % {D.PLANT_EVERY} = 0),
+tot AS (SELECT COUNT(*) AS n_planted FROM pl),
+hit AS (SELECT COUNT(*) AS n_caught FROM pl
+        WHERE EXISTS (SELECT 1 FROM cand c
+                      WHERE c.doc_a = pl.doc_a AND c.doc_b = pl.doc_b)),
+nc AS (SELECT COUNT(*) AS n_candidates FROM cand)
+SELECT n_planted, n_caught, ROUND(n_caught * 1.0 / n_planted, 4) AS recall, n_candidates
+FROM tot CROSS JOIN hit CROSS JOIN nc
+""")(lambda s, d: D.lsh_recall(docs(s, d)))
+
 q("dedup_jaccard_pairs", f"""
 WITH {_NEAR_DUPS}, {_SHINGLES}, {_SIG},
 b0 AS (SELECT doc_id, md5(CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)) AS bucket FROM sig),
@@ -2158,6 +2174,9 @@ DEMOTED = [
     # streaming session windows (merging stateful windows, append mode +
     # sentinel watermark flush; oracle = batch lag-window mirror)
     "t6_stream_sessions",
+    # LSH candidate-generation self-evaluation (recall vs planted truth,
+    # candidate count as the cost axis)
+    "dedup_lsh_recall",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -162,6 +162,17 @@ def lsh_buckets(
     Single pass: bands explode from one signature row (a per-band union
     of selects over the same subtree would re-run the tokenize+minhash
     scan once per band)."""
+    allb = banded_frame(docs, bands, rows)
+    return (
+        allb.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"), F.max("doc_id").alias("max_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def banded_frame(docs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
+    """(band, bucket, doc_id): every doc's bucket in every band, exploded
+    from ONE signature row — shared by lsh_buckets and lsh_recall."""
     sig = minhash_signatures(docs, k=bands * rows)
     band_structs = F.array(
         *[
@@ -169,13 +180,52 @@ def lsh_buckets(
             for b in range(bands)
         ]
     )
-    allb = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+    return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), "doc_id"
     )
+
+
+def lsh_recall(docs_raw: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
+    """Self-evaluation of candidate generation — the metric a dedup
+    pipeline must report before anyone trusts its keep-set: RECALL of the
+    banded-LSH candidates against the planted ground-truth near-dup pairs
+    (every doc_id % PLANT_EVERY == 0 has a known truncated twin). Emits
+    one row: (n_planted, n_caught, recall, n_candidates) — recall is the
+    quality axis, n_candidates the cost axis (the pairs Jaccard
+    verification will have to touch); tuning bands x rows trades one
+    against the other, and this op is how the trade is measured.
+
+    Shape: candidates are the same (band, bucket) self equi-join the
+    production path uses (never a cross join); the planted pair set is
+    corpus-fraction-sized and the semi-join probe against candidates is
+    key-to-key. Three scalar aggregates cross-joined into the one-row
+    report."""
+    corpus = with_planted_dups(docs_raw)
+    allb = banded_frame(corpus, bands, rows)
+    cand = (
+        allb.alias("a")
+        .join(allb.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    planted = docs_raw.filter(F.col("doc_id") % PLANT_EVERY == 0).select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1000000).alias("doc_b")
+    )
+    tot = planted.agg(F.count("*").alias("n_planted"))
+    hit = planted.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count("*").alias("n_caught")
+    )
+    nc = cand.agg(F.count("*").alias("n_candidates"))
     return (
-        allb.groupBy("band", "bucket")
-        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"), F.max("doc_id").alias("max_doc"))
-        .filter(F.col("n_docs") > 1)
+        tot.crossJoin(hit)
+        .crossJoin(nc)
+        .select(
+            "n_planted",
+            "n_caught",
+            F.round(F.col("n_caught") / F.col("n_planted"), 4).alias("recall"),
+            "n_candidates",
+        )
     )
 
 

@@ -1067,3 +1067,21 @@ def test_trigram_backoff_planted(spark):
     assert len(rows) == 1 and rows[0].doc_id == 1
     expect = round(sum(-math.log(s) for s in (0.4, 0.5, 0.016)) / 3, 4)
     assert (rows[0].n_trigrams, rows[0].mean_nll) == (3, expect)
+
+
+def test_lsh_recall_planted(spark):
+    """On a corpus of identical-text docs, every planted twin shares all
+    shingles -> identical signatures -> recall must be exactly 1.0; and
+    n_candidates bounds sanity (at least the planted pairs)."""
+    from docling_nlp_api_spark.operators.dedup import PLANT_EVERY, lsh_recall
+
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(i * PLANT_EVERY, text + f" tail{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    row = lsh_recall(df).collect()[0]
+    assert row.n_planted == 6
+    assert row.n_caught == 6
+    assert row.recall == 1.0
+    assert row.n_candidates >= 6
