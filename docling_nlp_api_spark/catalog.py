@@ -687,6 +687,54 @@ FROM ({_BANDS_SQL})
 GROUP BY band, bucket HAVING COUNT(*) > 1
 """)(lambda s, d: D.lsh_buckets(D.with_planted_dups(docs(s, d))))
 
+def _norm_dup_docs(s, d):
+    """Plant normalization-equivalent variants the RAW hash provably
+    misses: doc_id%16==0 gets a padded/uppercased/punctuated copy,
+    doc_id%16==8 an accented copy (a -> á); normalize_for_hash folds
+    both back to the original text byte-for-byte."""
+    base = docs(s, d).select("doc_id", "text")
+    v1 = base.filter(F.col("doc_id") % 16 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit(" !!")).alias("text"),
+    )
+    v2 = base.filter(F.col("doc_id") % 16 == 8).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.regexp_replace("text", "a", "á").alias("text"),
+    )
+    return base.unionByName(v1).unionByName(v2)
+
+
+def _accent_chain_sql(expr: str) -> str:
+    """DuckDB mirror of translate(ACCENT_SRC -> ACCENT_DST): a fold of
+    1:1 replace() calls (DuckDB has no translate; single-char mappings
+    make the chain order-independent, so the two are equivalent)."""
+    for s_ch, d_ch in zip(D.ACCENT_SRC, D.ACCENT_DST):
+        expr = f"replace({expr}, '{s_ch}', '{d_ch}')"
+    return expr
+
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace("
+    + _accent_chain_sql("lower(text)")
+    + ", '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+)
+
+q("dedup_exact_normalized", f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, '  ' || upper(text) || ' !!' AS text
+  FROM documents WHERE doc_id % 16 = 0
+  UNION ALL
+  SELECT doc_id + 4000000 AS doc_id, replace(text, 'a', 'á') AS text
+  FROM documents WHERE doc_id % 16 = 8
+),
+n AS (SELECT doc_id, text, {_NORM_SQL} AS norm FROM all_docs)
+SELECT md5(norm) AS norm_hash, COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_raw_hashes, MIN(doc_id) AS representative
+FROM n GROUP BY 1 HAVING COUNT(*) > 1
+""")(lambda s, d: D.exact_dedup_normalized(_norm_dup_docs(s, d)))
+
 q("dedup_lsh_recall", f"""
 WITH {_NEAR_DUPS}, {_SHINGLES}, {_SIG},
 bnd AS ({_BANDS_SQL}),
@@ -1052,6 +1100,35 @@ def t6_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return res.filter(F.col("user_id") >= 0)
+
+
+def t7_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 via Structured Streaming: ingestion-time exact dedup — a custom
+    stateful operator (applyInPandasWithState, NoTimeout) emits each
+    content hash exactly once across micro-batches. Input = the corpus
+    plus the exact-dup plant, staged in doc_id order so 'first seen' is
+    pinned to MIN(doc_id) (the oracle's GROUP BY)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .streaming import (
+        first_seen_stream,
+        read_doc_stream,
+        run_available_now,
+        stage_doc_chunks,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        drop = stage_doc_chunks(_exact_docs(spark, sf_dir), _os.path.join(base, "drop"), 3)
+        return run_available_now(
+            first_seen_stream(read_doc_stream(spark, drop)),
+            output_mode="append",
+            checkpoint_dir=_os.path.join(base, "ck"),
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def t4_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1752,6 +1829,12 @@ SELECT user_id, MIN(us) AS start_us, MAX(us) + {A.SESSION_GAP_US} AS end_us,
 FROM c GROUP BY user_id, sno
 """)(t6_streaming_sessions)
 
+q("t7_stream_first_seen", f"""
+WITH {_EXACT_DUPS}
+SELECT md5(text) AS h, MIN(doc_id) AS doc_id
+FROM all_docs GROUP BY 1
+""")(t7_streaming_first_seen)
+
 q("lm_trigram_backoff", f"""
 WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
              FROM documents),
@@ -2177,6 +2260,11 @@ DEMOTED = [
     # LSH candidate-generation self-evaluation (recall vs planted truth,
     # candidate count as the cost axis)
     "dedup_lsh_recall",
+    # normalization-aware exact dedup (CCNet normalize-before-hash;
+    # n_raw_hashes > 1 proves the raw hash misses these groups)
+    "dedup_exact_normalized",
+    # streaming ingestion-time dedup (custom stateful first-seen gate)
+    "t7_stream_first_seen",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

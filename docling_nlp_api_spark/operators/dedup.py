@@ -1038,3 +1038,44 @@ def contamination_scores_bloom(
             4,
         ).alias("fp_frac"),
     )
+
+
+# accent-fold table for normalization-aware hashing (CCNet normalizes
+# before hashing so case/diacritic/punctuation variants collapse);
+# 1:1 single-char mapping -> Spark translate() == a replace() chain in
+# DuckDB, order-independent. Unmapped non-ASCII falls to the punctuation
+# strip (deleted), which is CCNet's behavior for stray symbols too.
+ACCENT_SRC = "áàâäãéèêëíìîïóòôöõúùûüñç"
+ACCENT_DST = "a" * 5 + "e" * 4 + "i" * 4 + "o" * 5 + "u" * 4 + "nc"
+assert len(ACCENT_SRC) == len(ACCENT_DST)
+
+
+def normalize_for_hash(text: F.Column) -> F.Column:
+    """CCNet-style text normalization for dedup hashing: lowercase,
+    accent-fold, strip everything but [a-z0-9 ], collapse whitespace,
+    trim. A pure codegen'd expression — fuses into whatever pass already
+    reads the text."""
+    t = F.lower(text)
+    t = F.translate(t, ACCENT_SRC, ACCENT_DST)
+    t = F.regexp_replace(t, r"[^a-z0-9 ]", "")
+    t = F.regexp_replace(t, r" +", " ")
+    return F.trim(t)
+
+
+def exact_dedup_normalized(docs: DataFrame) -> DataFrame:
+    """Normalization-aware exact dedup: group on md5(normalize(text)).
+    Alongside the group size, emit the count of DISTINCT RAW hashes in
+    each group — every group with n_raw_hashes > 1 is a duplicate that
+    raw exact_dedup provably misses (case/accent/whitespace/punctuation
+    variants). Same single well-distributed hash-key shuffle as
+    exact_dedup."""
+    norm_hash = F.md5(normalize_for_hash(F.col("text")))
+    return (
+        docs.groupBy(norm_hash.alias("norm_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_raw_hashes"),
+            F.min("doc_id").alias("representative"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

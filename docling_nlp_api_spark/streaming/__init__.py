@@ -8,6 +8,11 @@ from .events import (  # noqa: F401
     upsert_stream_foreach_batch,
     user_totals_stream,
 )
+from .dedup import (  # noqa: F401
+    first_seen_stream,
+    read_doc_stream,
+    stage_doc_chunks,
+)
 from .extract import (  # noqa: F401
     read_span_stream,
     run_extract_stream,

@@ -1085,3 +1085,34 @@ def test_lsh_recall_planted(spark):
     assert row.n_caught == 6
     assert row.recall == 1.0
     assert row.n_candidates >= 6
+
+
+def test_normalize_for_hash_planted(spark):
+    """Hand-built normalization cases: case fold, accent fold (incl. ñ/ç
+    at the table tail), punctuation strip, whitespace collapse, unmapped
+    non-ASCII deletion — and exact_dedup_normalized grouping variants the
+    raw hash provably misses (n_raw_hashes == 3)."""
+    from docling_nlp_api_spark.operators.dedup import (
+        exact_dedup_normalized,
+        normalize_for_hash,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Héllo,  Wørld!"),      # ø unmapped -> deleted
+            (2, "ÁÀÂ ñ ç é"),
+            (3, "the cat"),
+            (4, "  THE   cat!! "),
+            (5, "thé cat"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n for r in df.select("doc_id", normalize_for_hash(F.col("text")).alias("n")).collect()}
+    assert got[1] == "hello wrld"
+    assert got[2] == "aaa n c e"
+    assert got[3] == got[4] == got[5] == "the cat"
+
+    groups = exact_dedup_normalized(df).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert (g.n_docs, g.n_raw_hashes, g.representative) == (3, 3, 3)

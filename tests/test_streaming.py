@@ -315,3 +315,50 @@ def test_session_window_boundary_semantics(spark, tmp_path):
     # batch (strict >) agrees: events at 0 and 30min share a session
     batch = sessionize(ev.filter("user_id >= 0"))
     assert sorted(r.n_events for r in batch.collect()) == [1, 2]
+
+
+def test_first_seen_stream_dedup_and_restart(spark, tmp_path):
+    """T7 ingestion-time dedup: within-batch duplicates resolve to the
+    batch-min doc_id, cross-batch duplicates are suppressed by state, and
+    a RESTART over the same checkpoint with newly staged duplicate docs
+    emits nothing for already-seen hashes (exactly-once across runs) but
+    does emit genuinely new content."""
+    from docling_nlp_api_spark.streaming import first_seen_stream, read_doc_stream
+
+    drop = tmp_path / "drop"
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def run_to_parquet():
+        # parquet sink (the production shape) — memory sinks cannot
+        # recover from a checkpoint, file sinks can
+        q = (
+            first_seen_stream(read_doc_stream(spark, str(drop)))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r.doc_id for r in spark.read.parquet(out).collect()}
+
+    c0 = spark.createDataFrame(
+        [(2, "xx"), (1, "xx"), (3, "yy")], "doc_id long, text string"
+    )
+    c1 = spark.createDataFrame(
+        [(4, "xx"), (5, "zz")], "doc_id long, text string"
+    )
+    _stage_flat(c0, drop, "chunk_000")
+    _stage_flat(c1, drop, "chunk_001")
+    got = run_to_parquet()
+    assert got == {1, 3, 5}  # xx -> batch-min 1; yy -> 3; zz -> 5 (4 suppressed)
+
+    # restart over the same checkpoint: re-offer xx plus new content ww
+    c2 = spark.createDataFrame(
+        [(6, "xx"), (7, "ww")], "doc_id long, text string"
+    )
+    _stage_flat(c2, drop, "chunk_002")
+    got2 = run_to_parquet()
+    assert got2 == {1, 3, 5, 7}  # ww emitted; xx stays suppressed, nothing re-emits
