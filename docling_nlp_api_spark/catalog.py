@@ -1829,6 +1829,21 @@ SELECT user_id, MIN(us) AS start_us, MAX(us) + {A.SESSION_GAP_US} AS end_us,
 FROM c GROUP BY user_id, sno
 """)(t6_streaming_sessions)
 
+q("sample_length_buckets", f"""
+WITH b AS (
+  SELECT LEAST(CAST(ceil(GREATEST(len(regexp_extract_all(text, '\\S+')), 1)
+                    / {SP.BUCKET_STEP}.0) AS BIGINT) * {SP.BUCKET_STEP},
+               {SP.BUCKET_CAP}) AS bucket,
+         LEAST(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT),
+               {SP.BUCKET_CAP}) AS eff
+  FROM documents)
+SELECT bucket, COUNT(*) AS n_docs,
+       CAST(SUM(eff) AS BIGINT) AS token_mass,
+       CAST(COUNT(*) * bucket AS BIGINT) AS padded_mass,
+       ROUND(1.0 - SUM(eff) * 1.0 / (COUNT(*) * bucket), 4) AS waste_frac
+FROM b GROUP BY bucket
+""")(lambda s, d: SP.length_buckets(docs(s, d)))
+
 q("t7_stream_first_seen", f"""
 WITH {_EXACT_DUPS}
 SELECT md5(text) AS h, MIN(doc_id) AS doc_id
@@ -2265,6 +2280,8 @@ DEMOTED = [
     "dedup_exact_normalized",
     # streaming ingestion-time dedup (custom stateful first-seen gate)
     "t7_stream_first_seen",
+    # length-bucketed batching stats (padding-waste audit)
+    "sample_length_buckets",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -642,3 +642,40 @@ def trigram_backoff_logprob(docs: DataFrame, alpha: float = TRIGRAM_ALPHA) -> Da
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_trigrams"), F.round(F.avg("nll"), 4).alias("mean_nll"))
     )
+
+
+BUCKET_STEP = 64          # length-bucket granularity (tokens)
+BUCKET_CAP = 512          # docs above this truncate to the cap bucket
+
+
+def length_buckets(docs: DataFrame, step: int = BUCKET_STEP, cap: int = BUCKET_CAP) -> DataFrame:
+    """Length-bucketed batching stats — the padding-waste audit an
+    inference/training batcher runs before choosing bucket boundaries
+    (pad-to-bucket beats pad-to-max; this op quantifies by how much).
+    Docs are assigned the smallest step-multiple bucket >= their token
+    count (capped: longer docs truncate to the cap bucket); per bucket:
+    doc count, real token mass, padded slot mass, and the padding-waste
+    fraction. One codegen map pass + one tiny-key partial agg.
+
+    Cross-engine contract: pure integer arithmetic until the final
+    round(waste, 4); token counts use the whitespace tokenizer shared
+    with token_count_bpe."""
+    n = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    bucket = F.least(
+        F.ceil(F.greatest(n, F.lit(1)) / F.lit(step)).cast("long") * step, F.lit(cap)
+    )
+    eff = F.least(n.cast("long"), F.lit(cap))  # tokens that actually occupy slots
+    b = docs.select(bucket.alias("bucket"), eff.alias("eff"))
+    agged = b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"), F.sum("eff").alias("token_mass")
+    )
+    padded = (F.col("n_docs") * F.col("bucket")).alias("padded_mass")
+    return agged.select(
+        "bucket",
+        "n_docs",
+        "token_mass",
+        padded,
+        F.round(1.0 - F.col("token_mass") / (F.col("n_docs") * F.col("bucket")), 4).alias(
+            "waste_frac"
+        ),
+    )

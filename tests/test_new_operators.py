@@ -1116,3 +1116,25 @@ def test_normalize_for_hash_planted(spark):
     assert len(groups) == 1
     g = groups[0]
     assert (g.n_docs, g.n_raw_hashes, g.representative) == (3, 3, 3)
+
+
+def test_length_buckets_planted(spark):
+    """Boundary cases the fixture can't produce: exact multiples stay in
+    their bucket, empty docs land in the first bucket, over-cap docs
+    truncate (eff capped so waste can't go negative)."""
+    from docling_nlp_api_spark.operators.sampling import length_buckets
+
+    df = spark.createDataFrame(
+        [
+            (1, "w " * 64),      # exactly 64 -> bucket 64, waste 0
+            (2, "w " * 65),      # 65 -> bucket 128
+            (3, ""),             # 0 tokens -> bucket 64 (greatest guard)
+            (4, "w " * 600),     # over cap -> bucket 512, eff capped at 512
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.bucket: (r.n_docs, r.token_mass, r.padded_mass, r.waste_frac)
+           for r in length_buckets(df).collect()}
+    assert got[64] == (2, 64, 128, 0.5)          # docs 1 and 3
+    assert got[128] == (1, 65, 128, round(1 - 65 / 128, 4))
+    assert got[512] == (1, 512, 512, 0.0)
