@@ -1529,6 +1529,62 @@ SELECT doc_id, words, top_word_frac, quality,
 FROM f
 """)(lambda s, d: Q.filter_funnel(_funnel_aug(docs(s, d))))
 
+
+def _gopher_aug(base):
+    """Union the fixture corpus with textquality.GOPHER_PLANTS — one doc
+    per Gopher gate (symbol/alpha/stopword/word-length) plus a keep case,
+    so every CASE branch of the verdict is exercised in both engines."""
+    spark = base.sparkSession
+    plants = spark.createDataFrame(
+        [(int(i), t) for i, t in Q.GOPHER_PLANTS], "doc_id: long, text: string"
+    )
+    return base.select("doc_id", "text").unionByName(plants)
+
+
+_GOPHER_PLANT_VALUES = ", ".join(
+    "(CAST({} AS BIGINT), '{}')".format(i, t.replace("'", "''"))
+    for i, t in Q.GOPHER_PLANTS
+)
+_GOPHER_STOP_SUM = " + ".join(
+    f"CAST(list_contains(wt, '{s}') AS INT)" for s in Q.GOPHER_STOPWORDS
+)
+
+q("tq_gopher_rules", f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES {_GOPHER_PLANT_VALUES}) v(doc_id, text)),
+w AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '\\S+') AS w,
+         regexp_extract_all(lower(text), '\\b[a-zA-Z]+\\b') AS wt,
+         len(regexp_extract_all(text, '#')) AS n_hash,
+         len(regexp_extract_all(text, '\\.\\.\\.')) AS n_ellipsis
+  FROM aug),
+sig AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CASE WHEN len(w) > 0 THEN ROUND(
+           CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE)
+           / len(w), 4) END AS mean_word_len,
+         CASE WHEN len(w) > 0 THEN ROUND((n_hash + n_ellipsis) * 1.0 / len(w), 4)
+              END AS symbol_ratio,
+         CASE WHEN len(w) > 0 THEN ROUND(
+           len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(w), 4)
+              END AS alpha_frac,
+         CAST({_GOPHER_STOP_SUM} AS BIGINT) AS n_stopwords
+  FROM w)
+SELECT *,
+       CASE WHEN n_words < {Q.GOPHER_MIN_WORDS} OR n_words > {Q.GOPHER_MAX_WORDS}
+                 THEN 'word_count'
+            WHEN mean_word_len < {Q.GOPHER_MIN_MEAN_WORD_LEN}
+                 OR mean_word_len > {Q.GOPHER_MAX_MEAN_WORD_LEN} THEN 'word_length'
+            WHEN symbol_ratio > {Q.GOPHER_MAX_SYMBOL_RATIO} THEN 'symbol_ratio'
+            WHEN alpha_frac < {Q.GOPHER_MIN_ALPHA_FRAC} THEN 'alpha_words'
+            WHEN n_stopwords < {Q.GOPHER_MIN_STOPWORDS} THEN 'stopwords'
+            ELSE 'keep' END AS verdict
+FROM sig
+""")(lambda s, d: Q.gopher_quality_rules(_gopher_aug(docs(s, d))))
+
 q("url_blocklist_summary", f"""
 WITH {_URL_DOM_SQL}
 SELECT CAST(SUM(CASE WHEN domain NOT IN {_URL_BL} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -2282,6 +2338,10 @@ DEMOTED = [
     "t7_stream_first_seen",
     # length-bucketed batching stats (padding-waste audit)
     "sample_length_buckets",
+    # Gopher quality-heuristic half (word bounds / word length / symbol
+    # ratio / alpha fraction / stopword presence; repetition_signals
+    # carries the repetition half)
+    "tq_gopher_rules",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -368,3 +368,103 @@ def filter_funnel(docs: DataFrame) -> DataFrame:
     return s3.select(
         "doc_id", "words", "top_word_frac", "quality", verdict.alias("verdict")
     )
+
+
+# Gopher quality-heuristic thresholds (Rae et al. 2021 §A1.1, public) —
+# shared verbatim with the SQL oracle in catalog.py. The paper's 8
+# "must contain ≥2 of" stopwords are a fixed list, distinct from the
+# repo's 40-word scoring list.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality_rules(docs: DataFrame) -> DataFrame:
+    """The quality-heuristic half of Gopher's §A1.1 filter set (Rae et
+    al. 2021, public) — complements repetition_signals, which carries the
+    repetition half: word-count bounds [50, 100k], mean word length in
+    [3, 10], symbol-to-word ratio ('#' + '...') ≤ 0.1, ≥80% of words
+    containing an alphabetic character, and ≥2 of the paper's 8 stopwords
+    present. Line-based rules (bullet/ellipsis line fractions) are
+    omitted like repetition_signals': the corpus fixture is single-line
+    text and the document-level forms subsume them here.
+
+    Emits the signal columns plus a first-fail `verdict` in the paper's
+    rule order (the filter_funnel audit pattern): word_count ->
+    word_length -> symbol_ratio -> alpha_words -> stopwords -> keep.
+
+    Scale shape: one codegen map pass, zero shuffle/join — the words
+    array is staged ONCE behind an inline-struct Generate barrier (the
+    repo's CollapseProject guard) so the \\S+ tokenizer doesn't re-run
+    per referencing signal; at 100 TB this fuses into the corpus scan
+    like quality_score/charset_signals.
+
+    Cross-engine contract: ratios rounded to 4 decimals BEFORE threshold
+    comparison; word-less docs carry NULL ratios and fail word_count
+    first, so the NULLs never reach a comparison."""
+    words = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    wtoks = F.regexp_extract_all(F.lower("text"), F.lit(r"\b[a-zA-Z]+\b"), 0)
+    staged = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("#"), 0)).alias("n_hash"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\.\.\."), 0)).alias(
+            "n_ellipsis"
+        ),
+        F.inline(F.array(F.struct(words.alias("w"), wtoks.alias("wt")))),
+    )
+    w = F.col("w")
+    n_words = F.size(w)
+    mean_len = F.round(
+        F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        / n_words,
+        4,
+    )
+    symbol_ratio = F.round((F.col("n_hash") + F.col("n_ellipsis")) / n_words, 4)
+    alpha_frac = F.round(
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))) / n_words, 4
+    )
+    n_stop = sum(
+        F.array_contains(F.col("wt"), s).cast("int") for s in GOPHER_STOPWORDS
+    )
+    sig = staged.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.when(n_words > 0, mean_len).alias("mean_word_len"),
+        F.when(n_words > 0, symbol_ratio).alias("symbol_ratio"),
+        F.when(n_words > 0, alpha_frac).alias("alpha_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+    )
+    verdict = (
+        F.when(
+            (F.col("n_words") < GOPHER_MIN_WORDS)
+            | (F.col("n_words") > GOPHER_MAX_WORDS),
+            "word_count",
+        )
+        .when(
+            (F.col("mean_word_len") < GOPHER_MIN_MEAN_WORD_LEN)
+            | (F.col("mean_word_len") > GOPHER_MAX_MEAN_WORD_LEN),
+            "word_length",
+        )
+        .when(F.col("symbol_ratio") > GOPHER_MAX_SYMBOL_RATIO, "symbol_ratio")
+        .when(F.col("alpha_frac") < GOPHER_MIN_ALPHA_FRAC, "alpha_words")
+        .when(F.col("n_stopwords") < GOPHER_MIN_STOPWORDS, "stopwords")
+        .otherwise("keep")
+    )
+    return sig.select("*", verdict.alias("verdict"))
+
+
+# planted rule-violation docs for the gopher oracle — each trips exactly
+# one gate (in rule order) and one passes every gate; shared as literals
+# with the SQL oracle so both engines see identical bytes.
+GOPHER_PLANTS = (
+    (9000001, "the and that have with of " + "### ... " * 40),      # symbol_ratio
+    (9000002, " ".join(["12345"] * 60)),                             # alpha_words
+    (9000003, " ".join(["quantum", "flux", "vector"] * 20)),         # stopwords
+    (9000004, " ".join(["a" * 20] * 60)),                            # word_length
+    (9000005, "the data and that we have worked with of be " * 6),   # keep
+)

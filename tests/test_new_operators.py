@@ -1138,3 +1138,31 @@ def test_length_buckets_planted(spark):
     assert got[64] == (2, 64, 128, 0.5)          # docs 1 and 3
     assert got[128] == (1, 65, 128, round(1 - 65 / 128, 4))
     assert got[512] == (1, 512, 512, 0.0)
+
+
+def test_gopher_rules_planted(spark):
+    """Each GOPHER_PLANTS doc trips exactly its intended gate, in the
+    paper's rule order; a word-count-violating doc fails word_count even
+    if later gates would also fire (first-fail semantics)."""
+    from docling_nlp_api_spark.operators.textquality import (
+        GOPHER_PLANTS,
+        gopher_quality_rules,
+    )
+
+    df = spark.createDataFrame(
+        [(int(i), t) for i, t in GOPHER_PLANTS]
+        + [(1, "### ..."), (2, "")],  # short symbol-doc + empty: word_count first
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_quality_rules(df).collect()}
+    assert got[9000001].verdict == "symbol_ratio"
+    assert got[9000002].verdict == "alpha_words"
+    assert got[9000003].verdict == "stopwords"
+    assert got[9000004].verdict == "word_length"
+    assert got[9000005].verdict == "keep"
+    assert got[1].verdict == "word_count" and got[2].verdict == "word_count"
+    # signal sanity on the keep doc: 60 words, all alpha, >=2 stopwords
+    k = got[9000005]
+    assert k.n_words == 60 and k.alpha_frac == 1.0 and k.n_stopwords >= 2
+    # empty doc carries NULL ratios (never reaches a ratio comparison)
+    assert got[2].mean_word_len is None and got[2].symbol_ratio is None
