@@ -1585,6 +1585,55 @@ SELECT *,
 FROM sig
 """)(lambda s, d: Q.gopher_quality_rules(_gopher_aug(docs(s, d))))
 
+
+def _c4_aug(base):
+    """Union the (single-line) fixture corpus with textquality.C4_PLANTS —
+    multi-line docs exercising every line gate (terminal punct, word
+    count, javascript) and every page verdict branch."""
+    spark = base.sparkSession
+    plants = spark.createDataFrame(
+        [(int(i), t) for i, t in Q.C4_PLANTS], "doc_id: long, text: string"
+    )
+    return base.select("doc_id", "text").unionByName(plants)
+
+
+_C4_PLANT_VALUES = ", ".join(
+    "(CAST({} AS BIGINT), '{}')".format(i, t.replace("'", "''"))
+    for i, t in Q.C4_PLANTS
+)
+
+q("tq_c4_line_filters", f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES {_C4_PLANT_VALUES}) v(doc_id, text)),
+ln AS (
+  SELECT doc_id,
+         contains(text, '{{') AS has_brace,
+         contains(lower(text), '{Q.C4_BANNED_PHRASE}') AS has_banned,
+         string_split(text, chr(10)) AS ls,
+         list_filter(string_split(text, chr(10)),
+                     l -> regexp_matches(l, '[.!?"]\\s*$')
+                          AND len(regexp_extract_all(l, '\\S+')) >= {Q.C4_MIN_LINE_WORDS}
+                          AND NOT regexp_matches(l, '(?i)javascript')) AS ks
+  FROM aug),
+sig AS (
+  SELECT doc_id, has_brace, has_banned,
+         CAST(len(ls) AS BIGINT) AS n_lines,
+         CAST(len(ks) AS BIGINT) AS n_kept_lines,
+         -- DuckDB's array_to_string([]) is NULL where Spark's array_join
+         -- is '' — coalesce so empty keep-sets hash/count identically
+         CAST(len(regexp_extract_all(COALESCE(array_to_string(ks, chr(10)), ''),
+                                     '[.!?]+')) AS BIGINT) AS n_sentences,
+         md5(COALESCE(array_to_string(ks, chr(10)), '')) AS clean_hash
+  FROM ln)
+SELECT doc_id, n_lines, n_kept_lines, n_sentences, clean_hash,
+       CASE WHEN has_brace THEN 'brace'
+            WHEN has_banned THEN 'lorem_ipsum'
+            WHEN n_sentences < {Q.C4_MIN_SENTENCES} THEN 'too_few_sentences'
+            ELSE 'keep' END AS verdict
+FROM sig
+""")(lambda s, d: Q.c4_line_filters(_c4_aug(docs(s, d))))
+
 q("url_blocklist_summary", f"""
 WITH {_URL_DOM_SQL}
 SELECT CAST(SUM(CASE WHEN domain NOT IN {_URL_BL} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -2342,6 +2391,9 @@ DEMOTED = [
     # ratio / alpha fraction / stopword presence; repetition_signals
     # carries the repetition half)
     "tq_gopher_rules",
+    # C4 line/page cleaning (terminal-punct + word-count + javascript
+    # line gates; brace / lorem-ipsum / sentence-count page gates)
+    "tq_c4_line_filters",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -468,3 +468,96 @@ GOPHER_PLANTS = (
     (9000004, " ".join(["a" * 20] * 60)),                            # word_length
     (9000005, "the data and that we have worked with of be " * 6),   # keep
 )
+
+
+# C4 line/page-cleaning constants (Raffel et al. 2020 §2.2, public) —
+# shared verbatim with the SQL oracle in catalog.py.
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+C4_TERMINAL_RE = r'[.!?"]\s*$'
+C4_BANNED_PHRASE = "lorem ipsum"
+
+
+def c4_line_filters(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4's line- and page-level cleaning (Raffel et al. 2020 §2.2,
+    public): retain only lines that end in terminal punctuation, have >=5
+    words, and don't mention javascript; then drop pages containing a
+    curly brace or "lorem ipsum", or whose retained text has <3
+    sentences. The paper's external dirty-word list is out of scope (a
+    third-party artifact, not an algorithm); the banned-phrase hook
+    demonstrates the mechanism with the paper's own lorem-ipsum rule.
+
+    Emits (doc_id, n_lines, n_kept_lines, n_sentences, clean_hash,
+    verdict): first-fail verdict in the paper's order (brace ->
+    lorem_ipsum -> too_few_sentences -> keep), clean_hash = md5 of the
+    retained text so the rewrite is value-checked without shipping the
+    full cleaned corpus through the comparator.
+
+    Scale shape: one codegen map pass, zero shuffle/join — the line
+    array and its retained subset are staged behind an inline-struct
+    Generate barrier (the CollapseProject guard), so the line split and
+    the per-line regex gates each run once per doc. At 100 TB this fuses
+    into the corpus scan; the verdict column is the pushdown predicate
+    for the materializing rewrite.
+
+    Cross-engine contract: sentence count = number of [.!?]+ clusters in
+    the RETAINED text; both engines split lines on chr(10) and count
+    words as \\S+ runs."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(C4_TERMINAL_RE)
+        & (F.size(F.regexp_extract_all(l, F.lit(r"\S+"), 0)) >= C4_MIN_LINE_WORDS)
+        & ~l.rlike("(?i)javascript"),
+    )
+    staged = docs.select(
+        "doc_id",
+        F.col(text_col).contains("{").alias("has_brace"),
+        F.lower(text_col).contains(C4_BANNED_PHRASE).alias("has_banned"),
+        F.inline(F.array(F.struct(lines.alias("ls"), kept.alias("ks")))),
+    )
+    clean = F.array_join(F.col("ks"), "\n")
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]+"), 0))
+    sig = staged.select(
+        "doc_id",
+        "has_brace",
+        "has_banned",
+        F.size("ls").cast("long").alias("n_lines"),
+        F.size("ks").cast("long").alias("n_kept_lines"),
+        n_sent.cast("long").alias("n_sentences"),
+        F.md5(clean).alias("clean_hash"),
+    )
+    verdict = (
+        F.when(F.col("has_brace"), "brace")
+        .when(F.col("has_banned"), "lorem_ipsum")
+        .when(F.col("n_sentences") < C4_MIN_SENTENCES, "too_few_sentences")
+        .otherwise("keep")
+    )
+    return sig.select(
+        "doc_id", "n_lines", "n_kept_lines", "n_sentences", "clean_hash",
+        verdict.alias("verdict"),
+    )
+
+
+# planted multi-line docs for the C4 oracle — the fixture corpus is
+# single-line, so line-gate variety comes from these: each branch of the
+# verdict plus every line gate (punct / word count / javascript) fires.
+C4_PLANTS = (
+    (9100001,  # keep: 3 good lines survive, 3 sentences
+     "The quick brown fox jumps over the lazy dog.\n"
+     "short line.\n"
+     "Enable JavaScript to view this page properly today.\n"
+     "A second proper sentence line stands entirely alone here!\n"
+     "no terminal punctuation on this line at all\n"
+     'He said the last line was "perfectly fine today."'),
+    (9100002,  # too_few_sentences: only 2 lines survive the gates
+     "This retained line has plenty of words inside.\n"
+     "Another retained line also has enough words here."),
+    (9100003,  # brace fires before line accounting
+     "A valid sentence with a brace { inside it appears.\n"
+     "More valid text follows on the second line here."),
+    (9100004,  # lorem_ipsum page gate (case-insensitive)
+     "Lorem Ipsum dolor sit amet consectetur adipiscing elit.\n"
+     "This otherwise valid line would have been retained fine.\n"
+     "And a third fine sentence line would have passed too."),
+)

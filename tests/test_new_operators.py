@@ -1166,3 +1166,39 @@ def test_gopher_rules_planted(spark):
     assert k.n_words == 60 and k.alpha_frac == 1.0 and k.n_stopwords >= 2
     # empty doc carries NULL ratios (never reaches a ratio comparison)
     assert got[2].mean_word_len is None and got[2].symbol_ratio is None
+
+
+def test_c4_line_filters_planted(spark):
+    """C4_PLANTS line accounting: the keep doc retains exactly the three
+    gate-passing lines (value-checked via md5 of the rewritten text);
+    page gates fire in paper order (brace before line accounting)."""
+    import hashlib
+
+    from docling_nlp_api_spark.operators.textquality import (
+        C4_PLANTS,
+        c4_line_filters,
+    )
+
+    df = spark.createDataFrame(
+        [(int(i), t) for i, t in C4_PLANTS], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in c4_line_filters(df).collect()}
+
+    keep = got[9100001]
+    assert keep.verdict == "keep"
+    assert (keep.n_lines, keep.n_kept_lines, keep.n_sentences) == (6, 3, 3)
+    expected_clean = "\n".join(
+        [
+            "The quick brown fox jumps over the lazy dog.",
+            "A second proper sentence line stands entirely alone here!",
+            'He said the last line was "perfectly fine today."',
+        ]
+    )
+    assert keep.clean_hash == hashlib.md5(expected_clean.encode()).hexdigest()
+
+    assert got[9100002].verdict == "too_few_sentences"
+    assert got[9100002].n_kept_lines == 2
+    # brace fires even though the lines themselves would pass
+    assert got[9100003].verdict == "brace"
+    # lorem ipsum is case-insensitive and fires before sentence counting
+    assert got[9100004].verdict == "lorem_ipsum"
