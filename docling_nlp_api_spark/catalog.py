@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from .operators import analytics as A
 from .operators import classifier as C
 from .operators import dedup as D
+from .operators import graph as G
 from .operators import multimodal as M
 from .operators import nlp as N
 from .operators import pii as P
@@ -1634,6 +1635,57 @@ SELECT doc_id, n_lines, n_kept_lines, n_sentences, clean_hash,
 FROM sig
 """)(lambda s, d: Q.c4_line_filters(_c4_aug(docs(s, d))))
 
+
+# fixed-point PageRank: iterations unrolled as CTEs (the clf_lr_weights
+# pattern — a gradient/rank ITERATION mirrored exactly, not just its
+# output shape). All-integer arithmetic makes the mirror bit-exact with
+# no summation-order caveat.
+_PR_FAN_VALUES = ", ".join(f"({c})" for c in range(1, G.PR_FANOUT + 1))
+# the scaled (1-d) numerator is folded in Python (a DuckDB literal would
+# be INT32 and overflow in `1000000000 * 15`)
+_PR_BASE = (
+    f"({G.PR_SCALE * (G.PR_DAMP_DEN - G.PR_DAMP_NUM) // G.PR_DAMP_DEN}"
+    " // (SELECT n FROM nm))"
+)
+
+
+def _pr_iter_cte(name: str, prev: str) -> str:
+    return f"""{name} AS (
+  SELECT nd.doc_id,
+         CAST({_PR_BASE}
+              + ({G.PR_DAMP_NUM} * COALESCE(SUM(p.pr // o.od), 0)) // {G.PR_DAMP_DEN}
+           AS BIGINT) AS pr
+  FROM nodes nd
+  LEFT JOIN edges e ON e.dst = nd.doc_id
+  LEFT JOIN {prev} p ON p.doc_id = e.src
+  LEFT JOIN outdeg o ON o.src = e.src
+  GROUP BY nd.doc_id)"""
+
+
+_PR_ITERS = ", ".join(
+    _pr_iter_cte(f"it{i}", f"it{i - 1}" if i > 1 else "pr0")
+    for i in range(1, G.PR_ITERATIONS + 1)
+)
+
+q("graph_pagerank_topk", f"""
+WITH nm AS (SELECT COUNT(*) AS n, MAX(doc_id) + 1 AS m FROM documents),
+nodes AS (SELECT doc_id FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT d.doc_id AS src,
+           (d.doc_id * 31 + c.c * 7) % (SELECT m FROM nm) AS dst
+    FROM documents d, (VALUES {_PR_FAN_VALUES}) c(c))
+  WHERE dst != src AND dst IN (SELECT doc_id FROM nodes)),
+outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1),
+pr0 AS (SELECT doc_id,
+               CAST({G.PR_SCALE} // (SELECT n FROM nm) AS BIGINT) AS pr
+        FROM nodes),
+{_PR_ITERS}
+SELECT doc_id, pr AS pr_fixed
+FROM it{G.PR_ITERATIONS}
+ORDER BY pr DESC, doc_id LIMIT {G.PR_TOP_K}
+""")(lambda s, d: G.pagerank(docs(s, d).select("doc_id"), G.synth_edges(docs(s, d))))
+
 q("url_blocklist_summary", f"""
 WITH {_URL_DOM_SQL}
 SELECT CAST(SUM(CASE WHEN domain NOT IN {_URL_BL} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -2394,6 +2446,9 @@ DEMOTED = [
     # C4 line/page cleaning (terminal-punct + word-count + javascript
     # line gates; brace / lorem-ipsum / sentence-count page gates)
     "tq_c4_line_filters",
+    # fixed-point PageRank over the synthesized link graph (iterative
+    # equi-join plane; bit-exact integer arithmetic cross-engine)
+    "graph_pagerank_topk",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -1202,3 +1202,28 @@ def test_c4_line_filters_planted(spark):
     assert got[9100003].verdict == "brace"
     # lorem ipsum is case-insensitive and fires before sentence counting
     assert got[9100004].verdict == "lorem_ipsum"
+
+
+def test_pagerank_invariants(spark):
+    """Analytic checks the oracle can't express: on a directed cycle the
+    uniform distribution is the fixed point (every iteration preserves
+    it), and on a star every leaf's mass flows to the hub. Fixed-point
+    arithmetic makes both exact, not approximate."""
+    from docling_nlp_api_spark.operators.graph import PR_SCALE, pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 4) for i in range(4)], "src long, dst long"
+    )
+    ranks = {r.doc_id: r.pr_fixed for r in pagerank(nodes, cycle).collect()}
+    # uniform fixed point: base + 0.85 * (SCALE/4 div 1) == SCALE/4 exactly
+    assert set(ranks.values()) == {PR_SCALE // 4}
+
+    star = spark.createDataFrame(
+        [(i, 0) for i in range(1, 4)], "src long, dst long"
+    )
+    sranks = {r.doc_id: r.pr_fixed for r in pagerank(nodes, star).collect()}
+    hub, leaves = sranks[0], [sranks[i] for i in range(1, 4)]
+    assert len(set(leaves)) == 1 and hub > leaves[0]
+    # leaves get only the teleport base after iteration 1 (no in-edges)
+    assert leaves[0] == (PR_SCALE * 15 // 100) // 4
