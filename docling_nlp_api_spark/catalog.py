@@ -20,6 +20,7 @@ from .operators import analytics as A
 from .operators import classifier as C
 from .operators import dedup as D
 from .operators import graph as G
+from .operators import snapshots as SN
 from .operators import multimodal as M
 from .operators import nlp as N
 from .operators import pii as P
@@ -1686,6 +1687,50 @@ FROM it{G.PR_ITERATIONS}
 ORDER BY pr DESC, doc_id LIMIT {G.PR_TOP_K}
 """)(lambda s, d: G.pagerank(docs(s, d).select("doc_id"), G.synth_edges(docs(s, d))))
 
+
+# snapshot diff: deterministic old/new corpus versions carved from the
+# fixture — old drops doc_id%10==0 (-> added in new), new drops %10==1
+# (-> removed), %7==3 docs get a text edit in new (-> changed).
+_SNAP_OLD = "SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0"
+_SNAP_NEW = ("SELECT doc_id, CASE WHEN doc_id % 7 = 3 THEN text || ' [v2]' "
+             "ELSE text END AS text FROM documents WHERE doc_id % 10 != 1")
+
+
+def _snap_old(base):
+    return base.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+
+
+def _snap_new(base):
+    return base.filter(F.col("doc_id") % 10 != 1).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 3, F.concat("text", F.lit(" [v2]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+_SNAP_STATUS = f"""
+old AS ({_SNAP_OLD}), new AS ({_SNAP_NEW}),
+ho AS (SELECT doc_id, md5(text) AS h_old FROM old),
+hn AS (SELECT doc_id, md5(text) AS h_new FROM new),
+st AS (
+  SELECT COALESCE(ho.doc_id, hn.doc_id) AS doc_id,
+         CASE WHEN h_old IS NULL THEN 'added'
+              WHEN h_new IS NULL THEN 'removed'
+              WHEN h_old != h_new THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM ho FULL OUTER JOIN hn ON ho.doc_id = hn.doc_id)"""
+
+q("snap_diff_delta", f"""
+WITH {_SNAP_STATUS}
+SELECT doc_id, status FROM st WHERE status != 'unchanged'
+""")(lambda s, d: SN.snapshot_diff(_snap_old(docs(s, d)), _snap_new(docs(s, d))))
+
+q("snap_diff_summary", f"""
+WITH {_SNAP_STATUS}
+SELECT status, COUNT(*) AS n_docs FROM st GROUP BY status
+""")(lambda s, d: SN.snapshot_diff_summary(_snap_old(docs(s, d)), _snap_new(docs(s, d))))
+
 q("url_blocklist_summary", f"""
 WITH {_URL_DOM_SQL}
 SELECT CAST(SUM(CASE WHEN domain NOT IN {_URL_BL} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -2449,6 +2494,10 @@ DEMOTED = [
     # fixed-point PageRank over the synthesized link graph (iterative
     # equi-join plane; bit-exact integer arithmetic cross-engine)
     "graph_pagerank_topk",
+    # snapshot versioning: per-doc delta + churn summary between two
+    # corpus versions (hash-reduced full-outer join, delta-only output)
+    "snap_diff_delta",
+    "snap_diff_summary",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}
