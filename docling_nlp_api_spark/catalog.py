@@ -1855,8 +1855,9 @@ SELECT ex.grp AS event_type,
 FROM ex JOIN est USING (grp)
 """)(lambda s, d: SK.hll_distinct(events(s, d), "event_type", "event_id"))
 
-q("lm_bigram_logprob", """
-WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+# bigram-NLL scoring CTEs, shared by lm_bigram_logprob and the CCNet
+# perplexity-bucket entry
+_BIGRAM_SC = """tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
              FROM documents),
 big AS (SELECT doc_id, toks[i] AS prev, toks[i+1] AS w
         FROM tok, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
@@ -1868,11 +1869,31 @@ vt AS (SELECT COUNT(DISTINCT word) AS v
              FROM documents)),
 sc AS (SELECT b.doc_id,
          ln(CAST(c1.c1 + vt.v AS DOUBLE) / (c2.c2 + 1)) AS nll
-       FROM big b JOIN c2 USING (prev, w) JOIN c1 USING (prev) CROSS JOIN vt)
+       FROM big b JOIN c2 USING (prev, w) JOIN c1 USING (prev) CROSS JOIN vt)"""
+
+q("lm_bigram_logprob", f"""
+WITH {_BIGRAM_SC}
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        ROUND(AVG(nll), 4) AS mean_nll
 FROM sc GROUP BY doc_id
 """)(lambda s, d: SP.bigram_logprob(docs(s, d)))
+
+q("lm_perplexity_buckets", f"""
+WITH {_BIGRAM_SC},
+s AS (SELECT doc_id, ROUND(AVG(nll), 4) AS mean_nll FROM sc GROUP BY doc_id),
+nn AS (SELECT COUNT(*) AS c FROM s),
+h AS (SELECT mean_nll, COUNT(*) AS cnt FROM s GROUP BY 1),
+cum AS (SELECT mean_nll, SUM(cnt) OVER (ORDER BY mean_nll) AS cum FROM h),
+cut AS (SELECT
+    MIN(CASE WHEN cum >= ((SELECT c FROM nn) + 2) // 3 THEN mean_nll END) AS c1,
+    MIN(CASE WHEN cum >= (2 * (SELECT c FROM nn) + 2) // 3 THEN mean_nll END) AS c2
+  FROM cum)
+SELECT doc_id, mean_nll,
+       CASE WHEN mean_nll <= cut.c1 THEN 'head'
+            WHEN mean_nll <= cut.c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM s CROSS JOIN cut
+""")(lambda s, d: SP.perplexity_buckets(docs(s, d)))
 
 _CMS = {"P": 4294967311, "W": 1024,
         "A": [1099087573, 2034678437, 1831565813],
@@ -2498,6 +2519,9 @@ DEMOTED = [
     # corpus versions (hash-reduced full-outer join, delta-only output)
     "snap_diff_delta",
     "snap_diff_summary",
+    # CCNet perplexity terciles (histogram-derived cutoffs, no global
+    # sort/window; map-side bucket assignment)
+    "lm_perplexity_buckets",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -679,3 +679,51 @@ def length_buckets(docs: DataFrame, step: int = BUCKET_STEP, cap: int = BUCKET_C
             "waste_frac"
         ),
     )
+
+
+PPL_BUCKETS = ("head", "middle", "tail")  # CCNet's tercile names
+
+
+def perplexity_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, public):
+    split the corpus into head / middle / tail terciles by LM score
+    (bigram_logprob mean NLL standing in for KenLM — same shape, oracle-
+    exact), lowest-NLL third = head. Downstream mixing samples buckets at
+    different rates (head-heavy for quality, tail kept for diversity).
+
+    Scale shape: NO global sort/ntile window — the tercile cutoffs are
+    derived from the histogram of ROUND-4 scores, whose distinct-value
+    count is bounded by the score range × 1e4 (≈1e5 rows) INDEPENDENT of
+    corpus size, so the collect is metadata-scale (the CCNet
+    compute-cutoffs-from-sample pattern made exact). Bucket assignment is
+    then a map-side comparison against two literal cutoffs. Ties share a
+    bucket by value (no doc_id tiebreak), which keeps the rule
+    deterministic and engine-order-free; tercile sizes are therefore
+    exact only up to tie mass. Docs with <2 tokens have no score and are
+    excluded (mirrors the SQL side).
+
+    Cross-engine contract: cutoff c_k = smallest score with cumulative
+    count >= ceil(k*n/3), computed on integer arithmetic both sides."""
+    scores = bigram_logprob(docs).select("doc_id", "mean_nll")
+    hist = sorted(
+        (r.mean_nll, r.cnt)
+        for r in scores.groupBy("mean_nll").agg(F.count("*").alias("cnt")).collect()
+    )
+    n = sum(c for _, c in hist)
+    if n == 0:
+        return scores.select("doc_id", "mean_nll", F.lit("head").alias("bucket"))
+    t1, t2 = (n + 2) // 3, (2 * n + 2) // 3
+    c1 = c2 = None
+    cum = 0
+    for v, c in hist:
+        cum += c
+        if c1 is None and cum >= t1:
+            c1 = v
+        if c2 is None and cum >= t2:
+            c2 = v
+    bucket = (
+        F.when(F.col("mean_nll") <= c1, "head")
+        .when(F.col("mean_nll") <= c2, "middle")
+        .otherwise("tail")
+    )
+    return scores.select("doc_id", "mean_nll", bucket.alias("bucket"))

@@ -1227,3 +1227,35 @@ def test_pagerank_invariants(spark):
     assert len(set(leaves)) == 1 and hub > leaves[0]
     # leaves get only the teleport base after iteration 1 (no in-edges)
     assert leaves[0] == (PR_SCALE * 15 // 100) // 4
+
+
+def test_perplexity_buckets_tercile_sizes(spark, sf_dir):
+    """Bucket sizes are exact terciles up to tie mass, ordered head <=
+    middle <= tail by score, and every scored doc lands in a bucket."""
+    from pyspark.sql import functions as F
+
+    from docling_nlp_api_spark.operators.sampling import (
+        bigram_logprob,
+        perplexity_buckets,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pb = perplexity_buckets(docs)
+    n_scored = bigram_logprob(docs).count()
+    sizes = {
+        r.bucket: r.c
+        for r in pb.groupBy("bucket").agg(F.count("*").alias("c")).collect()
+    }
+    assert sum(sizes.values()) == n_scored
+    # cutoff rule: head holds AT LEAST ceil(n/3) docs (ties only add)
+    assert sizes.get("head", 0) >= (n_scored + 2) // 3
+    # score ordering between buckets is strict at the boundaries
+    rows = pb.collect()
+    max_head = max(r.mean_nll for r in rows if r.bucket == "head")
+    vals_mid = [r.mean_nll for r in rows if r.bucket == "middle"]
+    if vals_mid:
+        assert max_head < min(vals_mid)
+        max_mid = max(vals_mid)
+        vals_tail = [r.mean_nll for r in rows if r.bucket == "tail"]
+        if vals_tail:
+            assert max_mid < min(vals_tail)
