@@ -1895,6 +1895,24 @@ SELECT doc_id, mean_nll,
 FROM s CROSS JOIN cut
 """)(lambda s, d: SP.perplexity_buckets(docs(s, d)))
 
+q("sample_chunk_overlap", f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+st AS (SELECT doc_id, toks,
+         CASE WHEN len(toks) = 0 THEN 0
+              WHEN len(toks) <= {SP.CHUNK_SIZE} THEN 1
+              ELSE CAST(ceil((len(toks) - {SP.CHUNK_SIZE}) / {SP.CHUNK_STRIDE}.0) AS INT) + 1
+         END AS n_chunks
+       FROM tok),
+ch AS (SELECT doc_id, i AS chunk_idx,
+              list_slice(toks, i * {SP.CHUNK_STRIDE} + 1,
+                         i * {SP.CHUNK_STRIDE} + {SP.CHUNK_SIZE}) AS chunk
+       FROM st, UNNEST(CASE WHEN n_chunks > 0 THEN range(0, n_chunks) ELSE [] END) u(i))
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(chunk) AS BIGINT) AS n_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_hash
+FROM ch
+""")(lambda s, d: SP.chunk_overlap(docs(s, d)))
+
 _CMS = {"P": 4294967311, "W": 1024,
         "A": [1099087573, 2034678437, 1831565813],
         "B": [217645177, 1343714161, 987654323]}
@@ -2522,6 +2540,9 @@ DEMOTED = [
     # CCNet perplexity terciles (histogram-derived cutoffs, no global
     # sort/window; map-side bucket assignment)
     "lm_perplexity_buckets",
+    # sliding-window token chunking with overlap (RAG/context-window
+    # prep; row-local slices + one posexplode, zero shuffle)
+    "sample_chunk_overlap",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -727,3 +727,57 @@ def perplexity_buckets(docs: DataFrame) -> DataFrame:
         .otherwise("tail")
     )
     return scores.select("doc_id", "mean_nll", bucket.alias("bucket"))
+
+
+CHUNK_SIZE = 32    # tokens per chunk (fixture-scale; production ~512-8192)
+CHUNK_STRIDE = 24  # chunk start spacing -> 8-token overlap
+
+
+def chunk_overlap(
+    docs: DataFrame, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Sliding-window token chunking with overlap — the context-window
+    prep step (RAG indexing / long-doc training samples): chunk i covers
+    tokens [i*stride, i*stride + size), so consecutive chunks share
+    size - stride tokens; the last chunk starts at the final stride
+    boundary that still has any token (short docs emit one short chunk,
+    empty docs none). Complements pack_sequences (which concatenates
+    docs) by splitting them.
+
+    Emits (doc_id, chunk_idx, n_tokens, chunk_hash): the md5 stands in
+    for the chunk text through the comparator; a materializing variant
+    selects the text column instead, same plan.
+
+    Scale shape: chunk index and slices are computed ROW-LOCALLY behind
+    an inline-struct Generate barrier (one tokenizer pass; the
+    CollapseProject guard), then a single posexplode fans out chunks —
+    zero shuffle/join, fuses into the corpus scan. Overlap multiplies
+    output bytes by size/stride, a declared cost, not a plan defect."""
+    from ..spec import TOKEN_RE
+
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    base = docs.select("doc_id", F.inline(F.array(F.struct(toks.alias("toks")))))
+    n_chunks = F.expr(
+        "CASE WHEN size(toks) = 0 THEN 0 "
+        f"WHEN size(toks) <= {size} THEN 1 "
+        f"ELSE CAST(ceil((size(toks) - {size}) / {stride}.0) AS INT) + 1 END"
+    )
+    staged = base.select(
+        "doc_id",
+        "toks",
+        F.inline(F.array(F.struct(n_chunks.alias("n_chunks")))),
+    )
+    chunk_arr = F.expr(
+        "CASE WHEN n_chunks = 0 THEN CAST(array() AS array<array<string>>) "
+        "ELSE transform(sequence(0, n_chunks - 1), "
+        f"     i -> slice(toks, i * {stride} + 1, {size})) END"
+    )
+    fanned = staged.select(
+        "doc_id", F.posexplode(chunk_arr).alias("chunk_idx", "chunk")
+    )
+    return fanned.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "chunk")).alias("chunk_hash"),
+    )

@@ -1259,3 +1259,42 @@ def test_perplexity_buckets_tercile_sizes(spark, sf_dir):
         vals_tail = [r.mean_nll for r in rows if r.bucket == "tail"]
         if vals_tail:
             assert max_mid < min(vals_tail)
+
+
+def test_chunk_overlap_boundaries(spark):
+    """Exact chunk accounting at the stride boundaries: divisible tail,
+    ragged tail, short doc (one chunk), empty doc (none); consecutive
+    chunks share exactly size - stride tokens."""
+    from docling_nlp_api_spark.operators.sampling import chunk_overlap
+
+    # pure-alpha words: TOKEN_RE rejects letter-digit mixes like tok01
+    mk = lambda i: "w" + chr(97 + i // 26) + chr(97 + i % 26)
+    words = lambda n: " ".join(mk(i) for i in range(n))
+    df = spark.createDataFrame(
+        [
+            (1, words(56)),  # 32 + 24: 2 chunks, 2nd exactly full
+            (2, words(57)),  # 3 chunks, last has 57 - 48 = 9 tokens
+            (3, words(10)),  # short: 1 chunk of 10
+            (4, ""),         # empty: no chunks
+        ],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in chunk_overlap(df, size=32, stride=24).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_tokens))
+    assert sorted(got[1]) == [(0, 32), (1, 32)]
+    assert sorted(got[2]) == [(0, 32), (1, 32), (2, 9)]
+    assert sorted(got[3]) == [(0, 10)]
+    assert 4 not in got
+
+    # overlap check: chunk 1 of doc 1 starts at token 24 (0-based)
+    rows = chunk_overlap(
+        df.filter("doc_id = 1"), size=32, stride=24
+    ).collect()
+    import hashlib
+    toks = [mk(i) for i in range(56)]
+    expect = {
+        0: hashlib.md5(" ".join(toks[0:32]).encode()).hexdigest(),
+        1: hashlib.md5(" ".join(toks[24:56]).encode()).hexdigest(),
+    }
+    assert {r.chunk_idx: r.chunk_hash for r in rows} == expect
