@@ -1640,21 +1640,18 @@ FROM sig
 # fixed-point PageRank: iterations unrolled as CTEs (the clf_lr_weights
 # pattern — a gradient/rank ITERATION mirrored exactly, not just its
 # output shape). All-integer arithmetic makes the mirror bit-exact with
-# no summation-order caveat.
+# no summation-order caveat; the damping uses the same overflow-safe
+# split form as graph._damp.
 _PR_FAN_VALUES = ", ".join(f"({c})" for c in range(1, G.PR_FANOUT + 1))
-# the scaled (1-d) numerator is folded in Python (a DuckDB literal would
-# be INT32 and overflow in `1000000000 * 15`)
-_PR_BASE = (
-    f"({G.PR_SCALE * (G.PR_DAMP_DEN - G.PR_DAMP_NUM) // G.PR_DAMP_DEN}"
-    " // (SELECT n FROM nm))"
-)
 
 
 def _pr_iter_cte(name: str, prev: str) -> str:
     return f"""{name} AS (
   SELECT nd.doc_id,
-         CAST({_PR_BASE}
-              + ({G.PR_DAMP_NUM} * COALESCE(SUM(p.pr // o.od), 0)) // {G.PR_DAMP_DEN}
+         CAST({G.PR_BASE}
+              + (COALESCE(SUM(p.pr // o.od), 0) // {G.PR_DAMP_DEN}) * {G.PR_DAMP_NUM}
+              + ((COALESCE(SUM(p.pr // o.od), 0) % {G.PR_DAMP_DEN}) * {G.PR_DAMP_NUM})
+                // {G.PR_DAMP_DEN}
            AS BIGINT) AS pr
   FROM nodes nd
   LEFT JOIN edges e ON e.dst = nd.doc_id
@@ -1669,7 +1666,7 @@ _PR_ITERS = ", ".join(
 )
 
 q("graph_pagerank_topk", f"""
-WITH nm AS (SELECT COUNT(*) AS n, MAX(doc_id) + 1 AS m FROM documents),
+WITH nm AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
 nodes AS (SELECT doc_id FROM documents),
 edges AS (
   SELECT DISTINCT src, dst FROM (
@@ -1678,9 +1675,7 @@ edges AS (
     FROM documents d, (VALUES {_PR_FAN_VALUES}) c(c))
   WHERE dst != src AND dst IN (SELECT doc_id FROM nodes)),
 outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1),
-pr0 AS (SELECT doc_id,
-               CAST({G.PR_SCALE} // (SELECT n FROM nm) AS BIGINT) AS pr
-        FROM nodes),
+pr0 AS (SELECT doc_id, CAST({G.PR_NODE_SCALE} AS BIGINT) AS pr FROM nodes),
 {_PR_ITERS}
 SELECT doc_id, pr AS pr_fixed
 FROM it{G.PR_ITERATIONS}

@@ -704,7 +704,10 @@ def perplexity_buckets(docs: DataFrame) -> DataFrame:
 
     Cross-engine contract: cutoff c_k = smallest score with cumulative
     count >= ceil(k*n/3), computed on integer arithmetic both sides."""
-    scores = bigram_logprob(docs).select("doc_id", "mean_nll")
+    # persist: the scoring pipeline (tokenize -> bigram explode -> two
+    # aggs -> three joins) feeds BOTH the histogram collect and the
+    # returned frame; without the pin it runs twice
+    scores = bigram_logprob(docs).select("doc_id", "mean_nll").persist()
     hist = sorted(
         (r.mean_nll, r.cnt)
         for r in scores.groupBy("mean_nll").agg(F.count("*").alias("cnt")).collect()

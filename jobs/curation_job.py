@@ -61,7 +61,11 @@ def run_curation(spark, docs, output: str, shards: int = 8,
     `gates` selects which keep-predicates apply (all audit columns are
     always WRITTEN — gate selection is corpus-dependent config, e.g. the
     Gopher thresholds target web prose and would blank a short-doc
-    corpus, but the audit of why is still wanted)."""
+    corpus, but the audit of why is still wanted). Valid gates: funnel,
+    gopher, c4 (full C4 verdict incl. the 3-sentence page gate), c4_page
+    (brace/lorem-ipsum page gates only — the right setting for
+    single-line corpora, an EXPLICIT choice rather than something
+    inferred from the data). Unknown names raise."""
     from pyspark.sql import functions as F
 
     from docling_nlp_api_spark.operators.textquality import (
@@ -71,6 +75,15 @@ def run_curation(spark, docs, output: str, shards: int = 8,
     )
     from jobs.dedup_job import run_dedup
 
+    bad = set(gates) - {"funnel", "gopher", "c4", "c4_page"}
+    if bad:
+        raise ValueError(f"unknown gates: {sorted(bad)} "
+                         "(valid: funnel, gopher, c4, c4_page)")
+    if "c4" in gates and "c4_page" in gates:
+        raise ValueError("pick one of c4 / c4_page, not both")
+
+    # the gate/dedup stages each re-scan the corpus; pin it once
+    docs = docs.persist()
     n_in = docs.count()
 
     # --- stage 1: map-only quality gates (one audit row per input doc)
@@ -83,24 +96,18 @@ def run_curation(spark, docs, output: str, shards: int = 8,
     audit.write.mode("overwrite").parquet(os.path.join(output, "funnel"))
     audit = spark.read.parquet(os.path.join(output, "funnel"))
 
-    # gate = the composed keep predicate; C4's sentence gate is skipped
-    # for single-line corpora (it would blank them) unless lines exist
-    has_lines = docs.filter(F.col("text").contains("\n")).limit(1).count() > 0
-    c4_keep = (
-        (F.col("c4_verdict") == "keep")
-        if has_lines
-        else ~F.col("c4_verdict").isin("brace", "lorem_ipsum")
-    )
     pred = F.lit(True)
     if "funnel" in gates:
         pred = pred & (F.col("verdict") == "keep")
     if "gopher" in gates:
         pred = pred & (F.col("gopher_verdict") == "keep")
     if "c4" in gates:
-        pred = pred & c4_keep
+        pred = pred & (F.col("c4_verdict") == "keep")
+    if "c4_page" in gates:
+        pred = pred & ~F.col("c4_verdict").isin("brace", "lorem_ipsum")
     kept_ids = audit.filter(pred).select("doc_id")
+    n_gated = kept_ids.count()  # doc_id is unique, so |gated| == |kept_ids|
     gated = docs.join(kept_ids, "doc_id")
-    n_gated = gated.count()
 
     # --- stage 2: near-dup dedup over the gated survivors
     dd = run_dedup(spark, gated, os.path.join(output, "dedup"), threshold)
@@ -124,8 +131,11 @@ def run_curation(spark, docs, output: str, shards: int = 8,
         "gates": list(gates),
     }
     assert metrics["n_docs_out"] == n_gated - dd["n_dropped_neardup"], metrics
+    # driver-local write (like dedup_job): for object-store --output roots
+    # the authoritative copy is the printed JSON line
     with open(os.path.join(output, "metrics.json"), "w") as f:
         json.dump(metrics, f)
+    docs.unpersist()
     return metrics
 
 
@@ -137,7 +147,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--shards", type=int, default=8, help="output shard count")
     p.add_argument("--threshold", type=float, default=0.5, help="Jaccard verify threshold")
     p.add_argument("--gates", default="funnel,gopher,c4",
-                   help="comma-set of keep-gates to apply: funnel,gopher,c4")
+                   help="comma-set of keep-gates: funnel,gopher,c4|c4_page")
     p.add_argument("--cores", type=int, default=None, help="local[N] cores (sandbox only)")
     args = p.parse_args(argv)
     if not args.input and not args.tier:
@@ -149,12 +159,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.input:
         docs = spark.read.parquet(args.input).select("doc_id", "text")
     else:
+        tier_dir = os.environ.get("SPARK_GRAFT_DATA_ROOT", "/root/testdata")
         docs = spark.read.parquet(
-            f"/root/testdata/{args.tier}/documents.parquet"
+            os.path.join(tier_dir, args.tier, "documents.parquet")
         ).select("doc_id", "text")
     metrics = run_curation(spark, docs, args.output, args.shards, args.threshold,
                            tuple(g for g in args.gates.split(",") if g))
     print(json.dumps(metrics))
+    spark.stop()
     return 0
 
 

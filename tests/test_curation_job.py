@@ -22,7 +22,7 @@ def test_curation_job_end_to_end(spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", "text"
         )
-        m = run_curation(spark, docs, out, shards=4, gates=("funnel", "c4"))
+        m = run_curation(spark, docs, out, shards=4, gates=("funnel", "c4_page"))
 
         # metrics arithmetic: stages are monotone and account for every doc
         assert m["n_docs_in"] == docs.count()
@@ -46,6 +46,15 @@ def test_curation_job_end_to_end(spark, sf_dir):
         # metrics.json on disk mirrors the returned dict
         with open(os.path.join(out, "metrics.json")) as f:
             assert json.load(f) == m
+
+        # unknown / conflicting gate names raise instead of silently
+        # disabling a quality gate (a --gates typo must not ship an
+        # under-filtered corpus)
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="unknown gates"):
+            run_curation(spark, docs, out, gates=("funnel", "gopherr"))
+        with _pytest.raises(ValueError, match="pick one"):
+            run_curation(spark, docs, out, gates=("c4", "c4_page"))
 
         # tightening the gate set can only shrink the keep-set
         out2 = tempfile.mkdtemp(prefix="curation_job_strict_")

@@ -1209,15 +1209,19 @@ def test_pagerank_invariants(spark):
     uniform distribution is the fixed point (every iteration preserves
     it), and on a star every leaf's mass flows to the hub. Fixed-point
     arithmetic makes both exact, not approximate."""
-    from docling_nlp_api_spark.operators.graph import PR_SCALE, pagerank
+    from docling_nlp_api_spark.operators.graph import (
+        PR_BASE,
+        PR_NODE_SCALE,
+        pagerank,
+    )
 
     nodes = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
     cycle = spark.createDataFrame(
         [(i, (i + 1) % 4) for i in range(4)], "src long, dst long"
     )
     ranks = {r.doc_id: r.pr_fixed for r in pagerank(nodes, cycle).collect()}
-    # uniform fixed point: base + 0.85 * (SCALE/4 div 1) == SCALE/4 exactly
-    assert set(ranks.values()) == {PR_SCALE // 4}
+    # uniform fixed point: base + 0.85 * (NODE_SCALE div 1) == NODE_SCALE
+    assert set(ranks.values()) == {PR_NODE_SCALE}
 
     star = spark.createDataFrame(
         [(i, 0) for i in range(1, 4)], "src long, dst long"
@@ -1226,7 +1230,7 @@ def test_pagerank_invariants(spark):
     hub, leaves = sranks[0], [sranks[i] for i in range(1, 4)]
     assert len(set(leaves)) == 1 and hub > leaves[0]
     # leaves get only the teleport base after iteration 1 (no in-edges)
-    assert leaves[0] == (PR_SCALE * 15 // 100) // 4
+    assert leaves[0] == PR_BASE
 
 
 def test_perplexity_buckets_tercile_sizes(spark, sf_dir):
@@ -1298,3 +1302,16 @@ def test_chunk_overlap_boundaries(spark):
         1: hashlib.md5(" ".join(toks[24:56]).encode()).hexdigest(),
     }
     assert {r.chunk_idx: r.chunk_hash for r in rows} == expect
+
+
+def test_pagerank_damp_split_form_no_overflow(spark):
+    """The split damping form equals (85*s) div 100 exactly AND survives
+    s near int64 max, where the naive 85*s would wrap (the 10^12-doc
+    hub-mass case)."""
+    from docling_nlp_api_spark.operators.graph import _damp
+
+    vals = [0, 1, 99, 100, 101, 12345678901234567, 9_000_000_000_000_000_000]
+    df = spark.createDataFrame([(v,) for v in vals], "s long")
+    got = {r.s: r.d for r in df.select("s", _damp("s").alias("d")).collect()}
+    for v in vals:
+        assert got[v] == (85 * v) // 100  # python ints are exact
