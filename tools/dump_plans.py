@@ -156,6 +156,32 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "HashAggregate"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
+    # Gopher quality rules: one staged map pass — the \S+ word array is
+    # built exactly once behind its Generate; no shuffle, no join
+    "tq_gopher_rules": (
+        ["Generate"],
+        ["Exchange hashpartitioning", r"(regexp_extract_all\(text#\d+, \\S\+[\s\S]*){2,}"],
+    ),
+    # C4 line cleaning: line split + retained subset staged behind one
+    # Generate; page verdicts are column algebra — map-only
+    "tq_c4_line_filters": (["Generate"], ["Exchange hashpartitioning"]),
+    # PageRank: every iteration is an equi-join + hash agg on graph keys;
+    # the final top-k is TakeOrderedAndProject, never a global Sort, and
+    # nothing degenerates to a cross join
+    "graph_pagerank_topk": (
+        ["HashAggregate", "TakeOrderedAndProject"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # snapshot diff: both sides reduce to (doc_id, md5) BEFORE the
+    # full-outer join — the text column must not appear in the join's
+    # ReadSchema-side projections beyond the hash input
+    "snap_diff_summary": (["FullOuter", "HashAggregate"], ["CartesianProduct"]),
+    # overlapping chunking: row-local slices behind a Generate barrier +
+    # one posexplode — zero shuffle, zero join, single tokenizer pass
+    "sample_chunk_overlap": (
+        ["Generate"],
+        ["Exchange", "Join", r"(regexp_extract_all\(lower[\s\S]*){2,}"],
+    ),
 }
 
 
