@@ -893,6 +893,25 @@ FROM (SELECT {_LSH_BUCKET} AS bucket FROM embeddings)
 GROUP BY bucket
 """)(lambda s, d: S.lsh_bucket_histogram(s, d))
 
+_MP_PROBES = ", ".join(["qb"] + [f"xor(qb, {1 << p})" for p in range(S.N_PLANES)])
+
+q("ann_lsh_multiprobe_topk", f"""
+WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe,
+                   {_LSH_BUCKET} AS qb
+            FROM embeddings WHERE vec_id % 100 = 0),
+pr AS (SELECT query_id, qe, u.b AS bucket
+       FROM qs, UNNEST([{_MP_PROBES}]) u(b)),
+cs AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS ce,
+              {_LSH_BUCKET} AS bucket
+       FROM embeddings),
+scored AS (SELECT query_id, cand_id, {_COS} AS cosine
+           FROM pr JOIN cs USING (bucket) WHERE query_id != cand_id)
+SELECT query_id, cand_id, cosine, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 5
+""")(lambda s, d: S.lsh_multiprobe_topk(s, d))
+
 def _band_sql(lo: int) -> str:
     return " + ".join(
         f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {_plane_sql_literal(S.hyperplanes()[p])}) > 0 "
@@ -2538,6 +2557,9 @@ DEMOTED = [
     # sliding-window token chunking with overlap (RAG/context-window
     # prep; row-local slices + one posexplode, zero shuffle)
     "sample_chunk_overlap",
+    # multi-probe hyperplane LSH (Hamming-1 bucket probes; query-side
+    # fan-out only, candidate join stays an equi-join)
+    "ann_lsh_multiprobe_topk",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

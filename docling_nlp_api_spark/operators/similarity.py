@@ -223,3 +223,71 @@ def ivf_kmeans_topk_df(
     scored = pairs.select("query_id", "cand_id", F.round(cos, 4).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def _bucket_expr(col: str = "embedding") -> F.Column:
+    """The 8-sign-bit hyperplane bucket id as a column expression —
+    shared by lsh_bucket_histogram and the multi-probe path."""
+    bucket = None
+    for p, plane in enumerate(hyperplanes()):
+        lit = "array(" + ",".join(f"CAST({v} AS DOUBLE)" for v in plane) + ")"
+        bit = (
+            F.when(F.expr(DOT.format(a=col, b=lit)) > 0, F.lit(1 << p))
+            .otherwise(F.lit(0))
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
+def lsh_multiprobe_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    query_mod: int = 100,
+    probe_bits: int = N_PLANES,
+) -> DataFrame:
+    """Multi-probe hyperplane LSH top-k (Lv et al. 2007, public): each
+    query probes its own bucket PLUS the probe_bits Hamming-1 neighbor
+    buckets (flip one sign bit at a time) — the standard trick to recover
+    recall lost to boundary queries without adding hash tables.
+    probe_bits=0 degrades to exact-bucket LSH (the recall baseline the
+    pytest compares against).
+
+    Scale shape: the probe fan-out multiplies only the QUERY side
+    (|queries| × (probe_bits+1) rows of (query_id, bucket)); candidates
+    come from an equi-join on bucket against the corpus bucket column —
+    never a cross join — and each (query, cand) pair arises at most once
+    because a vector lives in exactly one bucket and the probe list is
+    distinct. Ranking is a per-query row_number window (per-query state,
+    no global sort); round-4 cosine + cand_id tiebreak is the
+    cross-engine contract shared with the other ANN entries."""
+    from pyspark.sql import Window
+
+    emb = load_embeddings(spark, sf_dir)
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        _bucket_expr().alias("bucket"),
+    )
+    qs = emb.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _bucket_expr().alias("qb"),
+    )
+    probes = qs.select(
+        "query_id",
+        "qe",
+        F.explode(
+            F.array(F.col("qb"), *[F.expr(f"qb ^ {1 << p}") for p in range(probe_bits)])
+        ).alias("bucket"),
+    )
+    cos = F.expr(
+        f"{DOT.format(a='qe', b='ce')} / ({NORM.format(a='qe')} * {NORM.format(a='ce')})"
+    )
+    scored = (
+        probes.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", F.round(cos, 4).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -1315,3 +1315,34 @@ def test_pagerank_damp_split_form_no_overflow(spark):
     got = {r.s: r.d for r in df.select("s", _damp("s").alias("d")).collect()}
     for v in vals:
         assert got[v] == (85 * v) // 100  # python ints are exact
+
+
+def test_lsh_multiprobe_recall_improves(spark, sf_dir):
+    """recall@5 vs brute-force ground truth: Hamming-1 probing must not
+    lose recall vs exact-bucket LSH, and on the fixture it must actually
+    recover boundary neighbors (strictly more true pairs found)."""
+    from docling_nlp_api_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_multiprobe_topk,
+    )
+
+    truth = {
+        (r.query_id, r.cand_id)
+        for r in brute_force_topk(spark, sf_dir).collect()
+    }
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in lsh_multiprobe_topk(spark, sf_dir, probe_bits=0).collect()
+    }
+    multi = {
+        (r.query_id, r.cand_id)
+        for r in lsh_multiprobe_topk(spark, sf_dir).collect()
+    }
+    hits_exact = len(truth & exact)
+    hits_multi = len(truth & multi)
+    assert hits_multi > hits_exact  # boundary queries exist in the fixture
+    # absolute recall stays low by design at 8 bits over near-random
+    # embeddings (256 buckets, top-5 truth is spread); the op's claim is
+    # the RELATIVE boundary recovery, pinned above, plus a non-collapse
+    # floor — at sf0.001 multi-probe finds 5/25 vs exact-bucket's 2/25
+    assert hits_multi / len(truth) >= 0.1
