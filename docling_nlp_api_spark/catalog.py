@@ -1909,6 +1909,27 @@ SELECT doc_id, mean_nll,
 FROM s CROSS JOIN cut
 """)(lambda s, d: SP.perplexity_buckets(docs(s, d)))
 
+q("lm_perplexity_buckets_by_lang", f"""
+WITH {_BIGRAM_SC},
+s AS (SELECT sc.doc_id, d.lang, ROUND(AVG(nll), 4) AS mean_nll
+      FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+      GROUP BY sc.doc_id, d.lang),
+nn AS (SELECT lang, COUNT(*) AS c FROM s GROUP BY lang),
+h AS (SELECT lang, mean_nll, COUNT(*) AS cnt FROM s GROUP BY 1, 2),
+cum AS (SELECT lang, mean_nll,
+               SUM(cnt) OVER (PARTITION BY lang ORDER BY mean_nll) AS cum
+        FROM h),
+cut AS (SELECT cum.lang,
+          MIN(CASE WHEN cum >= (nn.c + 2) // 3 THEN mean_nll END) AS c1,
+          MIN(CASE WHEN cum >= (2 * nn.c + 2) // 3 THEN mean_nll END) AS c2
+        FROM cum JOIN nn USING (lang) GROUP BY cum.lang)
+SELECT s.doc_id, s.lang, s.mean_nll,
+       CASE WHEN s.mean_nll <= cut.c1 THEN 'head'
+            WHEN s.mean_nll <= cut.c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM s JOIN cut USING (lang)
+""")(lambda s, d: SP.perplexity_buckets_by_lang(docs(s, d)))
+
 q("sample_chunk_overlap", f"""
 WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 st AS (SELECT doc_id, toks,
@@ -2560,6 +2581,9 @@ DEMOTED = [
     # multi-probe hyperplane LSH (Hamming-1 bucket probes; query-side
     # fan-out only, candidate join stays an equi-join)
     "ann_lsh_multiprobe_topk",
+    # CCNet per-language terciles (cutoffs within each language — scores
+    # aren't comparable across languages)
+    "lm_perplexity_buckets_by_lang",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -784,3 +784,69 @@ def chunk_overlap(
         F.size("chunk").cast("long").alias("n_tokens"),
         F.md5(F.concat_ws(" ", "chunk")).alias("chunk_hash"),
     )
+
+
+def perplexity_buckets_by_lang(docs: DataFrame) -> DataFrame:
+    """CCNet's bucketing as actually deployed (Wenzek et al. 2020 §3.3):
+    head/middle/tail terciles computed WITHIN each language — a single
+    global cutoff would shunt entire low-resource languages into "tail"
+    because LM scores aren't comparable across languages. Same
+    histogram-derived-cutoff machinery as perplexity_buckets, keyed by
+    (lang, score): the collected histogram stays metadata-scale (distinct
+    round-4 scores × O(100) languages, independent of corpus size), and
+    bucket assignment compiles to one map-side CASE over per-language
+    literal cutoffs — no window, no global sort, no per-language loop
+    over the corpus.
+
+    Cross-engine contract: per-language cutoff c_k(lang) = smallest score
+    with cumulative count >= ceil(k*n_lang/3), integer arithmetic both
+    sides; docs with <2 tokens have no score and are excluded."""
+    scores = (
+        bigram_logprob(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "mean_nll")
+        .persist()
+    )
+    hist = (
+        scores.groupBy("lang", "mean_nll")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    per_lang: dict[str, list[tuple[float, int]]] = {}
+    for r in hist:
+        per_lang.setdefault(r.lang, []).append((r.mean_nll, r.cnt))
+    cuts: dict[str, tuple[float, float]] = {}
+    for lang, vals in per_lang.items():
+        vals.sort()
+        n = sum(c for _, c in vals)
+        t1, t2 = (n + 2) // 3, (2 * n + 2) // 3
+        c1 = c2 = None
+        cum = 0
+        for v, c in vals:
+            cum += c
+            if c1 is None and cum >= t1:
+                c1 = v
+            if c2 is None and cum >= t2:
+                c2 = v
+        cuts[lang] = (c1, c2)
+    if not cuts:
+        return scores.select(
+            "doc_id", "lang", "mean_nll", F.lit("head").alias("bucket")
+        )
+    bucket = None
+    for lang in sorted(cuts):
+        c1, c2 = cuts[lang]
+        this = (
+            F.when(F.col("mean_nll") <= c1, "head")
+            .when(F.col("mean_nll") <= c2, "middle")
+            .otherwise("tail")
+        )
+        bucket = (
+            this if bucket is None
+            else F.when(F.col("lang") == lang, this).otherwise(bucket)
+        )
+        # NB: the FIRST lang's expr ends up as the CASE fallthrough (the
+        # innermost otherwise); that's safe because every lang in the
+        # frame is enumerated — cuts came from the same frame being
+        # bucketed, so no row can miss its own branch
+    return scores.select("doc_id", "lang", "mean_nll", bucket.alias("bucket"))

@@ -1346,3 +1346,32 @@ def test_lsh_multiprobe_recall_improves(spark, sf_dir):
     # the RELATIVE boundary recovery, pinned above, plus a non-collapse
     # floor — at sf0.001 multi-probe finds 5/25 vs exact-bucket's 2/25
     assert hits_multi / len(truth) >= 0.1
+
+
+def test_perplexity_buckets_by_lang_independence(spark, sf_dir):
+    """Per-language bucketing: every language gets its own ~tercile split
+    (head >= ceil(n_lang/3) within EACH language), which a global cutoff
+    cannot produce when score distributions differ by language."""
+    from pyspark.sql import functions as F
+
+    from docling_nlp_api_spark.operators.sampling import (
+        perplexity_buckets_by_lang,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pb = perplexity_buckets_by_lang(docs)
+    sizes = {
+        (r.lang, r.bucket): r.c
+        for r in pb.groupBy("lang", "bucket").agg(F.count("*").alias("c")).collect()
+    }
+    langs = {lang for lang, _ in sizes}
+    assert len(langs) >= 2
+    for lang in langs:
+        n = sum(c for (lg, _), c in sizes.items() if lg == lang)
+        head = sizes.get((lang, "head"), 0)
+        assert head >= (n + 2) // 3, (lang, head, n)
+        # boundary ordering holds within the language
+        rows = pb.filter(F.col("lang") == lang).collect()
+        mids = [r.mean_nll for r in rows if r.bucket == "middle"]
+        if mids:
+            assert max(r.mean_nll for r in rows if r.bucket == "head") < min(mids)
