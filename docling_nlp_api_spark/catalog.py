@@ -1930,6 +1930,26 @@ SELECT s.doc_id, s.lang, s.mean_nll,
 FROM s JOIN cut USING (lang)
 """)(lambda s, d: SP.perplexity_buckets_by_lang(docs(s, d)))
 
+q("lm_pmi_collocations", """
+WITH tok AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             FROM documents),
+big AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+        FROM tok, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 2),
+bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+uni AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents),
+uc AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY 1),
+tt AS (SELECT (SELECT SUM(c2) FROM bc) AS t, (SELECT SUM(c1) FROM uc) AS u)
+SELECT bc.w1, bc.w2, bc.c2,
+       ROUND(ln((bc.c2 / CAST(tt.t AS DOUBLE))
+                / ((a.c1 / CAST(tt.u AS DOUBLE)) * (b.c1 / CAST(tt.u AS DOUBLE)))),
+             4) AS pmi
+FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w CROSS JOIN tt
+WHERE bc.c2 >= 5
+ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT 20
+""")(lambda s, d: SP.pmi_collocations(docs(s, d)))
+
 q("sample_chunk_overlap", f"""
 WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 st AS (SELECT doc_id, toks,
@@ -2584,6 +2604,9 @@ DEMOTED = [
     # CCNet per-language terciles (cutoffs within each language — scores
     # aren't comparable across languages)
     "lm_perplexity_buckets_by_lang",
+    # PMI collocations (phrase-detection statistic; pinned-order DOUBLE
+    # ratio, round-4, (w1,w2) tiebreak)
+    "lm_pmi_collocations",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

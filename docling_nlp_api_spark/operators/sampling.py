@@ -850,3 +850,62 @@ def perplexity_buckets_by_lang(docs: DataFrame) -> DataFrame:
         # frame is enumerated — cuts came from the same frame being
         # bucketed, so no row can miss its own branch
     return scores.select("doc_id", "lang", "mean_nll", bucket.alias("bucket"))
+
+
+PMI_MIN_COUNT = 5   # collocation support floor
+PMI_TOP_K = 20
+
+
+def pmi_collocations(docs: DataFrame) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual information
+    (Church & Hanks 1990; the phrase-detection statistic in word2vec-style
+    preprocessing): pmi(a,b) = ln( p(a,b) / (p(a)p(b)) ) with bigram and
+    unigram probabilities from the corpus, support floor PMI_MIN_COUNT.
+
+    Cross-engine contract: the ratio is computed in DOUBLE with a pinned
+    operation order — (c2/T) / ((c1a/U) * (c1b/U)) — then ln, then
+    round-4; identical IEEE ops in both engines, and integer counts never
+    multiply (no int64-overflow path at corpus scale). Ties after
+    rounding break on (w1, w2) ascending.
+
+    Scale shape: same as bigram_logprob's count tables — the bigram
+    explode is row-local behind a Generate, both count tables are
+    Zipf-bounded aggregations, the unigram table joins twice (AQE
+    broadcasts it), and the final top-k is a TakeOrderedAndProject."""
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), 0)
+    base = docs.select(F.inline(F.array(F.struct(toks.alias("toks")))))
+    big = base.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN "
+                "transform(sequence(1, size(toks) - 1), "
+                "          i -> struct(toks[i-1] AS w1, toks[i] AS w2)) "
+                "ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    tot = c2.agg(F.sum("c2").alias("t")).crossJoin(
+        uni.agg(F.sum("c1").alias("u"))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c2") / F.col("t"))
+            / ((F.col("c1a") / F.col("u")) * (F.col("c1b") / F.col("u")))
+        ),
+        4,
+    )
+    return (
+        c2.filter(F.col("c2") >= PMI_MIN_COUNT)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1b")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c2", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )

@@ -1375,3 +1375,31 @@ def test_perplexity_buckets_by_lang_independence(spark, sf_dir):
         mids = [r.mean_nll for r in rows if r.bucket == "middle"]
         if mids:
             assert max(r.mean_nll for r in rows if r.bucket == "head") < min(mids)
+
+
+def test_pmi_collocations_planted(spark):
+    """A fused phrase ('neural networks', always adjacent) must out-rank
+    a frequent-but-independent pair, and pairs under the support floor
+    never appear."""
+    from docling_nlp_api_spark.operators.sampling import pmi_collocations
+
+    # 10 docs with the fused phrase; filler words shuffled deterministically
+    rows = []
+    for i in range(10):
+        filler = " ".join(
+            w for j in range(6) for w in ("the", "data" if (i + j) % 2 else "model")
+        )
+        rows.append((i, f"neural networks {filler}"))
+    rows.append((99, "rare pair"))  # c2=1 < floor -> excluded
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = pmi_collocations(df).collect()
+    pairs = [(r.w1, r.w2) for r in got]
+    assert ("neural", "networks") in pairs
+    assert ("rare", "pair") not in pairs
+    top = got[0]
+    assert (top.w1, top.w2) == ("neural", "networks") and top.c2 == 10
+    # the fused phrase is positively associated and dominates every other
+    # surviving pair
+    assert top.pmi > 0
+    others = [r.pmi for r in got if (r.w1, r.w2) != ("neural", "networks")]
+    assert all(top.pmi > p for p in others)
