@@ -182,6 +182,27 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["Generate"],
         ["Exchange", "Join", r"(regexp_extract_all\(lower[\s\S]*){2,}"],
     ),
+    # multi-probe LSH: probe fan-out explodes the QUERY side only; the
+    # candidate join is an equi-join on bucket (never a cross join) and
+    # ranking is a per-query window
+    "ann_lsh_multiprobe_topk": (
+        ["Generate", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # per-language perplexity terciles: bucket assignment is a map-side
+    # CASE over literal cutoffs — the only joins are the bigram count
+    # probes + the lang attach, no window over the corpus
+    "lm_perplexity_buckets_by_lang": (
+        ["Generate", "HashAggregate"],
+        ["CartesianProduct", "Window"],
+    ),
+    # PMI: Zipf-bounded count tables, one-row totals broadcast (the BNLJ
+    # cross is the intended one-row broadcast); top-k compiles to
+    # TakeOrderedAndProject, never a global Sort
+    "lm_pmi_collocations": (
+        ["TakeOrderedAndProject", "HashAggregate"],
+        ["CartesianProduct"],
+    ),
 }
 
 
