@@ -1930,6 +1930,20 @@ SELECT s.doc_id, s.lang, s.mean_nll,
 FROM s JOIN cut USING (lang)
 """)(lambda s, d: SP.perplexity_buckets_by_lang(docs(s, d)))
 
+# salted skew join: the ORACLE is the unsalted join — the whole point is
+# that salting must not change the result
+_EVENT_DIM_VALUES = ", ".join(
+    f"('{t}', CAST({w} AS DOUBLE))" for t, w in sorted(R.EVENT_DIM_WEIGHTS.items())
+)
+
+q("j_salted_skew_join", f"""
+WITH dim(event_type, weight) AS (VALUES {_EVENT_DIM_VALUES})
+SELECT e.event_type, COUNT(*) AS n_events,
+       ROUND(SUM(e.value * d.weight), 4) AS weighted_value
+FROM events e JOIN dim d USING (event_type)
+GROUP BY e.event_type
+""")(lambda s, d: R.salted_skew_join_rollup(events(s, d)))
+
 q("lm_pmi_collocations", """
 WITH tok AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
              FROM documents),
@@ -2607,6 +2621,9 @@ DEMOTED = [
     # PMI collocations (phrase-detection statistic; pinned-order DOUBLE
     # ratio, round-4, (w1,w2) tiebreak)
     "lm_pmi_collocations",
+    # explicit salting for skewed join keys (5-value event_type × k=16
+    # salts; oracle = the unsalted join, proving result equivalence)
+    "j_salted_skew_join",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -150,3 +150,51 @@ def size_guard_filter(spark: SparkSession, sf_dir: str, max_chars: int = 400) ->
         F.sum(F.when(F.col("n_chars") <= max_chars, 1).otherwise(0)).alias("accepted"),
         F.sum(F.when(F.col("n_chars") > max_chars, 1).otherwise(0)).alias("rejected"),
     )
+
+
+# salted skew-join constants — shared verbatim with the SQL oracle
+SKEW_SALT_K = 16
+EVENT_DIM_WEIGHTS = {
+    "click": 1.0, "error": 0.0, "purchase": 5.0, "signup": 2.0, "view": 0.5,
+}
+
+
+def salted_skew_join_rollup(events: DataFrame, k: int = SKEW_SALT_K) -> DataFrame:
+    """The explicit SALTING pattern for skewed join keys (driver brief:
+    'salting for skew'), demonstrated on the worst case the fixture has:
+    event_type holds 5 distinct values, so a plain shuffle join on it
+    puts the entire fact table through at most 5 reducer keys. Salting
+    replicates the dimension side k times (one row per salt) and tags
+    each fact row with salt = pmod(xxhash64(event_id), k); the join key
+    becomes (event_type, salt) — 5×k reducer keys, k-way parallelism per
+    hot key — and every fact row still matches exactly ONE dim row, so
+    the result is provably identical to the unsalted join (the oracle IS
+    the unsalted SQL).
+
+    The join is hinted to SortMergeJoin deliberately: with a 5-row dim
+    Spark would broadcast and the salt would be moot — the hint models
+    the production case this pattern exists for (a dim too big to
+    broadcast joined on a skewed key; dim×k replication is the standard
+    fix, AQE skew-split being the runtime alternative the session also
+    enables). Weighted-sum rollup rounds to 4 (cross-engine float
+    contract; partial aggregation makes the per-key sums order-stable
+    enough at round-4)."""
+    spark = events.sparkSession
+    dim = spark.createDataFrame(
+        [
+            (t, w, s)
+            for t, w in sorted(EVENT_DIM_WEIGHTS.items())
+            for s in range(k)
+        ],
+        "event_type string, weight double, salt int",
+    )
+    fact = events.select(
+        "event_type",
+        "value",
+        F.pmod(F.xxhash64("event_id"), F.lit(k)).cast("int").alias("salt"),
+    )
+    j = fact.join(dim.hint("merge"), ["event_type", "salt"])
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 4).alias("weighted_value"),
+    )

@@ -1403,3 +1403,33 @@ def test_pmi_collocations_planted(spark):
     assert top.pmi > 0
     others = [r.pmi for r in got if (r.w1, r.w2) != ("neural", "networks")]
     assert all(top.pmi > p for p in others)
+
+
+def test_salted_skew_join_equivalence(spark, sf_dir):
+    """Salting must be result-invariant: the salted (event_type, salt)
+    join equals the plain unsalted join+rollup row for row, and the
+    physical plan actually shuffles on the SALTED key (5 keys -> 5*k)."""
+    from docling_nlp_api_spark.operators.relational import (
+        EVENT_DIM_WEIGHTS,
+        salted_skew_join_rollup,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {r.event_type: (r.n_events, r.weighted_value)
+           for r in salted_skew_join_rollup(ev).collect()}
+    plain = {
+        r.event_type: (r.n, round(r.wv, 4))
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.col("value")
+                * F.udf(lambda t: EVENT_DIM_WEIGHTS[t], "double")("event_type")
+            ).alias("wv"),
+        )
+        .collect()
+    }
+    assert got == plain
+
+    plan = salted_skew_join_rollup(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "salt" in plan and "SortMergeJoin" in plan

@@ -203,6 +203,13 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["TakeOrderedAndProject", "HashAggregate"],
         ["CartesianProduct"],
     ),
+    # salted skew join: the shuffle key must INCLUDE the salt (5 hot keys
+    # become 5*k reducer keys) and the join is the deliberate SMJ the
+    # pattern exists for — a broadcast here would make the demo vacuous
+    "j_salted_skew_join": (
+        [r"hashpartitioning\(event_type#\d+, salt#\d+", "SortMergeJoin"],
+        ["BroadcastHashJoin"],
+    ),
 }
 
 
