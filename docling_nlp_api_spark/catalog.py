@@ -1936,6 +1936,15 @@ _EVENT_DIM_VALUES = ", ".join(
     f"('{t}', CAST({w} AS DOUBLE))" for t, w in sorted(R.EVENT_DIM_WEIGHTS.items())
 )
 
+q("nlp_inverted_index", f"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest({TOKS}) AS term FROM documents)
+SELECT term, COUNT(*) AS df,
+       array_to_string(list_slice(list_sort(list(doc_id)), 1, {N.INDEX_MAX_POSTINGS}), ',')
+         AS postings_csv,
+       COUNT(*) > {N.INDEX_MAX_POSTINGS} AS truncated
+FROM tok GROUP BY term
+""")(lambda s, d: N.inverted_index(docs(s, d)))
+
 q("j_salted_skew_join", f"""
 WITH dim(event_type, weight) AS (VALUES {_EVENT_DIM_VALUES})
 SELECT e.event_type, COUNT(*) AS n_events,
@@ -2624,6 +2633,9 @@ DEMOTED = [
     # explicit salting for skewed join keys (5-value event_type × k=16
     # salts; oracle = the unsalted join, proving result equivalence)
     "j_salted_skew_join",
+    # term -> posting-list index (distinct pair exchange of ids only;
+    # per-row truncation flag, never a silent cap)
+    "nlp_inverted_index",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -203,3 +203,42 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+
+
+INDEX_MAX_POSTINGS = 20
+
+
+def inverted_index(docs: DataFrame, max_postings: int = INDEX_MAX_POSTINGS) -> DataFrame:
+    """Term -> posting-list index build (the search-engine primitive a
+    curated corpus ships with): per term, the document frequency and the
+    first max_postings doc_ids in sorted order, with an explicit
+    `truncated` flag — capping is declared per row, never silent (the
+    repo's no-silent-caps rule).
+
+    Postings are emitted as a comma-joined string so the cross-engine
+    comparator sees a scalar; a consuming system splits or keeps the
+    array form upstream of the final select.
+
+    Scale shape: one distinct on (term, doc_id) — the exchange carries
+    8-byte ids plus the term, never document text — then a single
+    groupBy(term). Zipf head terms (stopwords) produce heavy reducer
+    keys; the cap bounds their OUTPUT, and the exchange itself is the
+    salting candidate if profiling shows reducer skew (see
+    relational.salted_skew_join_rollup for the pattern). Real engines
+    shard the index by doc partition; this is the global-term variant
+    whose df column is exact."""
+    from ..spec import TOKEN_RE
+
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0))
+        ).alias("term"),
+    )
+    return pairs.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_postings), ","
+        ).alias("postings_csv"),
+        (F.count("*") > max_postings).alias("truncated"),
+    )

@@ -1433,3 +1433,24 @@ def test_salted_skew_join_equivalence(spark, sf_dir):
 
     plan = salted_skew_join_rollup(ev)._jdf.queryExecution().executedPlan().toString()
     assert "salt" in plan and "SortMergeJoin" in plan
+
+
+def test_inverted_index_postings(spark):
+    """Posting lists are sorted, capped with an explicit truncation flag,
+    and df counts DOCUMENTS (a term repeated inside one doc counts
+    once)."""
+    from docling_nlp_api_spark.operators.nlp import inverted_index
+
+    docs_df = spark.createDataFrame(
+        [(i, "spark spark engine") for i in range(25)]
+        + [(100, "engine only here")],
+        "doc_id long, text string",
+    )
+    got = {r.term: r for r in inverted_index(docs_df, max_postings=20).collect()}
+    spark_row = got["spark"]
+    assert spark_row.df == 25 and spark_row.truncated
+    assert spark_row.postings_csv == ",".join(str(i) for i in range(20))
+    eng = got["engine"]
+    assert eng.df == 26 and eng.truncated
+    assert got["only"].df == 1 and not got["only"].truncated
+    assert got["only"].postings_csv == "100"
