@@ -1913,6 +1913,7 @@ q("lm_perplexity_buckets_by_lang", f"""
 WITH {_BIGRAM_SC},
 s AS (SELECT sc.doc_id, d.lang, ROUND(AVG(nll), 4) AS mean_nll
       FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+      WHERE d.lang IS NOT NULL
       GROUP BY sc.doc_id, d.lang),
 nn AS (SELECT lang, COUNT(*) AS c FROM s GROUP BY lang),
 h AS (SELECT lang, mean_nll, COUNT(*) AS cnt FROM s GROUP BY 1, 2),
@@ -1953,7 +1954,7 @@ FROM events e JOIN dim d USING (event_type)
 GROUP BY e.event_type
 """)(lambda s, d: R.salted_skew_join_rollup(events(s, d)))
 
-q("lm_pmi_collocations", """
+q("lm_pmi_collocations", f"""
 WITH tok AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
              FROM documents),
 big AS (SELECT toks[i] AS w1, toks[i+1] AS w2
@@ -1969,8 +1970,8 @@ SELECT bc.w1, bc.w2, bc.c2,
                 / ((a.c1 / CAST(tt.u AS DOUBLE)) * (b.c1 / CAST(tt.u AS DOUBLE)))),
              4) AS pmi
 FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w CROSS JOIN tt
-WHERE bc.c2 >= 5
-ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT 20
+WHERE bc.c2 >= {SP.PMI_MIN_COUNT}
+ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT {SP.PMI_TOP_K}
 """)(lambda s, d: SP.pmi_collocations(docs(s, d)))
 
 q("sample_chunk_overlap", f"""

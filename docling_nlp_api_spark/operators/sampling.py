@@ -396,6 +396,26 @@ def importance_weights(docs: DataFrame, target_lang: str = "en") -> DataFrame:
     )
 
 
+def _adjacent_bigrams(docs: DataFrame) -> DataFrame:
+    """Row-local adjacent-bigram stream (doc_id, prev, w): ONE tokenizer
+    pass staged behind an inline-struct Generate barrier, then the pair
+    transform and a single explode — shared by bigram_logprob and
+    pmi_collocations so the LM and association paths can never drift."""
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), 0)
+    base = docs.select("doc_id", F.inline(F.array(F.struct(toks.alias("toks")))))
+    return base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN "
+                "transform(sequence(1, size(toks) - 1), "
+                "          i -> struct(toks[i-1] AS prev, toks[i] AS w)) "
+                "ELSE CAST(array() AS array<struct<prev:string,w:string>>) END"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.w").alias("w"))
+
+
 def bigram_logprob(docs: DataFrame) -> DataFrame:
     """Bigram-LM quality scoring — the n-gram step past unigram_logprob
     toward CCNet's KenLM filter: per-doc mean -ln p(w_i | w_{i-1}) under
@@ -413,18 +433,7 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
     Per-doc mean partial-aggregates map-side; round-4 is the
     cross-engine float contract."""
     toks = F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), 0)
-    base = docs.select("doc_id", F.inline(F.array(F.struct(toks.alias("toks")))))
-    big = base.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(toks) >= 2 THEN "
-                "transform(sequence(1, size(toks) - 1), "
-                "          i -> struct(toks[i-1] AS prev, toks[i] AS w)) "
-                "ELSE CAST(array() AS array<struct<prev:string,w:string>>) END"
-            )
-        ).alias("bg"),
-    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.w").alias("w"))
+    big = _adjacent_bigrams(docs)
     c2 = big.groupBy("prev", "w").agg(F.count("*").alias("c2"))
     c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
     v = (
@@ -684,6 +693,26 @@ def length_buckets(docs: DataFrame, step: int = BUCKET_STEP, cap: int = BUCKET_C
 PPL_BUCKETS = ("head", "middle", "tail")  # CCNet's tercile names
 
 
+def _tercile_cuts(hist: list[tuple[float, int]]) -> tuple[float, float] | None:
+    """THE tercile-cutoff contract, shared by both perplexity bucketers
+    (and mirrored twice in SQL): c_k = smallest score whose cumulative
+    count >= ceil(k*n/3), integer arithmetic. None for an empty
+    histogram. `hist` must be pre-sorted by score."""
+    n = sum(c for _, c in hist)
+    if n == 0:
+        return None
+    t1, t2 = (n + 2) // 3, (2 * n + 2) // 3
+    c1 = c2 = None
+    cum = 0
+    for v, c in hist:
+        cum += c
+        if c1 is None and cum >= t1:
+            c1 = v
+        if c2 is None and cum >= t2:
+            c2 = v
+    return c1, c2
+
+
 def perplexity_buckets(docs: DataFrame) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020, public):
     split the corpus into head / middle / tail terciles by LM score
@@ -712,18 +741,10 @@ def perplexity_buckets(docs: DataFrame) -> DataFrame:
         (r.mean_nll, r.cnt)
         for r in scores.groupBy("mean_nll").agg(F.count("*").alias("cnt")).collect()
     )
-    n = sum(c for _, c in hist)
-    if n == 0:
+    cuts = _tercile_cuts(hist)
+    if cuts is None:
         return scores.select("doc_id", "mean_nll", F.lit("head").alias("bucket"))
-    t1, t2 = (n + 2) // 3, (2 * n + 2) // 3
-    c1 = c2 = None
-    cum = 0
-    for v, c in hist:
-        cum += c
-        if c1 is None and cum >= t1:
-            c1 = v
-        if c2 is None and cum >= t2:
-            c2 = v
+    c1, c2 = cuts
     bucket = (
         F.when(F.col("mean_nll") <= c1, "head")
         .when(F.col("mean_nll") <= c2, "middle")
@@ -804,6 +825,7 @@ def perplexity_buckets_by_lang(docs: DataFrame) -> DataFrame:
     scores = (
         bigram_logprob(docs)
         .join(docs.select("doc_id", "lang"), "doc_id")
+        .filter(F.col("lang").isNotNull())  # no language -> no per-lang cutoff
         .select("doc_id", "lang", "mean_nll")
         .persist()
     )
@@ -818,17 +840,7 @@ def perplexity_buckets_by_lang(docs: DataFrame) -> DataFrame:
     cuts: dict[str, tuple[float, float]] = {}
     for lang, vals in per_lang.items():
         vals.sort()
-        n = sum(c for _, c in vals)
-        t1, t2 = (n + 2) // 3, (2 * n + 2) // 3
-        c1 = c2 = None
-        cum = 0
-        for v, c in vals:
-            cum += c
-            if c1 is None and cum >= t1:
-                c1 = v
-            if c2 is None and cum >= t2:
-                c2 = v
-        cuts[lang] = (c1, c2)
+        cuts[lang] = _tercile_cuts(vals)
     if not cuts:
         return scores.select(
             "doc_id", "lang", "mean_nll", F.lit("head").alias("bucket")
@@ -869,21 +881,14 @@ def pmi_collocations(docs: DataFrame) -> DataFrame:
     rounding break on (w1, w2) ascending.
 
     Scale shape: same as bigram_logprob's count tables — the bigram
-    explode is row-local behind a Generate, both count tables are
-    Zipf-bounded aggregations, the unigram table joins twice (AQE
-    broadcasts it), and the final top-k is a TakeOrderedAndProject."""
+    stream comes from the SHARED _adjacent_bigrams helper (row-local
+    build behind a Generate), both count tables are Zipf-bounded
+    aggregations, the unigram table joins twice (AQE broadcasts it), and
+    the final top-k is a TakeOrderedAndProject."""
     toks = F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), 0)
-    base = docs.select(F.inline(F.array(F.struct(toks.alias("toks")))))
-    big = base.select(
-        F.explode(
-            F.expr(
-                "CASE WHEN size(toks) >= 2 THEN "
-                "transform(sequence(1, size(toks) - 1), "
-                "          i -> struct(toks[i-1] AS w1, toks[i] AS w2)) "
-                "ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"
-            )
-        ).alias("bg")
-    ).select("bg.w1", "bg.w2")
+    big = _adjacent_bigrams(docs).select(
+        F.col("prev").alias("w1"), F.col("w").alias("w2")
+    )
     c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     uni = (
         docs.select(F.explode(toks).alias("w"))

@@ -68,14 +68,8 @@ def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH: 8 sign bits -> bucket id; bucket histogram.
     At scale, ANN = equi-join on bucket instead of a cross join."""
     emb = load_embeddings(spark, sf_dir)
-    planes = hyperplanes()
-    bucket = None
-    for p, plane in enumerate(planes):
-        lit = "array(" + ",".join(f"CAST({v} AS DOUBLE)" for v in plane) + ")"
-        bit = F.when(F.expr(DOT.format(a="embedding", b=lit)) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
     return (
-        emb.select(bucket.alias("bucket"))
+        emb.select(_bucket_expr().alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vecs"))
     )

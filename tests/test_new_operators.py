@@ -1454,3 +1454,21 @@ def test_inverted_index_postings(spark):
     assert eng.df == 26 and eng.truncated
     assert got["only"].df == 1 and not got["only"].truncated
     assert got["only"].postings_csv == "100"
+
+
+def test_perplexity_buckets_by_lang_null_lang(spark):
+    """NULL-lang docs are excluded (no language -> no per-language
+    cutoff) instead of crashing the driver-side cutoff sort or falling
+    through to another language's cutoffs."""
+    from docling_nlp_api_spark.operators.sampling import (
+        perplexity_buckets_by_lang,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps again", "en") for i in range(6)]
+        + [(99, "null lang doc with enough words here", None)],
+        "doc_id long, text string, lang string",
+    )
+    rows = perplexity_buckets_by_lang(df).collect()
+    assert {r.lang for r in rows} == {"en"}
+    assert all(r.doc_id != 99 for r in rows)
