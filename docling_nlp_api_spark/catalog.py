@@ -1937,6 +1937,17 @@ _EVENT_DIM_VALUES = ", ".join(
     f"('{t}', CAST({w} AS DOUBLE))" for t, w in sorted(R.EVENT_DIM_WEIGHTS.items())
 )
 
+q("sample_stratified_exact", f"""
+SELECT doc_id, lang, pick_rank FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5('{SP.STRAT_SALT}' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS pick_rank
+  FROM documents)
+WHERE pick_rank <= {SP.STRAT_N_PER_LANG}
+""")(lambda s, d: SP.stratified_sample_exact(docs(s, d)))
+
 q("nlp_inverted_index", f"""
 WITH tok AS (SELECT DISTINCT doc_id, unnest({TOKS}) AS term FROM documents)
 SELECT term, COUNT(*) AS df,
@@ -2637,6 +2648,9 @@ DEMOTED = [
     # term -> posting-list index (distinct pair exchange of ids only;
     # per-row truncation flag, never a silent cap)
     "nlp_inverted_index",
+    # exactly-n-per-language deterministic sample (balanced eval sets;
+    # md5 selection key, disjoint salt from split/mix)
+    "sample_stratified_exact",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

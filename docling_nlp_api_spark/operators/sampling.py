@@ -914,3 +914,29 @@ def pmi_collocations(docs: DataFrame) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(PMI_TOP_K)
     )
+
+
+STRAT_N_PER_LANG = 40
+STRAT_SALT = "strat:v1"
+
+
+def stratified_sample_exact(docs: DataFrame, n_per_group: int = STRAT_N_PER_LANG) -> DataFrame:
+    """Exactly-n-per-language deterministic sample — balanced eval-set
+    construction (every language contributes the same count regardless
+    of corpus share; groups smaller than n contribute everything).
+    Selection key is md5(salt || doc_id): reproducible across reruns and
+    repartitioning (the plane's no-rand() rule), and disjoint salts make
+    this sample independent of the split/mix/temperature buckets.
+
+    Scale shape: one window ranked within lang over the md5 key —
+    per-language state only (language cardinality bounds the partition
+    count, the heaviest language bounds the partition size; at 10^12
+    docs swap row_number for a per-lang rank-threshold computed from the
+    key histogram, the length_percentile_trim pattern). Emits
+    (doc_id, lang, pick_rank) for auditability."""
+    key = F.md5(F.concat(F.lit(STRAT_SALT), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("pick_rank"))
+        .filter(F.col("pick_rank") <= n_per_group)
+    )

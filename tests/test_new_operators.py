@@ -1472,3 +1472,25 @@ def test_perplexity_buckets_by_lang_null_lang(spark):
     rows = perplexity_buckets_by_lang(df).collect()
     assert {r.lang for r in rows} == {"en"}
     assert all(r.doc_id != 99 for r in rows)
+
+
+def test_stratified_sample_exact_counts(spark, sf_dir):
+    """Every language contributes min(n, group size) docs; the sample is
+    stable across invocations (no rand()) and disjoint salts keep it
+    independent of the split assignment."""
+    from docling_nlp_api_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    group_sizes = {r.lang: r.c for r in docs.groupBy("lang").agg(
+        F.count("*").alias("c")).collect()}
+    a = stratified_sample_exact(docs, n_per_group=40).collect()
+    b = stratified_sample_exact(docs, n_per_group=40).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_lang = {}
+    for r in a:
+        per_lang[r.lang] = per_lang.get(r.lang, 0) + 1
+    for lang, n in per_lang.items():
+        assert n == min(40, group_sizes[lang]), (lang, n)
+    assert set(per_lang) == set(group_sizes)
