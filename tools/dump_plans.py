@@ -210,6 +210,15 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         [r"hashpartitioning\(event_type#\d+, salt#\d+", "SortMergeJoin"],
         ["BroadcastHashJoin"],
     ),
+    # inverted index: one distinct + one groupBy(term) over (term, id)
+    # pairs — no join, no window, text never in the exchange schema
+    "nlp_inverted_index": (["HashAggregate"], ["Join", "Window"]),
+    # stratified sample: one window partitioned BY LANG (bounded
+    # per-language state), never an unpartitioned global window
+    "sample_stratified_exact": (
+        [r"Window[\s\S]*partitionBy.*lang|hashpartitioning\(lang"],
+        ["Join"],
+    ),
 }
 
 
