@@ -1937,6 +1937,20 @@ _EVENT_DIM_VALUES = ", ".join(
     f"('{t}', CAST({w} AS DOUBLE))" for t, w in sorted(R.EVENT_DIM_WEIGHTS.items())
 )
 
+_SEARCH_TF = ", ".join(
+    f"len(list_filter({{toks}}, w -> w = '{t}')) AS tf_{t}" for t in N.SEARCH_TERMS
+)
+_SEARCH_PRED = " AND ".join(f"tf_{t} > 0" for t in N.SEARCH_TERMS)
+_SEARCH_SUM = " + ".join(f"tf_{t}" for t in N.SEARCH_TERMS)
+
+q("nlp_index_search", f"""
+WITH tf AS (SELECT doc_id, {_SEARCH_TF.format(toks=TOKS)} FROM documents)
+SELECT doc_id, {", ".join("tf_" + t for t in N.SEARCH_TERMS)},
+       CAST({_SEARCH_SUM} AS BIGINT) AS tf_sum
+FROM tf WHERE {_SEARCH_PRED}
+ORDER BY tf_sum DESC, doc_id LIMIT {N.INDEX_MAX_POSTINGS}
+""")(lambda s, d: N.index_search(docs(s, d)))
+
 q("sample_stratified_exact", f"""
 SELECT doc_id, lang, pick_rank FROM (
   SELECT doc_id, lang,
@@ -2651,6 +2665,8 @@ DEMOTED = [
     # exactly-n-per-language deterministic sample (balanced eval sets;
     # md5 selection key, disjoint salt from split/mix)
     "sample_stratified_exact",
+    # conjunctive term search (the index consumer; map-pass tf + top-k)
+    "nlp_index_search",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -242,3 +242,47 @@ def inverted_index(docs: DataFrame, max_postings: int = INDEX_MAX_POSTINGS) -> D
         ).alias("postings_csv"),
         (F.count("*") > max_postings).alias("truncated"),
     )
+
+
+SEARCH_TERMS = ("table", "hash")  # fixture-frequent conjunctive query
+
+
+def index_search(docs: DataFrame, terms: tuple[str, ...] = SEARCH_TERMS) -> DataFrame:
+    """Conjunctive (AND) term search — the consumer of inverted_index's
+    posting lists, expressed Spark-first as the equivalent streaming
+    form: per doc, the tf of every query term computed in one map pass,
+    kept iff ALL terms occur, ranked by (tf_sum desc, doc_id asc) with a
+    TakeOrderedAndProject top-k. At serving scale the same query runs as
+    a posting-list intersection against the materialized index table
+    (semi-join per term on the term column); this operator IS the
+    batch-side oracle such a serving path must agree with.
+
+    One codegen map pass + one top-k; zero shuffle/join (the query terms
+    are literals, |terms| tf columns per row)."""
+    from ..spec import TOKEN_RE
+
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    staged = docs.select(
+        "doc_id", F.inline(F.array(F.struct(toks.alias("toks"))))
+    )
+    # NB: HOF lambdas must stay single-parameter (a default arg would make
+    # pyspark pass the element index into it — the repetition_signals trap)
+    def _tf(term: str) -> F.Column:
+        return F.size(F.filter(F.col("toks"), lambda w: w == F.lit(term)))
+
+    tfs = {t: _tf(t) for t in terms}
+    sel = staged.select(
+        "doc_id",
+        *[tf.cast("long").alias(f"tf_{t}") for t, tf in tfs.items()],
+    )
+    pred = None
+    for t in terms:
+        this = F.col(f"tf_{t}") > 0
+        pred = this if pred is None else pred & this
+    tf_sum = sum(F.col(f"tf_{t}") for t in terms)
+    return (
+        sel.filter(pred)
+        .select("doc_id", *[f"tf_{t}" for t in terms], tf_sum.alias("tf_sum"))
+        .orderBy(F.col("tf_sum").desc(), "doc_id")
+        .limit(INDEX_MAX_POSTINGS)
+    )

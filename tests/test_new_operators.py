@@ -1494,3 +1494,32 @@ def test_stratified_sample_exact_counts(spark, sf_dir):
     for lang, n in per_lang.items():
         assert n == min(40, group_sizes[lang]), (lang, n)
     assert set(per_lang) == set(group_sizes)
+
+
+def test_index_search_conjunctive(spark):
+    """AND semantics: docs missing any query term are excluded; ranking
+    is tf_sum desc with doc_id tiebreak; agrees with an intersection of
+    inverted_index posting lists (the serving-path equivalence)."""
+    from docling_nlp_api_spark.operators.nlp import (
+        index_search,
+        inverted_index,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "table hash table join"),    # both terms, tf_sum 3
+            (2, "table table table scan"),   # missing 'hash'
+            (3, "hash table"),               # both, tf_sum 2
+            (4, "neither term here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = index_search(df, terms=("table", "hash")).collect()
+    assert [(r.doc_id, r.tf_table, r.tf_hash, r.tf_sum) for r in got] == [
+        (1, 2, 1, 3),
+        (3, 1, 1, 2),
+    ]
+    # posting-list intersection gives the same doc set
+    posts = {r.term: set(map(int, r.postings_csv.split(",")))
+             for r in inverted_index(df).collect() if r.term in ("table", "hash")}
+    assert posts["table"] & posts["hash"] == {r.doc_id for r in got}
