@@ -227,13 +227,9 @@ def inverted_index(docs: DataFrame, max_postings: int = INDEX_MAX_POSTINGS) -> D
     relational.salted_skew_join_rollup for the pattern). Real engines
     shard the index by doc partition; this is the global-term variant
     whose df column is exact."""
-    from ..spec import TOKEN_RE
-
     pairs = docs.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0))
-        ).alias("term"),
+        F.explode(F.array_distinct(tokens_col())).alias("term"),
     )
     return pairs.groupBy("term").agg(
         F.count("*").alias("df"),
@@ -259,11 +255,12 @@ def index_search(docs: DataFrame, terms: tuple[str, ...] = SEARCH_TERMS) -> Data
 
     One codegen map pass + one top-k; zero shuffle/join (the query terms
     are literals, |terms| tf columns per row)."""
-    from ..spec import TOKEN_RE
-
-    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    if not terms:
+        raise ValueError("index_search needs at least one query term")
+    if len(set(terms)) != len(terms):
+        raise ValueError(f"duplicate query terms: {terms}")
     staged = docs.select(
-        "doc_id", F.inline(F.array(F.struct(toks.alias("toks"))))
+        "doc_id", F.inline(F.array(F.struct(tokens_col().alias("toks"))))
     )
     # NB: HOF lambdas must stay single-parameter (a default arg would make
     # pyspark pass the element index into it — the repetition_signals trap)

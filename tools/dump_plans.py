@@ -211,13 +211,26 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin"],
     ),
     # inverted index: one distinct + one groupBy(term) over (term, id)
-    # pairs — no join, no window, text never in the exchange schema
-    "nlp_inverted_index": (["HashAggregate"], ["Join", "Window"]),
-    # stratified sample: one window partitioned BY LANG (bounded
-    # per-language state), never an unpartitioned global window
+    # pairs — no join, no window, and the text column never reaches an
+    # exchange (only term + doc_id shuffle)
+    "nlp_inverted_index": (
+        ["HashAggregate"],
+        ["Join", "Window", r"\(\d+\) Exchange\nInput[^\n]*text#\d+"],
+    ),
+    # stratified sample: the Window/WindowGroupLimit partition spec must
+    # BE [lang] (bounded per-language state) and the exchange must key on
+    # lang — never an unpartitioned global window
     "sample_stratified_exact": (
-        [r"Window[\s\S]*partitionBy.*lang|hashpartitioning\(lang"],
+        [r"Window(GroupLimit)?[\s\S]{0,200}Arguments: \[lang#\d+\]",
+         r"hashpartitioning\(lang#\d+"],
         ["Join"],
+    ),
+    # conjunctive index search: one staged map pass (tokenizer appears
+    # once, behind its Generate) + TakeOrderedAndProject; no shuffle/join
+    "nlp_index_search": (
+        ["Generate", "TakeOrderedAndProject"],
+        ["Exchange hashpartitioning", "Join",
+         r"(regexp_extract_all\(lower[\s\S]*){2,}"],
     ),
 }
 
