@@ -1943,6 +1943,17 @@ _SEARCH_TF = ", ".join(
 _SEARCH_PRED = " AND ".join(f"tf_{t} > 0" for t in N.SEARCH_TERMS)
 _SEARCH_SUM = " + ".join(f"tf_{t}" for t in N.SEARCH_TERMS)
 
+q("a14_cohort_retention", """
+WITH act AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+             FROM events),
+first AS (SELECT user_id, MIN(wk) AS cohort_week FROM act GROUP BY user_id)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, wk) // 7 AS INT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM act a JOIN first USING (user_id)
+GROUP BY cohort_week, week_offset
+""")(lambda s, d: A.cohort_retention(events(s, d)))
+
 q("nlp_index_search", f"""
 WITH tf AS (SELECT doc_id, {_SEARCH_TF.format(toks=TOKS)} FROM documents)
 SELECT doc_id, {", ".join("tf_" + t for t in N.SEARCH_TERMS)},
@@ -2667,6 +2678,8 @@ DEMOTED = [
     "sample_stratified_exact",
     # conjunctive term search (the index consumer; map-pass tf + top-k)
     "nlp_index_search",
+    # weekly cohort retention matrix (distinct user-week exchange only)
+    "a14_cohort_retention",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -378,3 +378,32 @@ def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
         F.max("us").alias("end_us"),
         (F.max("us") - F.min("us")).alias("duration_us"),
     )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention (the classic product-analytics matrix the
+    reference's dashboard plane stops short of): cohort = ISO week of a
+    user's FIRST event, and for every later active week the count of
+    cohort users still active at that week offset. Emits
+    (cohort_week, week_offset, n_users).
+
+    Cross-engine contract: both engines' date_trunc('week') is
+    ISO/Monday-start, and offsets are exact integer day-diffs / 7 (the
+    truncated weeks are always 7-day aligned, so the division is exact).
+
+    Scale shape: distinct (user, week) activity first — the exchange
+    carries two ints per user-week, never event rows — then one
+    groupBy(user) for the cohort and one groupBy(cohort, offset) for the
+    matrix; the cohort frame joins back on user_id (co-partitioned with
+    the activity distinct, AQE broadcasts it when small)."""
+    wk = F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
+    act = events.select("user_id", wk).distinct()
+    first = act.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("wk", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

@@ -1523,3 +1523,19 @@ def test_index_search_conjunctive(spark):
     posts = {r.term: set(map(int, r.postings_csv.split(",")))
              for r in inverted_index(df).collect() if r.term in ("table", "hash")}
     assert posts["table"] & posts["hash"] == {r.doc_id for r in got}
+
+
+def test_cohort_retention_invariants(spark, sf_dir):
+    """Offset-0 count equals the cohort's size (everyone is active in
+    their first week); retention never exceeds the cohort size; offsets
+    are non-negative."""
+    from docling_nlp_api_spark.operators.analytics import cohort_retention
+
+    rows = cohort_retention(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).collect()
+    assert rows and all(r.week_offset >= 0 for r in rows)
+    base = {r.cohort_week: r.n_users for r in rows if r.week_offset == 0}
+    for r in rows:
+        assert r.cohort_week in base  # every cohort has its week-0 row
+        assert r.n_users <= base[r.cohort_week]
