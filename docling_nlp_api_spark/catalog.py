@@ -1943,6 +1943,34 @@ _SEARCH_TF = ", ".join(
 _SEARCH_PRED = " AND ".join(f"tf_{t} > 0" for t in N.SEARCH_TERMS)
 _SEARCH_SUM = " + ".join(f"tf_{t}" for t in N.SEARCH_TERMS)
 
+_FUNNEL_CTES = []
+for _k, _step in enumerate(A.FUNNEL_STEPS):
+    if _k == 0:
+        _FUNNEL_CTES.append(
+            f"s0 AS (SELECT user_id, MIN(ts) AS t FROM events "
+            f"WHERE event_type = '{_step}' GROUP BY user_id)"
+        )
+    else:
+        _FUNNEL_CTES.append(
+            f"s{_k} AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            f"JOIN s{_k - 1} p USING (user_id) "
+            f"WHERE e.event_type = '{_step}' AND e.ts > p.t GROUP BY e.user_id)"
+        )
+_FUNNEL_UNION = " UNION ALL ".join(
+    f"SELECT {k} AS step_idx, '{s}' AS step, COUNT(*) AS n_users FROM s{k}"
+    for k, s in enumerate(A.FUNNEL_STEPS)
+)
+
+q("a15_event_funnel", f"""
+WITH {", ".join(_FUNNEL_CTES)},
+n AS ({_FUNNEL_UNION})
+SELECT CAST(step_idx AS INT) AS step_idx, step,
+       CAST(n_users AS BIGINT) AS n_users,
+       ROUND(n_users * 1.0 /
+             (SELECT n_users FROM n WHERE step_idx = 0), 4) AS rate_vs_first
+FROM n
+""")(lambda s, d: A.event_funnel(events(s, d)))
+
 q("a14_cohort_retention", """
 WITH act AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
              FROM events),
@@ -2680,6 +2708,9 @@ DEMOTED = [
     "nlp_index_search",
     # weekly cohort retention matrix (distinct user-week exchange only)
     "a14_cohort_retention",
+    # ordered funnel conversion (strict time ordering, per-step
+    # conditional-min aggs + user-keyed joins)
+    "a15_event_funnel",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

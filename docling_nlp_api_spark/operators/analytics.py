@@ -407,3 +407,49 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def event_funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
+    """Ordered funnel conversion (the other classic the dashboard plane
+    implies): a user reaches step k iff they have a step-k event STRICTLY
+    AFTER their earliest step-(k-1) reach time — time-ordered semantics,
+    not mere event presence. Emits one row per step: (step_idx, step,
+    n_users, rate_vs_first round-4).
+
+    Scale shape: per step one conditional-min aggregation over events
+    co-grouped by user_id plus one user-keyed equi-join carrying a single
+    timestamp — the event table is scanned once per step with the step
+    filter pushed down, and every exchange is user_id-keyed (AQE
+    broadcasts the shrinking reach frames). |steps| is a small literal,
+    so the whole funnel is a fixed-depth plan, no iteration state."""
+    reach = None  # (user_id, t_k) for the current step
+    counts = []
+    for k, step in enumerate(steps):
+        ev_k = events.filter(F.col("event_type") == step).select("user_id", "ts")
+        if reach is None:
+            reach = ev_k.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            reach = (
+                ev_k.join(reach, "user_id")
+                .filter(F.col("ts") > F.col("t"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        counts.append(reach.agg(F.count("*").alias("n")).collect()[0].n)
+    spark = events.sparkSession
+    first = counts[0]
+    base = spark.createDataFrame(
+        [(k, steps[k], int(counts[k])) for k in range(len(steps))],
+        "step_idx int, step string, n_users long",
+    )
+    # rate via F.round (HALF_UP, matching DuckDB ROUND) — python round()
+    # is banker's and diverges on exact 5e-5 ties
+    rate = (
+        F.round(F.col("n_users") / F.lit(first), 4)
+        if first
+        else F.lit(0.0)
+    )
+    return base.select("step_idx", "step", "n_users", rate.alias("rate_vs_first"))

@@ -1539,3 +1539,25 @@ def test_cohort_retention_invariants(spark, sf_dir):
     for r in rows:
         assert r.cohort_week in base  # every cohort has its week-0 row
         assert r.n_users <= base[r.cohort_week]
+
+
+def test_event_funnel_strict_ordering(spark):
+    """Strict time-ordered semantics: a user whose click precedes every
+    view does NOT reach step 2, even though both event types exist."""
+    import datetime as dt
+
+    from docling_nlp_api_spark.operators.analytics import event_funnel
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    df = spark.createDataFrame(
+        [
+            (1, 1, t(0), "view"), (2, 1, t(5), "click"), (3, 1, t(9), "purchase"),
+            (4, 2, t(5), "click"), (5, 2, t(9), "view"),   # click BEFORE view
+            (6, 3, t(0), "view"),                           # view only
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    got = {r.step: (r.n_users, r.rate_vs_first) for r in event_funnel(df).collect()}
+    assert got["view"] == (3, 1.0)
+    assert got["click"] == (1, round(1 / 3, 4))
+    assert got["purchase"] == (1, round(1 / 3, 4))
