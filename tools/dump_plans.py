@@ -225,6 +225,12 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
          r"hashpartitioning\(lang#\d+"],
         ["Join"],
     ),
+    # cohort retention: distinct user-week pairs first (two ints per
+    # user-week cross the exchange), user-keyed join, no cross join
+    "a14_cohort_retention": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # conjunctive index search: one staged map pass (tokenizer appears
     # once, behind its Generate) + TakeOrderedAndProject; no shuffle/join
     "nlp_index_search": (
