@@ -1943,6 +1943,28 @@ _SEARCH_TF = ", ".join(
 _SEARCH_PRED = " AND ".join(f"tf_{t} > 0" for t in N.SEARCH_TERMS)
 _SEARCH_SUM = " + ".join(f"tf_{t}" for t in N.SEARCH_TERMS)
 
+q("a16_daily_anomalies", f"""
+WITH daily AS (SELECT CAST(ts AS DATE) AS date, COUNT(*) AS n_events
+               FROM events GROUP BY 1),
+win AS (
+  SELECT date, n_events,
+         AVG(n_events) OVER w AS m,
+         STDDEV_SAMP(n_events) OVER w AS s,
+         COUNT(n_events) OVER w AS nw
+  FROM daily
+  WINDOW w AS (ORDER BY date ROWS BETWEEN {A.ANOMALY_WINDOW} PRECEDING
+                                      AND 1 PRECEDING))
+SELECT date, n_events,
+       CASE WHEN nw >= {A.ANOMALY_WINDOW} THEN ROUND(m, 4) END AS baseline_mean,
+       CASE WHEN nw >= {A.ANOMALY_WINDOW} THEN ROUND(s, 4) END AS baseline_std,
+       CASE WHEN nw >= {A.ANOMALY_WINDOW} AND s > 0
+            THEN ROUND((n_events - m) / s, 4) END AS z,
+       COALESCE(ABS(CASE WHEN nw >= {A.ANOMALY_WINDOW} AND s > 0
+                         THEN ROUND((n_events - m) / s, 4) END) > {A.ANOMALY_Z},
+                FALSE) AS is_anomaly
+FROM win
+""")(lambda s, d: A.daily_anomalies(events(s, d)))
+
 _FUNNEL_CTES = []
 for _k, _step in enumerate(A.FUNNEL_STEPS):
     if _k == 0:
@@ -2711,6 +2733,9 @@ DEMOTED = [
     # ordered funnel conversion (strict time ordering, per-step
     # conditional-min aggs + user-keyed joins)
     "a15_event_funnel",
+    # daily-volume anomaly flags (trailing-window z-score over the
+    # calendar-bounded daily aggregate)
+    "a16_daily_anomalies",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -453,3 +453,47 @@ def event_funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> Da
         else F.lit(0.0)
     )
     return base.select("step_idx", "step", "n_users", rate.alias("rate_vs_first"))
+
+
+ANOMALY_WINDOW = 7      # trailing days in the baseline
+ANOMALY_Z = 2.0         # |z| beyond this flags the day
+
+
+def daily_anomalies(events: DataFrame) -> DataFrame:
+    """Daily-volume anomaly flags: each day's event count scored against
+    the mean/stddev of the PRECEDING ANOMALY_WINDOW days (trailing frame
+    excluding the current row — the day can't normalize itself). Emits
+    (date, n_events, baseline_mean, baseline_std, z round-4, is_anomaly);
+    days without a full baseline window carry NULL z and are never
+    flagged.
+
+    Scale shape: the window runs over the DAILY AGGREGATE (one row per
+    date — bounded by the calendar, not the corpus), so the
+    unpartitioned ordering is metadata-sized; the corpus-wide work is
+    one groupBy(date) count. Frame order is pinned by date, so both
+    engines aggregate the same 7 values in the same order and the
+    round-4 doubles match exactly."""
+    from pyspark.sql import Window
+
+    daily = events.groupBy(F.to_date("ts").alias("date")).agg(
+        F.count("*").alias("n_events")
+    )
+    w = (
+        Window.orderBy("date")
+        .rowsBetween(-ANOMALY_WINDOW, -1)
+    )
+    mean = F.avg("n_events").over(w)
+    std = F.stddev_samp("n_events").over(w)
+    nwin = F.count("n_events").over(w)
+    z = F.when(
+        (nwin >= ANOMALY_WINDOW) & (std > 0),
+        F.round((F.col("n_events") - mean) / std, 4),
+    )
+    return daily.select(
+        "date",
+        "n_events",
+        F.when(nwin >= ANOMALY_WINDOW, F.round(mean, 4)).alias("baseline_mean"),
+        F.when(nwin >= ANOMALY_WINDOW, F.round(std, 4)).alias("baseline_std"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) > ANOMALY_Z, F.lit(False)).alias("is_anomaly"),
+    )

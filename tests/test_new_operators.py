@@ -1561,3 +1561,33 @@ def test_event_funnel_strict_ordering(spark):
     assert got["view"] == (3, 1.0)
     assert got["click"] == (1, round(1 / 3, 4))
     assert got["purchase"] == (1, round(1 / 3, 4))
+
+
+def test_daily_anomalies_planted_spike(spark):
+    """A planted 10x traffic spike is flagged; flat days are not; the
+    first ANOMALY_WINDOW days carry NULL baselines and never flag (a day
+    cannot normalize itself — the frame excludes the current row)."""
+    import datetime as dt
+
+    from docling_nlp_api_spark.operators.analytics import daily_anomalies
+
+    rows = []
+    eid = 0
+    for day in range(12):
+        # jitter the flat days: an exactly-constant baseline has std = 0,
+        # which the operator treats as "no usable baseline" (z NULL)
+        n = 1000 if day == 10 else 100 + day % 3
+        for i in range(n):
+            rows.append((eid, 1, dt.datetime(2024, 3, 1 + day, i % 24), "view"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r.date.day: r for r in daily_anomalies(df).collect()}
+    assert got[11].is_anomaly and got[11].z > 2  # spike day (Mar 11)
+    assert not got[10].is_anomaly                # day before: flat
+    # flat day AFTER the spike: baseline now contains the spike, but the
+    # day itself is normal -> z negative yet bounded, not flagged... and
+    # warm-up days have no full window
+    for day in range(1, 8):
+        assert got[day].baseline_mean is None and not got[day].is_anomaly
