@@ -1943,6 +1943,42 @@ _SEARCH_TF = ", ".join(
 _SEARCH_PRED = " AND ".join(f"tf_{t} > 0" for t in N.SEARCH_TERMS)
 _SEARCH_SUM = " + ".join(f"tf_{t}" for t in N.SEARCH_TERMS)
 
+q("sk_rolling_wau", f"""
+WITH src AS (SELECT CAST(ts AS DATE) AS grp,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events),
+r0 AS (SELECT grp, h >> 52 AS bucket, h & 4503599627370495 AS w FROM src),
+r1 AS (SELECT grp, bucket,
+         CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rank
+       FROM r0),
+regs AS (SELECT grp, bucket, MAX(rank) AS rank FROM r1 GROUP BY grp, bucket),
+spine AS (SELECT DISTINCT grp AS d FROM regs),
+merged AS (SELECT s.d, r.bucket, MAX(r.rank) AS rank
+           FROM spine s JOIN regs r
+             ON r.grp > s.d - {SK.WAU_WINDOW_DAYS} AND r.grp <= s.d
+           GROUP BY s.d, r.bucket),
+ag AS (SELECT d,
+         SUM(CAST(1 AS BIGINT) << CAST(53 - rank AS INT)) AS hsum_int,
+         COUNT(*) AS np
+       FROM merged GROUP BY d),
+raw AS (SELECT d, np,
+          {SK.HLL_ALPHA * SK.HLL_M * SK.HLL_M!r} /
+            (hsum_int / 9007199254740992.0 + (256 - np)) AS raw
+        FROM ag),
+est AS (SELECT d,
+          ROUND(CASE WHEN raw <= {2.5 * SK.HLL_M} AND (256 - np) > 0
+                     THEN 256.0 * ln(256.0 / (256 - np)) ELSE raw END, 4) AS wau_hll
+        FROM raw),
+pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS date, user_id FROM events),
+exact AS (SELECT s.d, COUNT(DISTINCT p.user_id) AS wau_exact
+          FROM spine s JOIN pairs p
+            ON p.date > s.d - {SK.WAU_WINDOW_DAYS} AND p.date <= s.d
+          GROUP BY s.d)
+SELECT e.d AS date, wau_exact, wau_hll,
+       ROUND(ABS(wau_hll - wau_exact) / wau_exact, 4) AS rel_err
+FROM exact e JOIN est USING (d)
+""")(lambda s, d: SK.rolling_wau(events(s, d)))
+
 q("a16_daily_anomalies", f"""
 WITH daily AS (SELECT CAST(ts AS DATE) AS date, COUNT(*) AS n_events
                FROM events GROUP BY 1),
@@ -2736,6 +2772,9 @@ DEMOTED = [
     # daily-volume anomaly flags (trailing-window z-score over the
     # calendar-bounded daily aggregate)
     "a16_daily_anomalies",
+    # rolling 7-day active users from MERGED daily HLL registers (the
+    # mergeable-sketch answer to sliding-window distinct)
+    "sk_rolling_wau",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

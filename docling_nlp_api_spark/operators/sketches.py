@@ -161,3 +161,63 @@ def cms_word_counts(docs: DataFrame, top_n: int = 20,
         F.col("cms_est").cast("long").alias("cms_est"),
         (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("over"),
     )
+
+
+WAU_WINDOW_DAYS = 7
+
+
+def rolling_wau(events: DataFrame, window_days: int = WAU_WINDOW_DAYS) -> DataFrame:
+    """Rolling N-day active users from MERGED daily HLL registers — the
+    mergeability payoff: sliding-window COUNT DISTINCT is the classic op
+    that doesn't decompose (distinct isn't subtractable, so a window
+    function can't slide it), but register tables ADD by max, so each
+    day's WAU = max-merge of the trailing window's daily sketches.
+    Emits (date, wau_exact, wau_hll, rel_err) — the exact column is the
+    verifier, computed here because the fixture is small; at 10^12
+    events only the sketch path runs.
+
+    Scale shape: daily registers are the ONLY corpus-wide aggregation
+    (m=256 rows/day regardless of volume); the trailing-window merge is
+    a range join of the calendar spine against the register table —
+    days × window × m rows, metadata-sized. The exact verifier dedups
+    (user, day) pairs first so even it never range-joins raw events."""
+    day = F.to_date("ts").alias("date")
+    regs = hll_registers(events.select(day, "user_id"), "date", "user_id")
+    spine = regs.select(F.col("grp").alias("d")).distinct()
+
+    # trailing-window register merge: spine day d absorbs days (d-w, d]
+    merged = (
+        spine.join(
+            regs,
+            (F.col("grp") > F.date_sub(F.col("d"), window_days))
+            & (F.col("grp") <= F.col("d")),
+        )
+        .groupBy(F.col("d"), "bucket")
+        .agg(F.max("rank").alias("rank"))
+        .select(F.col("d").alias("grp"), "bucket", "rank")
+    )
+    est = hll_estimate_from_registers(merged)
+
+    pairs = events.select(day, "user_id").distinct()
+    exact = (
+        spine.join(
+            pairs,
+            (F.col("date") > F.date_sub(F.col("d"), window_days))
+            & (F.col("date") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("wau_exact"))
+    )
+    return (
+        exact.join(est, exact.d == est.grp)
+        .select(
+            F.col("d").alias("date"),
+            "wau_exact",
+            F.col("hll_estimate").alias("wau_hll"),
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("wau_exact"))
+                / F.col("wau_exact"),
+                4,
+            ).alias("rel_err"),
+        )
+    )

@@ -1591,3 +1591,33 @@ def test_daily_anomalies_planted_spike(spark):
     # warm-up days have no full window
     for day in range(1, 8):
         assert got[day].baseline_mean is None and not got[day].is_anomaly
+
+
+def test_rolling_wau_merge_consistency(spark, sf_dir):
+    """The merged-register estimate for a window must EQUAL the direct
+    HLL estimate computed on the window's raw rows (mergeability is
+    lossless — max of daily maxes == max over the union), and rel_err
+    stays within the m=256 sketch's sane band."""
+    from pyspark.sql import functions as F
+
+    from docling_nlp_api_spark.operators.sketches import (
+        hll_distinct,
+        rolling_wau,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = {r.date: r for r in rolling_wau(ev).collect()}
+    assert out and all(r.rel_err <= 0.2 for r in out.values())
+
+    # pick the last day: direct sketch over the trailing 7 days' rows
+    last = max(out)
+    direct = hll_distinct(
+        ev.filter(
+            (F.to_date("ts") > F.date_sub(F.lit(last), 7))
+            & (F.to_date("ts") <= F.lit(last))
+        ).select(F.lit(1).alias("g"), "user_id"),
+        "g",
+        "user_id",
+    ).collect()[0]
+    assert direct.hll_estimate == out[last].wau_hll
+    assert direct.exact_distinct == out[last].wau_exact
