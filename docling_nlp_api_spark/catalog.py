@@ -558,8 +558,8 @@ _MARKER_SQL = {
     lang: r"\b(" + "|".join(words) + r")\b" for lang, words in Q.LANG_MARKERS.items()
 }
 
-q("tq_lang_id", f"""
-WITH scored AS (
+# lang-ID prediction SQL, shared by tq_lang_id and the confusion matrix
+_LANG_ID_SQL = f"""WITH scored AS (
   SELECT doc_id, lang,
          len(regexp_extract_all(lower(text), '{_MARKER_SQL["en"]}')) AS s_en,
          len(regexp_extract_all(lower(text), '{_MARKER_SQL["de"]}')) AS s_de,
@@ -576,8 +576,17 @@ SELECT doc_id, lang,
             WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
             ELSE 'fr' END AS pred_lang,
        s_en, s_de, s_fr, s_es
-FROM scored
-""")(lambda s, d: Q.lang_id(docs(s, d)))
+FROM scored"""
+
+q("tq_lang_id", _LANG_ID_SQL)(lambda s, d: Q.lang_id(docs(s, d)))
+
+q("tq_lang_confusion", f"""
+WITH li AS ({_LANG_ID_SQL})
+SELECT lang, pred_lang, COUNT(*) AS n_docs,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY lang), 4)
+         AS share_of_lang
+FROM li GROUP BY lang, pred_lang
+""")(lambda s, d: Q.lang_confusion(docs(s, d)))
 
 q("tq_quality_score", f"""
 WITH raw AS (
@@ -2775,6 +2784,9 @@ DEMOTED = [
     # rolling 7-day active users from MERGED daily HLL registers (the
     # mergeable-sketch answer to sliding-window distinct)
     "sk_rolling_wau",
+    # lang-ID confusion matrix (detector self-evaluation; diagonal =
+    # per-language recall)
+    "tq_lang_confusion",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -561,3 +561,24 @@ C4_PLANTS = (
      "This otherwise valid line would have been retained fine.\n"
      "And a third fine sentence line would have passed too."),
 )
+
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """The lang-ID detector's self-evaluation: confusion matrix of
+    labeled language vs marker-argmax prediction, with each cell's share
+    of its TRUE language's docs (the diagonal is per-language recall —
+    the same detector-evaluation pattern as dedup.lsh_recall). Emits
+    (lang, pred_lang, n_docs, share_of_lang round-4).
+
+    Scale shape: one map pass for the prediction, one groupBy on the
+    (lang, pred) pair; the share window runs over the grouped frame
+    (≤ |langs|² rows), never the corpus."""
+    from pyspark.sql import Window
+
+    li = lang_id(docs).select("lang", "pred_lang")
+    g = li.groupBy("lang", "pred_lang").agg(F.count("*").alias("n_docs"))
+    tot = F.sum("n_docs").over(Window.partitionBy("lang"))
+    return g.select(
+        "lang", "pred_lang", "n_docs",
+        F.round(F.col("n_docs") / tot, 4).alias("share_of_lang"),
+    )

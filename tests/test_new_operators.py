@@ -1621,3 +1621,21 @@ def test_rolling_wau_merge_consistency(spark, sf_dir):
     ).collect()[0]
     assert direct.hll_estimate == out[last].wau_hll
     assert direct.exact_distinct == out[last].wau_exact
+
+
+def test_lang_confusion_shares(spark, sf_dir):
+    """Shares sum to 1 within each true language, and every fixture doc
+    lands in exactly one confusion cell."""
+    from pyspark.sql import functions as F
+
+    from docling_nlp_api_spark.operators.textquality import lang_confusion
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = lang_confusion(docs).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, 0.0)
+        by_lang[r.lang] += r.share_of_lang
+    for lang, s in by_lang.items():
+        assert abs(s - 1.0) < 0.001, (lang, s)
