@@ -1952,6 +1952,22 @@ _SEARCH_TF = ", ".join(
 _SEARCH_PRED = " AND ".join(f"tf_{t} > 0" for t in N.SEARCH_TERMS)
 _SEARCH_SUM = " + ".join(f"tf_{t}" for t in N.SEARCH_TERMS)
 
+q("a17_last_touch", """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAST_VALUE(CASE WHEN event_type != 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t
+  FROM events),
+credited AS (SELECT COALESCE(t, 'none') AS channel FROM seq
+             WHERE event_type = 'purchase'),
+g AS (SELECT channel, COUNT(*) AS n_purchases FROM credited GROUP BY channel)
+SELECT channel, n_purchases,
+       ROUND(n_purchases * 1.0 / SUM(n_purchases) OVER (), 4) AS share
+FROM g
+""")(lambda s, d: A.last_touch_attribution(events(s, d)))
+
 q("sk_rolling_wau", f"""
 WITH src AS (SELECT CAST(ts AS DATE) AS grp,
         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
@@ -2787,6 +2803,9 @@ DEMOTED = [
     # lang-ID confusion matrix (detector self-evaluation; diagonal =
     # per-language recall)
     "tq_lang_confusion",
+    # last-touch channel attribution (per-user ordered window, total
+    # frame order pinned by (ts, event_id))
+    "a17_last_touch",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -497,3 +497,39 @@ def daily_anomalies(events: DataFrame) -> DataFrame:
         z.alias("z"),
         F.coalesce(F.abs(z) > ANOMALY_Z, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def last_touch_attribution(events: DataFrame) -> DataFrame:
+    """Last-touch channel attribution: each purchase is credited to the
+    type of the user's most recent PRIOR non-purchase event (ties on ts
+    broken by event_id — cross-engine frame order must be total);
+    purchases with no prior touch credit 'none'. Emits per channel:
+    (channel, n_purchases, share round-4).
+
+    Scale shape: one window partitioned by user_id ordered by
+    (ts, event_id) — per-user state — computing a conditional
+    last-ignoring-nulls over the preceding frame; then a channel-keyed
+    rollup of |channels| rows. The share window runs over that grouped
+    frame, not the corpus."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    credited = (
+        events.select("user_id", "ts", "event_id", "event_type", touch.alias("t"))
+        .filter(F.col("event_type") == "purchase")
+        .select(F.coalesce("t", F.lit("none")).alias("channel"))
+    )
+    g = credited.groupBy("channel").agg(F.count("*").alias("n_purchases"))
+    tot = F.sum("n_purchases").over(Window.partitionBy())
+    return g.select(
+        "channel", "n_purchases",
+        F.round(F.col("n_purchases") / tot, 4).alias("share"),
+    )

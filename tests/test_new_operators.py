@@ -1639,3 +1639,30 @@ def test_lang_confusion_shares(spark, sf_dir):
         by_lang[r.lang] += r.share_of_lang
     for lang, s in by_lang.items():
         assert abs(s - 1.0) < 0.001, (lang, s)
+
+
+def test_last_touch_attribution_planted(spark):
+    """Credit goes to the latest PRIOR non-purchase event; purchases with
+    no prior touch credit 'none'; a purchase never credits a purchase."""
+    import datetime as dt
+
+    from docling_nlp_api_spark.operators.analytics import (
+        last_touch_attribution,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    df = spark.createDataFrame(
+        [
+            (1, 1, t(0), "view"), (2, 1, t(1), "click"), (3, 1, t(2), "purchase"),
+            (4, 2, t(0), "purchase"),                      # no prior -> none
+            (5, 3, t(0), "view"), (6, 3, t(1), "purchase"),
+            (7, 3, t(2), "purchase"),  # back-to-back: still credits view
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    got = {r.channel: (r.n_purchases, r.share) for r in last_touch_attribution(df).collect()}
+    assert got == {
+        "click": (1, 0.25),
+        "none": (1, 0.25),
+        "view": (2, 0.5),
+    }
