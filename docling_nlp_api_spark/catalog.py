@@ -1977,7 +1977,10 @@ r1 AS (SELECT grp, bucket,
          CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rank
        FROM r0),
 regs AS (SELECT grp, bucket, MAX(rank) AS rank FROM r1 GROUP BY grp, bucket),
-spine AS (SELECT DISTINCT grp AS d FROM regs),
+spine AS (SELECT unnest(generate_series(
+            (SELECT MIN(CAST(ts AS DATE)) FROM events),
+            (SELECT MAX(CAST(ts AS DATE)) FROM events),
+            INTERVAL 1 DAY))::DATE AS d),
 merged AS (SELECT s.d, r.bucket, MAX(r.rank) AS rank
            FROM spine s JOIN regs r
              ON r.grp > s.d - {SK.WAU_WINDOW_DAYS} AND r.grp <= s.d
@@ -1999,31 +2002,46 @@ exact AS (SELECT s.d, COUNT(DISTINCT p.user_id) AS wau_exact
           FROM spine s JOIN pairs p
             ON p.date > s.d - {SK.WAU_WINDOW_DAYS} AND p.date <= s.d
           GROUP BY s.d)
-SELECT e.d AS date, wau_exact, wau_hll,
-       ROUND(ABS(wau_hll - wau_exact) / wau_exact, 4) AS rel_err
-FROM exact e JOIN est USING (d)
+SELECT s.d AS date,
+       CAST(COALESCE(e.wau_exact, 0) AS BIGINT) AS wau_exact,
+       COALESCE(est.wau_hll, 0.0) AS wau_hll,
+       CASE WHEN COALESCE(e.wau_exact, 0) > 0
+            THEN ROUND(ABS(COALESCE(est.wau_hll, 0.0) - e.wau_exact)
+                       / e.wau_exact, 4) END AS rel_err
+FROM spine s LEFT JOIN exact e USING (d) LEFT JOIN est USING (d)
 """)(lambda s, d: SK.rolling_wau(events(s, d)))
 
 q("a16_daily_anomalies", f"""
 WITH daily AS (SELECT CAST(ts AS DATE) AS date, COUNT(*) AS n_events
                FROM events GROUP BY 1),
+spine AS (SELECT unnest(generate_series(
+            (SELECT MIN(CAST(ts AS DATE)) FROM events),
+            (SELECT MAX(CAST(ts AS DATE)) FROM events),
+            INTERVAL 1 DAY))::DATE AS date),
+dense AS (SELECT s.date, CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events
+          FROM spine s LEFT JOIN daily d USING (date)),
 win AS (
   SELECT date, n_events,
-         AVG(n_events) OVER w AS m,
-         STDDEV_SAMP(n_events) OVER w AS s,
+         SUM(n_events) OVER w AS sx,
+         SUM(n_events * n_events) OVER w AS sq,
          COUNT(n_events) OVER w AS nw
-  FROM daily
+  FROM dense
   WINDOW w AS (ORDER BY date ROWS BETWEEN {A.ANOMALY_WINDOW} PRECEDING
-                                      AND 1 PRECEDING))
+                                      AND 1 PRECEDING)),
+calc AS (
+  SELECT date, n_events, nw,
+         sx / {float(A.ANOMALY_WINDOW)} AS m,
+         (sq - sx * sx / {float(A.ANOMALY_WINDOW)}) / {float(A.ANOMALY_WINDOW - 1)} AS v
+  FROM win)
 SELECT date, n_events,
        CASE WHEN nw >= {A.ANOMALY_WINDOW} THEN ROUND(m, 4) END AS baseline_mean,
-       CASE WHEN nw >= {A.ANOMALY_WINDOW} THEN ROUND(s, 4) END AS baseline_std,
-       CASE WHEN nw >= {A.ANOMALY_WINDOW} AND s > 0
-            THEN ROUND((n_events - m) / s, 4) END AS z,
-       COALESCE(ABS(CASE WHEN nw >= {A.ANOMALY_WINDOW} AND s > 0
-                         THEN ROUND((n_events - m) / s, 4) END) > {A.ANOMALY_Z},
+       CASE WHEN nw >= {A.ANOMALY_WINDOW} THEN ROUND(sqrt(v), 4) END AS baseline_std,
+       CASE WHEN nw >= {A.ANOMALY_WINDOW} AND v > 0
+            THEN ROUND((n_events - m) / sqrt(v), 4) END AS z,
+       COALESCE(ABS(CASE WHEN nw >= {A.ANOMALY_WINDOW} AND v > 0
+                         THEN ROUND((n_events - m) / sqrt(v), 4) END) > {A.ANOMALY_Z},
                 FALSE) AS is_anomaly
-FROM win
+FROM calc
 """)(lambda s, d: A.daily_anomalies(events(s, d)))
 
 _FUNNEL_CTES = []
@@ -2060,7 +2078,7 @@ WITH act AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
 first AS (SELECT user_id, MIN(wk) AS cohort_week FROM act GROUP BY user_id)
 SELECT cohort_week,
        CAST(date_diff('day', cohort_week, wk) // 7 AS INT) AS week_offset,
-       COUNT(DISTINCT a.user_id) AS n_users
+       COUNT(*) AS n_users
 FROM act a JOIN first USING (user_id)
 GROUP BY cohort_week, week_offset
 """)(lambda s, d: A.cohort_retention(events(s, d)))

@@ -405,7 +405,10 @@ def cohort_retention(events: DataFrame) -> DataFrame:
             "cohort_week",
             (F.datediff("wk", "cohort_week") / 7).cast("int").alias("week_offset"),
         )
-        .agg(F.count_distinct("user_id").alias("n_users"))
+        # input is distinct (user, wk) pairs and offset is a function of
+        # wk, so each user appears once per group: COUNT(*) == COUNT
+        # DISTINCT without the extra dedup pass
+        .agg(F.count("*").alias("n_users"))
     )
 
 
@@ -424,9 +427,18 @@ def event_funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> Da
     timestamp — the event table is scanned once per step with the step
     filter pushed down, and every exchange is user_id-keyed (AQE
     broadcasts the shrinking reach frames). |steps| is a small literal,
-    so the whole funnel is a fixed-depth plan, no iteration state."""
+    so the whole funnel is ONE fixed-depth lazy plan (per-step counts
+    union into a |steps|-row frame; nothing collects at build time, and
+    Spark reuses each reach subtree across the steps that extend it).
+
+    Cross-engine float contract: rate via F.round (HALF_UP, matching
+    DuckDB ROUND — python round() is banker's and diverges on exact
+    5e-5 ties); an empty first step yields NULL rates, matching the
+    oracle's 0/0."""
+    from pyspark.sql import Window
+
     reach = None  # (user_id, t_k) for the current step
-    counts = []
+    per_step = []
     for k, step in enumerate(steps):
         ev_k = events.filter(F.col("event_type") == step).select("user_id", "ts")
         if reach is None:
@@ -438,21 +450,21 @@ def event_funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> Da
                 .groupBy("user_id")
                 .agg(F.min("ts").alias("t"))
             )
-        counts.append(reach.agg(F.count("*").alias("n")).collect()[0].n)
-    spark = events.sparkSession
-    first = counts[0]
-    base = spark.createDataFrame(
-        [(k, steps[k], int(counts[k])) for k in range(len(steps))],
-        "step_idx int, step string, n_users long",
-    )
-    # rate via F.round (HALF_UP, matching DuckDB ROUND) — python round()
-    # is banker's and diverges on exact 5e-5 ties
-    rate = (
-        F.round(F.col("n_users") / F.lit(first), 4)
-        if first
-        else F.lit(0.0)
-    )
-    return base.select("step_idx", "step", "n_users", rate.alias("rate_vs_first"))
+        per_step.append(
+            reach.agg(F.count("*").alias("n_users")).select(
+                F.lit(k).alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.col("n_users"),
+            )
+        )
+    u = per_step[0]
+    for frame in per_step[1:]:
+        u = u.unionByName(frame)
+    first = F.max(
+        F.when(F.col("step_idx") == 0, F.col("n_users"))
+    ).over(Window.partitionBy())
+    rate = F.when(first > 0, F.round(F.col("n_users") / first, 4))
+    return u.select("step_idx", "step", "n_users", rate.alias("rate_vs_first"))
 
 
 ANOMALY_WINDOW = 7      # trailing days in the baseline
@@ -460,40 +472,56 @@ ANOMALY_Z = 2.0         # |z| beyond this flags the day
 
 
 def daily_anomalies(events: DataFrame) -> DataFrame:
-    """Daily-volume anomaly flags: each day's event count scored against
-    the mean/stddev of the PRECEDING ANOMALY_WINDOW days (trailing frame
-    excluding the current row — the day can't normalize itself). Emits
-    (date, n_events, baseline_mean, baseline_std, z round-4, is_anomaly);
-    days without a full baseline window carry NULL z and are never
-    flagged.
+    """Daily-volume anomaly flags: each CALENDAR day's event count scored
+    against the mean/stddev of the preceding ANOMALY_WINDOW calendar days
+    (trailing frame excluding the current row — the day can't normalize
+    itself). The daily aggregate is densified onto a min..max date spine
+    with zero-fill first, so (a) a zero-event outage day gets a row and
+    CAN be flagged — the most extreme volume anomaly — and (b) the ROWS
+    frame is truly 7 calendar days, never 7 observed-active days
+    stretched over a gap. Days without a full baseline carry NULL z and
+    never flag.
 
-    Scale shape: the window runs over the DAILY AGGREGATE (one row per
-    date — bounded by the calendar, not the corpus), so the
-    unpartitioned ordering is metadata-sized; the corpus-wide work is
-    one groupBy(date) count. Frame order is pinned by date, so both
-    engines aggregate the same 7 values in the same order and the
-    round-4 doubles match exactly."""
+    Cross-engine float contract: no stddev function — Welford-vs-
+    segment-tree summation orders differ between engines. The trailing
+    Σx and Σx² are EXACT integer window sums; mean/variance/z derive
+    from them through a pinned IEEE expression (identical integer inputs
+    + identical operation order = identical doubles), variance via the
+    (Σx² − (Σx)²/n)/(n−1) identity.
+
+    Scale shape: the window runs over the calendar-bounded daily spine
+    (one row per day); the corpus-wide work is one groupBy(date) count."""
     from pyspark.sql import Window
 
     daily = events.groupBy(F.to_date("ts").alias("date")).agg(
         F.count("*").alias("n_events")
     )
-    w = (
-        Window.orderBy("date")
-        .rowsBetween(-ANOMALY_WINDOW, -1)
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
     )
-    mean = F.avg("n_events").over(w)
-    std = F.stddev_samp("n_events").over(w)
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("date")
+    )
+    dense = spine.join(daily, "date", "left").select(
+        "date", F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events")
+    )
+    w = Window.orderBy("date").rowsBetween(-ANOMALY_WINDOW, -1)
+    n = ANOMALY_WINDOW
+    sx = F.sum("n_events").over(w)
+    sq = F.sum(F.col("n_events") * F.col("n_events")).over(w)
     nwin = F.count("n_events").over(w)
+    mean = sx / float(n)
+    var = (sq - sx * sx / float(n)) / float(n - 1)
+    std = F.sqrt(var)
     z = F.when(
-        (nwin >= ANOMALY_WINDOW) & (std > 0),
+        (nwin >= n) & (var > 0),
         F.round((F.col("n_events") - mean) / std, 4),
     )
-    return daily.select(
+    return dense.select(
         "date",
         "n_events",
-        F.when(nwin >= ANOMALY_WINDOW, F.round(mean, 4)).alias("baseline_mean"),
-        F.when(nwin >= ANOMALY_WINDOW, F.round(std, 4)).alias("baseline_std"),
+        F.when(nwin >= n, F.round(mean, 4)).alias("baseline_mean"),
+        F.when(nwin >= n, F.round(std, 4)).alias("baseline_std"),
         z.alias("z"),
         F.coalesce(F.abs(z) > ANOMALY_Z, F.lit(False)).alias("is_anomaly"),
     )

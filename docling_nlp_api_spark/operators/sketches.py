@@ -183,7 +183,12 @@ def rolling_wau(events: DataFrame, window_days: int = WAU_WINDOW_DAYS) -> DataFr
     (user, day) pairs first so even it never range-joins raw events."""
     day = F.to_date("ts").alias("date")
     regs = hll_registers(events.select(day, "user_id"), "date", "user_id")
-    spine = regs.select(F.col("grp").alias("d")).distinct()
+    # dense calendar spine: a zero-event day still has a well-defined
+    # trailing-window WAU (the users of the preceding days), so it must
+    # emit a row rather than silently vanish
+    spine = events.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    ).select(F.explode(F.sequence("lo", "hi")).alias("d"))
 
     # trailing-window register merge: spine day d absorbs days (d-w, d]
     merged = (
@@ -208,16 +213,22 @@ def rolling_wau(events: DataFrame, window_days: int = WAU_WINDOW_DAYS) -> DataFr
         .groupBy("d")
         .agg(F.count_distinct("user_id").alias("wau_exact"))
     )
+    # left joins + zero-fill: a window with no activity at all has
+    # WAU 0/0.0 and NULL rel_err (no denominator), not a missing row
     return (
-        exact.join(est, exact.d == est.grp)
+        spine.join(exact, "d", "left")
+        .join(est, spine.d == est.grp, "left")
         .select(
             F.col("d").alias("date"),
-            "wau_exact",
-            F.col("hll_estimate").alias("wau_hll"),
-            F.round(
-                F.abs(F.col("hll_estimate") - F.col("wau_exact"))
-                / F.col("wau_exact"),
-                4,
+            F.coalesce("wau_exact", F.lit(0)).cast("long").alias("wau_exact"),
+            F.coalesce("hll_estimate", F.lit(0.0)).alias("wau_hll"),
+            F.when(
+                F.coalesce("wau_exact", F.lit(0)) > 0,
+                F.round(
+                    F.abs(F.coalesce("hll_estimate", F.lit(0.0)) - F.col("wau_exact"))
+                    / F.col("wau_exact"),
+                    4,
+                ),
             ).alias("rel_err"),
         )
     )
