@@ -1848,27 +1848,41 @@ QUERIES["lm_bpe_learn"] = lambda s, d: SP.bpe_learn(docs(s, d), n_merges=5)
 # BPE apply: encode via the vocabulary mapping (rows-only, same suite)
 QUERIES["lm_bpe_token_counts"] = lambda s, d: SP.bpe_token_counts(docs(s, d), n_merges=5)
 
-q("sk_hll_distinct", f"""
-WITH src AS (SELECT event_type AS grp,
-        CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-      FROM events),
-r0 AS (SELECT grp, h >> 52 AS bucket, h & 4503599627370495 AS w FROM src),
+# shared HLL SQL fragments (sk_hll_distinct + sk_rolling_wau): the
+# register pipeline from a (grp, h) source CTE, and the estimate chain
+# from any (grp, bucket, rank) register CTE — one copy of the magic
+# constants (52/53-bit window, 2^53 denominator, m=256, alpha, linear-
+# counting correction), so the two oracles cannot drift.
+_HLL_REGS_SQL = """r0 AS (SELECT grp, h >> 52 AS bucket, h & 4503599627370495 AS w FROM src),
 r1 AS (SELECT grp, bucket,
          CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rank
        FROM r0),
-regs AS (SELECT grp, bucket, MAX(rank) AS rank FROM r1 GROUP BY grp, bucket),
-ag AS (SELECT grp,
+regs AS (SELECT grp, bucket, MAX(rank) AS rank FROM r1 GROUP BY grp, bucket)"""
+
+
+def _hll_est_sql(src: str, out: str) -> str:
+    """ag/raw/est CTE chain estimating from register CTE `src`; the
+    estimate column is named `out`."""
+    return f"""ag AS (SELECT grp,
          SUM(CAST(1 AS BIGINT) << CAST(53 - rank AS INT)) AS hsum_int,
          COUNT(*) AS np
-       FROM regs GROUP BY grp),
+       FROM {src} GROUP BY grp),
 raw AS (SELECT grp, np,
           {SK.HLL_ALPHA * SK.HLL_M * SK.HLL_M!r} /
             (hsum_int / 9007199254740992.0 + (256 - np)) AS raw
         FROM ag),
 est AS (SELECT grp,
           ROUND(CASE WHEN raw <= {2.5 * SK.HLL_M} AND (256 - np) > 0
-                     THEN 256.0 * ln(256.0 / (256 - np)) ELSE raw END, 4) AS hll_estimate
-        FROM raw),
+                     THEN 256.0 * ln(256.0 / (256 - np)) ELSE raw END, 4) AS {out}
+        FROM raw)"""
+
+
+q("sk_hll_distinct", f"""
+WITH src AS (SELECT event_type AS grp,
+        CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events),
+{_HLL_REGS_SQL},
+{_hll_est_sql("regs", "hll_estimate")},
 ex AS (SELECT event_type AS grp, COUNT(DISTINCT event_id) AS exact_distinct
        FROM events GROUP BY 1)
 SELECT ex.grp AS event_type,
@@ -1972,31 +1986,16 @@ q("sk_rolling_wau", f"""
 WITH src AS (SELECT CAST(ts AS DATE) AS grp,
         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
       FROM events),
-r0 AS (SELECT grp, h >> 52 AS bucket, h & 4503599627370495 AS w FROM src),
-r1 AS (SELECT grp, bucket,
-         CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rank
-       FROM r0),
-regs AS (SELECT grp, bucket, MAX(rank) AS rank FROM r1 GROUP BY grp, bucket),
+{_HLL_REGS_SQL},
 spine AS (SELECT unnest(generate_series(
             (SELECT MIN(CAST(ts AS DATE)) FROM events),
             (SELECT MAX(CAST(ts AS DATE)) FROM events),
             INTERVAL 1 DAY))::DATE AS d),
-merged AS (SELECT s.d, r.bucket, MAX(r.rank) AS rank
+merged AS (SELECT s.d AS grp, r.bucket, MAX(r.rank) AS rank
            FROM spine s JOIN regs r
              ON r.grp > s.d - {SK.WAU_WINDOW_DAYS} AND r.grp <= s.d
            GROUP BY s.d, r.bucket),
-ag AS (SELECT d,
-         SUM(CAST(1 AS BIGINT) << CAST(53 - rank AS INT)) AS hsum_int,
-         COUNT(*) AS np
-       FROM merged GROUP BY d),
-raw AS (SELECT d, np,
-          {SK.HLL_ALPHA * SK.HLL_M * SK.HLL_M!r} /
-            (hsum_int / 9007199254740992.0 + (256 - np)) AS raw
-        FROM ag),
-est AS (SELECT d,
-          ROUND(CASE WHEN raw <= {2.5 * SK.HLL_M} AND (256 - np) > 0
-                     THEN 256.0 * ln(256.0 / (256 - np)) ELSE raw END, 4) AS wau_hll
-        FROM raw),
+{_hll_est_sql("merged", "wau_hll")},
 pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS date, user_id FROM events),
 exact AS (SELECT s.d, COUNT(DISTINCT p.user_id) AS wau_exact
           FROM spine s JOIN pairs p
@@ -2008,7 +2007,7 @@ SELECT s.d AS date,
        CASE WHEN COALESCE(e.wau_exact, 0) > 0
             THEN ROUND(ABS(COALESCE(est.wau_hll, 0.0) - e.wau_exact)
                        / e.wau_exact, 4) END AS rel_err
-FROM spine s LEFT JOIN exact e USING (d) LEFT JOIN est USING (d)
+FROM spine s LEFT JOIN exact e USING (d) LEFT JOIN est ON est.grp = s.d
 """)(lambda s, d: SK.rolling_wau(events(s, d)))
 
 q("a16_daily_anomalies", f"""
