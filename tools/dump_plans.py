@@ -231,6 +231,19 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # ordered funnel: ONE lazy plan — per-step count aggregates unioned
+    # (no per-step collect, no LocalTableScan smuggling driver results)
+    "a15_event_funnel": (
+        ["Union", "HashAggregate"],
+        ["LocalTableScan", "CartesianProduct"],
+    ),
+    # daily anomalies: the stats window runs over the calendar-dense
+    # daily aggregate (post-HashAggregate), never the event rows; exact
+    # integer window sums, no stddev aggregate in the plan
+    "a16_daily_anomalies": (
+        ["Window", "HashAggregate"],
+        ["stddev", "CartesianProduct"],
+    ),
     # conjunctive index search: one staged map pass (tokenizer appears
     # once, behind its Generate) + TakeOrderedAndProject; no shuffle/join
     "nlp_index_search": (
