@@ -1966,6 +1966,22 @@ _SEARCH_TF = ", ".join(
 _SEARCH_PRED = " AND ".join(f"tf_{t} > 0" for t in N.SEARCH_TERMS)
 _SEARCH_SUM = " + ".join(f"tf_{t}" for t in N.SEARCH_TERMS)
 
+q("a18_first_touch", """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         FIRST_VALUE(CASE WHEN event_type != 'purchase' THEN event_type END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t
+  FROM events),
+credited AS (SELECT COALESCE(t, 'none') AS channel FROM seq
+             WHERE event_type = 'purchase'),
+g AS (SELECT channel, COUNT(*) AS n_purchases FROM credited GROUP BY channel)
+SELECT channel, n_purchases,
+       ROUND(n_purchases * 1.0 / SUM(n_purchases) OVER (), 4) AS share
+FROM g
+""")(lambda s, d: A.first_touch_attribution(events(s, d)))
+
 q("a17_last_touch", """
 WITH seq AS (
   SELECT user_id, ts, event_id, event_type,
@@ -2823,6 +2839,8 @@ DEMOTED = [
     # last-touch channel attribution (per-user ordered window, total
     # frame order pinned by (ts, event_id))
     "a17_last_touch",
+    # first-touch (acquisition) attribution counterpart
+    "a18_first_touch",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -561,3 +561,33 @@ def last_touch_attribution(events: DataFrame) -> DataFrame:
         "channel", "n_purchases",
         F.round(F.col("n_purchases") / tot, 4).alias("share"),
     )
+
+
+def first_touch_attribution(events: DataFrame) -> DataFrame:
+    """First-touch counterpart of last_touch_attribution: each purchase
+    credits the user's EARLIEST event overall if it precedes the
+    purchase and isn't itself a purchase ('none' otherwise) — the
+    acquisition-channel view. Same window machinery, frame order pinned
+    by (ts, event_id)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.first(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    credited = (
+        events.select("user_id", "ts", "event_id", "event_type", touch.alias("t"))
+        .filter(F.col("event_type") == "purchase")
+        .select(F.coalesce("t", F.lit("none")).alias("channel"))
+    )
+    g = credited.groupBy("channel").agg(F.count("*").alias("n_purchases"))
+    tot = F.sum("n_purchases").over(Window.partitionBy())
+    return g.select(
+        "channel", "n_purchases",
+        F.round(F.col("n_purchases") / tot, 4).alias("share"),
+    )

@@ -1666,3 +1666,23 @@ def test_last_touch_attribution_planted(spark):
         "none": (1, 0.25),
         "view": (2, 0.5),
     }
+
+
+def test_first_touch_attribution_planted(spark):
+    """First vs last touch disagree exactly when the journey starts and
+    ends on different channels."""
+    import datetime as dt
+
+    from docling_nlp_api_spark.operators.analytics import (
+        first_touch_attribution,
+        last_touch_attribution,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    df = spark.createDataFrame(
+        [(1, 1, t(0), "view"), (2, 1, t(1), "click"), (3, 1, t(2), "purchase")],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    first = {r.channel for r in first_touch_attribution(df).collect()}
+    last = {r.channel for r in last_touch_attribution(df).collect()}
+    assert first == {"view"} and last == {"click"}
