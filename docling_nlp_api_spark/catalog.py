@@ -1470,8 +1470,8 @@ FROM documents
 _URL_DOM_SQL = f"""
 aug AS ({_URL_AUG_SQL}),
 n1 AS (SELECT doc_id, lang, n_chars,
-         lower(regexp_extract(url, '^[a-zA-Z]+://[^/]*', 0)) ||
-         regexp_replace(url, '^[a-zA-Z]+://[^/]*', '') AS u
+         lower(regexp_extract(url, '^[a-zA-Z]+://[^/?#]*', 0)) ||
+         regexp_replace(url, '^[a-zA-Z]+://[^/?#]*', '') AS u
        FROM aug),
 n2 AS (SELECT doc_id, lang, n_chars,
          regexp_replace(
@@ -2055,7 +2055,8 @@ SELECT date, n_events,
             THEN ROUND((n_events - m) / sqrt(v), 4) END AS z,
        COALESCE(ABS(CASE WHEN nw >= {A.ANOMALY_WINDOW} AND v > 0
                          THEN ROUND((n_events - m) / sqrt(v), 4) END) > {A.ANOMALY_Z},
-                FALSE) AS is_anomaly
+                FALSE)
+       OR (nw >= {A.ANOMALY_WINDOW} AND v = 0 AND n_events <> m) AS is_anomaly
 FROM calc
 """)(lambda s, d: A.daily_anomalies(events(s, d)))
 

@@ -517,13 +517,18 @@ def daily_anomalies(events: DataFrame) -> DataFrame:
         (nwin >= n) & (var > 0),
         F.round((F.col("n_events") - mean) / std, 4),
     )
+    # var = 0 branch: a perfectly flat baseline (constant daily counts,
+    # e.g. all-zero during an outage window) makes z undefined, but any
+    # departure from that constant IS an anomaly — without this branch a
+    # total-outage day after a flat week would never flag (round-3 advice).
+    flat_anom = (nwin >= n) & (var == 0) & (F.col("n_events") != mean)
     return dense.select(
         "date",
         "n_events",
         F.when(nwin >= n, F.round(mean, 4)).alias("baseline_mean"),
         F.when(nwin >= n, F.round(std, 4)).alias("baseline_std"),
         z.alias("z"),
-        F.coalesce(F.abs(z) > ANOMALY_Z, F.lit(False)).alias("is_anomaly"),
+        (F.coalesce(F.abs(z) > ANOMALY_Z, F.lit(False)) | flat_anom).alias("is_anomaly"),
     )
 
 
@@ -565,10 +570,10 @@ def last_touch_attribution(events: DataFrame) -> DataFrame:
 
 def first_touch_attribution(events: DataFrame) -> DataFrame:
     """First-touch counterpart of last_touch_attribution: each purchase
-    credits the user's EARLIEST event overall if it precedes the
-    purchase and isn't itself a purchase ('none' otherwise) — the
-    acquisition-channel view. Same window machinery, frame order pinned
-    by (ts, event_id)."""
+    credits the user's earliest NON-purchase event preceding the
+    purchase (earlier purchases are skipped; 'none' when no prior
+    non-purchase event exists) — the acquisition-channel view. Same
+    window machinery, frame order pinned by (ts, event_id)."""
     from pyspark.sql import Window
 
     w = (

@@ -43,7 +43,7 @@ the quantized scores on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # the portable tokenizer shared with sampling.unigram_logprob: identical

@@ -692,6 +692,24 @@ def length_buckets(docs: DataFrame, step: int = BUCKET_STEP, cap: int = BUCKET_C
 
 PPL_BUCKETS = ("head", "middle", "tail")  # CCNet's tercile names
 
+# Driver-side guard for the histogram collects below: the round-4 score
+# quantization bounds distinct values by score-range × 1e4 (≈1e5 at any
+# corpus size), but if a future score column stops being quantized the
+# collect would silently scale with the corpus. Cap it hard: limit(N+1)
+# never ships more than N+1 rows to the driver, and overflowing the cap
+# raises instead of OOMing.
+HIST_MAX_ROWS = 1_000_000
+
+
+def _collect_hist(hist_df: DataFrame, what: str) -> list:
+    rows = hist_df.limit(HIST_MAX_ROWS + 1).collect()
+    if len(rows) > HIST_MAX_ROWS:
+        raise RuntimeError(
+            f"{what}: score histogram exceeded {HIST_MAX_ROWS:,} distinct rows — "
+            "quantize the score more coarsely (round-4 contract) before collecting"
+        )
+    return rows
+
 
 def _tercile_cuts(hist: list[tuple[float, int]]) -> tuple[float, float] | None:
     """THE tercile-cutoff contract, shared by both perplexity bucketers
@@ -735,12 +753,20 @@ def perplexity_buckets(docs: DataFrame) -> DataFrame:
     count >= ceil(k*n/3), computed on integer arithmetic both sides."""
     # persist: the scoring pipeline (tokenize -> bigram explode -> two
     # aggs -> three joins) feeds BOTH the histogram collect and the
-    # returned frame; without the pin it runs twice
-    scores = bigram_logprob(docs).select("doc_id", "mean_nll").persist()
+    # returned frame; without the pin it runs twice. After the collect
+    # the pin is swapped for an eager localCheckpoint + unpersist (the
+    # connected_components pattern) so the returned frame holds no cache
+    # blocks past this call (round-3 advice: cached-partition leak).
+    pinned = bigram_logprob(docs).select("doc_id", "mean_nll").persist()
     hist = sorted(
         (r.mean_nll, r.cnt)
-        for r in scores.groupBy("mean_nll").agg(F.count("*").alias("cnt")).collect()
+        for r in _collect_hist(
+            pinned.groupBy("mean_nll").agg(F.count("*").alias("cnt")),
+            "perplexity_buckets",
+        )
     )
+    scores = pinned.localCheckpoint(eager=True)
+    pinned.unpersist()
     cuts = _tercile_cuts(hist)
     if cuts is None:
         return scores.select("doc_id", "mean_nll", F.lit("head").alias("bucket"))
@@ -822,18 +848,21 @@ def perplexity_buckets_by_lang(docs: DataFrame) -> DataFrame:
     Cross-engine contract: per-language cutoff c_k(lang) = smallest score
     with cumulative count >= ceil(k*n_lang/3), integer arithmetic both
     sides; docs with <2 tokens have no score and are excluded."""
-    scores = (
+    pinned = (
         bigram_logprob(docs)
         .join(docs.select("doc_id", "lang"), "doc_id")
         .filter(F.col("lang").isNotNull())  # no language -> no per-lang cutoff
         .select("doc_id", "lang", "mean_nll")
         .persist()
     )
-    hist = (
-        scores.groupBy("lang", "mean_nll")
-        .agg(F.count("*").alias("cnt"))
-        .collect()
+    hist = _collect_hist(
+        pinned.groupBy("lang", "mean_nll").agg(F.count("*").alias("cnt")),
+        "perplexity_buckets_by_lang",
     )
+    # swap the pin for an eager localCheckpoint so no cache blocks leak
+    # past this call (round-3 advice; connected_components pattern)
+    scores = pinned.localCheckpoint(eager=True)
+    pinned.unpersist()
     per_lang: dict[str, list[tuple[float, int]]] = {}
     for r in hist:
         per_lang.setdefault(r.lang, []).append((r.mean_nll, r.cnt))

@@ -177,7 +177,8 @@ def ivf_kmeans_topk(
     — at 100 TB the quantizer fit runs on a sample and the assignment is
     one codegen-able map pass; no stage touches more than the probed
     shards. nprobe>1 recovers boundary-query recall (see
-    tests/test_similarity.py recall assertion) at a linear-in-nprobe
+    tests/test_new_operators.py::test_ivf_nprobe2_recovers_boundary_recall)
+    at a linear-in-nprobe
     candidate cost — still a bucket equi-join, never a cross join."""
     return ivf_kmeans_topk_df(
         load_embeddings(spark, sf_dir), k=k, n_clusters=n_clusters, iters=iters,

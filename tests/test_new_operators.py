@@ -1593,6 +1593,32 @@ def test_daily_anomalies_planted_spike(spark):
         assert got[day].baseline_mean is None and not got[day].is_anomaly
 
 
+def test_daily_anomalies_flat_baseline_outage(spark):
+    """var=0 branch (round-3 advice): after a perfectly constant 7-day
+    baseline, z is undefined (NULL) but ANY deviation — here a total
+    outage day — must still flag; a day that equals the constant must
+    not."""
+    import datetime as dt
+
+    from docling_nlp_api_spark.operators.analytics import daily_anomalies
+
+    rows = []
+    eid = 0
+    for day in range(10):
+        n = 0 if day == 8 else 50  # days 0-7 exactly constant; day 8 outage
+        for i in range(n):
+            rows.append((eid, 1, dt.datetime(2024, 3, 1 + day, i % 24), "view"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r.date.day: r for r in daily_anomalies(df).collect()}
+    out = got[9]   # Mar 9 = day 8, the outage
+    assert out.n_events == 0 and out.z is None and out.is_anomaly
+    norm = got[8]  # Mar 8 = day 7: flat baseline, flat value -> no flag
+    assert norm.n_events == 50 and norm.z is None and not norm.is_anomaly
+
+
 def test_rolling_wau_merge_consistency(spark, sf_dir):
     """The merged-register estimate for a window must EQUAL the direct
     HLL estimate computed on the window's raw rows (mergeability is

@@ -22,6 +22,14 @@ ROWS = [
         "https://plain.net/", "plain.net", "plain.net"),
     (6, "http://host.org:8080/keep:port?fbclid=abc",
         "http://host.org:8080/keep:port", "host.org", "host.org"),
+    # path-less URL with a case-sensitive query value: the authority
+    # case-fold must stop at '?' (round-3 advice — [^/?#] not [^/] in
+    # SCHEME_HOST_RE), so Token=AbC keeps its case
+    (7, "http://Host.com?Token=AbC",
+        "http://host.com?Token=AbC", "host.com", "host.com"),
+    # path-less URL with only a fragment: fold stops at '#', frag drops
+    (8, "https://X.org#Frag",
+        "https://x.org", "x.org", "x.org"),
 ]
 
 
@@ -47,9 +55,9 @@ def test_blocklist_filter_matches_summary(spark):
     parsed = U.parse(U.normalize(df))
     blocked = ("site.io", "bbc.co.uk")
     kept = U.blocklist_filter(parsed, blocked)
-    assert {r.doc_id for r in kept.collect()} == {1, 4, 5, 6}
+    assert {r.doc_id for r in kept.collect()} == {1, 4, 5, 6, 7, 8}
     s = U.blocklist_summary(parsed, blocked).collect()[0]
-    assert (s.n_kept, s.n_blocked, s.n_domains_blocked) == (4, 2, 2)
+    assert (s.n_kept, s.n_blocked, s.n_domains_blocked) == (6, 2, 2)
 
 
 def test_blocklist_is_broadcast(spark):
