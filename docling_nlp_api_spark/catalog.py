@@ -959,34 +959,57 @@ SELECT DISTINCT id_a, id_b, cosine FROM (
 # ---------------------------------------------------------------------------
 # multimodal plumbing (SQL-expressible projection)
 
-# image dims/length are the PLANTED closed forms (multimodal.IMG_W/IMG_H,
-# png_bytes stored-block length 68 + (w+1)*h) — the engine side reproduces
-# them by PARSING real PNG headers, so a hash match proves the parse
-q("mm_media_metadata", """
-SELECT doc_id,
-       (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
-       CASE WHEN doc_id % 3 = 0
-            THEN 68 + (64 + doc_id % 192 + 1) * (64 + (doc_id * 7) % 192)
-            ELSE octet_length(encode(text)) END AS n_bytes,
-       CASE WHEN doc_id % 3 = 0 THEN CAST(64 + doc_id % 192 AS INT) END AS width,
-       CASE WHEN doc_id % 3 = 0 THEN CAST(64 + (doc_id * 7) % 192 AS INT) END AS height
-FROM documents
+# every column is a PLANTED closed form (multimodal.IMG_W/IMG_H/IMG_FILL,
+# WAV_DATA_BYTES, MP4_DUR_UNITS; container lengths: PNG stored-block
+# 68+(w+1)*h, WAV 44+data, MP4 144+16*frames) — the engine side reproduces
+# them by PARSING/DECODING real container bytes, so a hash match proves the
+# parse. Shared CTE: the per-doc media geometry.
+_MM_GEO_SQL = """
+geo AS (
+  SELECT doc_id,
+         doc_id % 3 AS kind,                       -- 0 image, 1 audio, 2 video
+         64 + doc_id % 192 AS w,
+         64 + (doc_id * 7) % 192 AS h,
+         doc_id % 251 AS fill,
+         1000 + (doc_id * 13) % 60000 AS wav_ms,   -- == data bytes (1 kHz 8-bit)
+         (600 + (doc_id * 17) % 36000) * 1000 // 600 AS mp4_ms
+  FROM documents)
+"""
+
+_MM_META_COLS = """
+       (['image', 'audio', 'video'])[CAST(kind + 1 AS INT)] AS media_type,
+       CASE WHEN kind = 0 THEN 68 + (w + 1) * h
+            WHEN kind = 1 THEN 44 + wav_ms
+            ELSE 144 + 16 * (mp4_ms // 5000 + 1) END AS n_bytes,
+       CASE WHEN kind = 0 THEN CAST(w AS INT) END AS width,
+       CASE WHEN kind = 0 THEN CAST(h AS INT) END AS height,
+       CASE WHEN kind = 1 THEN wav_ms WHEN kind = 2 THEN mp4_ms END AS duration_ms
+"""
+
+q("mm_media_metadata", f"""
+WITH {_MM_GEO_SQL}
+SELECT doc_id, {_MM_META_COLS}
+FROM geo
 """)(lambda s, d: M.media_meta_sql_equivalent(docs(s, d)))
 
-q("mm_decode_mapinpandas", """
-SELECT doc_id,
-       (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
-       CASE WHEN doc_id % 3 = 0
-            THEN 68 + (64 + doc_id % 192 + 1) * (64 + (doc_id * 7) % 192)
-            ELSE octet_length(encode(text)) END AS n_bytes,
-       CASE WHEN doc_id % 3 = 0 THEN CAST(64 + doc_id % 192 AS INT) END AS width,
-       CASE WHEN doc_id % 3 = 0 THEN CAST(64 + (doc_id * 7) % 192 AS INT) END AS height,
-       CASE WHEN doc_id % 3 != 0
-            THEN 1000 + CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 60000 END AS duration_ms
-FROM documents
+# decode_pixels=True: mean_pixel comes from a FULL PNG decode (zlib inflate
+# + inverse Sub/Up scanline filters) of the planted vertical gradient —
+# row r is (fill + r) % 256 — so the oracle's AVG over the per-row values
+# must bit-match the engine's mean over the decoded pixel matrix (exact
+# doubles: integer-exact sums, one correctly-rounded division each side)
+q("mm_decode_mapinpandas", f"""
+WITH {_MM_GEO_SQL},
+px AS (SELECT doc_id, fill, unnest(generate_series(0, h - 1)) AS r
+       FROM geo WHERE kind = 0),
+mp AS (SELECT doc_id, AVG((fill + r) % 256) AS mean_pixel FROM px GROUP BY doc_id)
+SELECT geo.doc_id, {_MM_META_COLS},
+       mp.mean_pixel
+FROM geo LEFT JOIN mp ON geo.doc_id = mp.doc_id
 """)(
-    lambda s, d: M.extract_media_metadata(M.as_media_table(docs(s, d))).select(
-        "doc_id", "media_type", "n_bytes", "width", "height", "duration_ms"
+    lambda s, d: M.extract_media_metadata(
+        M.as_media_table(docs(s, d)), decode_pixels=True
+    ).select(
+        "doc_id", "media_type", "n_bytes", "width", "height", "duration_ms", "mean_pixel"
     )
 )
 
@@ -1249,26 +1272,36 @@ q("ann_ivf_nprobe2_topk", _kmeans_oracle_sql(nprobe=2))(
     lambda s, d: S.ivf_kmeans_topk(s, d, nprobe=2).withColumn("rk", F.col("rk").cast("long"))
 )
 
-_HX = "CAST(('0x' || substr(md5(text), {p}, {n})) AS BIGINT)"
 
-# width/height are the planted PNG-header dims (engine side parses them
-# from real IHDR bytes); out_width = LEAST(64, w) = 64 since w >= 64
-q("mm_resize_images", """
-SELECT doc_id,
-       CAST(64 + doc_id % 192 AS INT) AS width,
-       CAST(64 + (doc_id * 7) % 192 AS INT) AS height,
+# width/height are the planted PNG-header dims (engine side parses real
+# IHDR bytes); out_width = LEAST(64, w) = 64 since w >= 64; thumb_mean is
+# the REAL decode+nearest-neighbor-resample mean — out row y samples
+# source row (y*h)//oh of the planted gradient, so the oracle predicts
+# the resampled pixels the engine must reconstruct from container bytes
+q("mm_resize_images", f"""
+WITH {_MM_GEO_SQL},
+thumb AS (SELECT doc_id, fill, h, h * 64 // w AS oh,
+                 unnest(generate_series(0, h * 64 // w - 1)) AS y
+          FROM geo WHERE kind = 0),
+tm AS (SELECT doc_id, AVG((fill + (y * h) // oh) % 256) AS thumb_mean
+       FROM thumb GROUP BY doc_id)
+SELECT geo.doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
        CAST(64 AS INT) AS out_width,
-       CAST((64 + (doc_id * 7) % 192) * 64 // (64 + doc_id % 192) AS INT) AS out_height,
-       CAST((64 + (doc_id * 7) % 192) * 64 // (64 + doc_id % 192) * 64 * 3 AS BIGINT) AS out_bytes
-FROM documents WHERE doc_id % 3 = 0
+       CAST(h * 64 // w AS INT) AS out_height,
+       CAST(h * 64 // w * 64 * 3 AS BIGINT) AS out_bytes,
+       tm.thumb_mean
+FROM geo JOIN tm ON geo.doc_id = tm.doc_id
 """)(lambda s, d: M.resize_images(M.as_media_table(docs(s, d))).drop("thumbnail"))
 
+# duration is the planted mvhd value the engine must re-parse from the
+# MP4 box walk; frame bytes (dropped here) are demuxed mdat records,
+# pinned exactly by test_new_operators.py
 q("mm_frame_sample", f"""
-WITH vids AS (
-  SELECT doc_id, 1000 + {_HX.format(p=1, n=4)} % 60000 AS dur
-  FROM documents WHERE doc_id % 3 = 2
-),
-fx AS (SELECT doc_id, unnest(generate_series(0, CAST(dur // 5000 AS INT))) AS s FROM vids)
+WITH {_MM_GEO_SQL},
+fx AS (SELECT doc_id, unnest(generate_series(0, CAST(mp4_ms // 5000 AS INT))) AS s
+       FROM geo WHERE kind = 2)
 SELECT doc_id, CAST(s AS INT) AS frame_idx, CAST(s * 5000 AS BIGINT) AS ts_ms FROM fx
 """)(lambda s, d: M.sample_video_frames(M.as_media_table(docs(s, d))).drop("frame"))
 

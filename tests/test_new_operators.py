@@ -148,6 +148,118 @@ def test_png_header_sniffing():
     assert len(zlib.decompress(idat[: len(p) - 20 - p.index(b"IDAT")])) == 101 * 137
 
 
+def test_png_decode_all_filter_types():
+    """decode_png inverts every scanline filter type. The encoder here is
+    INDEPENDENT of the decoder: it applies the PNG spec's FORWARD filters
+    (§6) per-pixel to random images, so a decode bug can't cancel out.
+    Also pins the fixture plant: png_bytes(w,h,fill) decodes to the
+    vertical gradient row r == (fill + r) % 256."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from docling_nlp_api_spark.operators.multimodal import PNG_SIG, decode_png, png_bytes
+
+    def encode(px: np.ndarray, ftype: int) -> bytes:
+        h, w = px.shape
+        p = px.astype(int)
+        raw = bytearray()
+        for r in range(h):
+            raw.append(ftype)
+            for x in range(w):
+                a = p[r, x - 1] if x else 0            # left
+                b = p[r - 1, x] if r else 0            # up
+                c = p[r - 1, x - 1] if (r and x) else 0  # up-left
+                if ftype == 0:
+                    f = p[r, x]
+                elif ftype == 1:
+                    f = p[r, x] - a
+                elif ftype == 2:
+                    f = p[r, x] - b
+                elif ftype == 3:
+                    f = p[r, x] - (a + b) // 2
+                else:  # Paeth
+                    q = a + b - c
+                    pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    f = p[r, x] - pred
+                raw.append(f % 256)
+            # also vary filters per row on type 4 runs (mixed-filter file)
+        def chunk(tag, data):
+            return struct.pack(">I", len(data)) + tag + data + struct.pack(
+                ">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(bytes(raw))) \
+            + chunk(b"IEND", b"")
+
+    rs = np.random.RandomState(7)
+    for ftype in range(5):
+        px = rs.randint(0, 256, size=(13, 17)).astype(np.uint8)
+        assert (decode_png(encode(px, ftype)) == px).all(), f"filter {ftype}"
+    # fixture plant: gradient recovered through the Sub/Up filter chain
+    got = decode_png(png_bytes(20, 300 % 256, 123))
+    exp = np.add.outer((123 + np.arange(300 % 256)) % 256, np.zeros(20, dtype=int)) % 256
+    assert (got == exp).all()
+
+
+def test_wav_mp4_duration_and_demux():
+    """Audio/video durations are REAL container-header parses: WAV fmt
+    byte_rate + data size, MP4 moov/mvhd timescale + duration (v0 and
+    v1); mdat demux returns the planted per-frame records."""
+    import struct
+
+    from docling_nlp_api_spark.operators.multimodal import (
+        mp4_bytes,
+        mp4_mdat_records,
+        sniff_mp4_duration_ms,
+        sniff_wav_duration_ms,
+        wav_bytes,
+    )
+
+    for d in (1000, 31337, 60999):
+        b = wav_bytes(d)
+        assert len(b) == 44 + d
+        assert sniff_wav_duration_ms(b) == d  # byte_rate 1000 -> ms == bytes
+    assert sniff_wav_duration_ms(b"RIFFxxxxNOPE") is None
+    assert sniff_wav_duration_ms(b"short") is None
+
+    for doc_id, units in ((12, 600), (77, 12345), (5, 36599)):
+        ms = units * 1000 // 600
+        b = mp4_bytes(doc_id, units)
+        assert len(b) == 144 + 16 * (ms // 5000 + 1)
+        assert sniff_mp4_duration_ms(b) == ms
+        recs = mp4_mdat_records(b)
+        assert len(recs) == ms // 5000 + 1
+        assert recs == [struct.pack("<QQ", doc_id, j) for j in range(len(recs))]
+    # mvhd version 1 (64-bit times): hand-built box
+    mvhd1 = (
+        struct.pack(">I", 120) + b"mvhd" + b"\x01\x00\x00\x00"
+        + b"\x00" * 16                      # ctime/mtime (u64 each)
+        + struct.pack(">I", 1000)           # timescale
+        + struct.pack(">Q", 90000)          # duration (u64)
+        + b"\x00" * 80
+    )
+    moov = struct.pack(">I", 8 + len(mvhd1)) + b"moov" + mvhd1
+    assert sniff_mp4_duration_ms(moov) == 90000
+    assert sniff_mp4_duration_ms(b"\x00\x00\x00\x08free") is None
+
+
+def test_frame_bytes_are_demuxed_mdat_records(spark, sf_dir):
+    """sample_video_frames emits REAL bytes sliced from the container's
+    mdat box: frame i of doc d is the planted record (d, i)."""
+    import struct
+
+    from docling_nlp_api_spark.operators.multimodal import as_media_table, sample_video_frames
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    media = as_media_table(docs)
+    rows = sample_video_frames(media).collect()
+    assert rows
+    for r in rows:
+        assert bytes(r["frame"]) == struct.pack("<QQ", r["doc_id"], r["frame_idx"])
+
+
 def test_jpeg_sof_sniffing():
     """JPEG dims via the SOF marker walk (no fixture JPEGs; the sniffer is
     the engine surface for real-world payloads): SOI + APP0 + DQT + SOF0."""
