@@ -229,32 +229,74 @@ def lsh_recall(docs_raw: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAN
     )
 
 
-def candidate_pairs_jaccard(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """n-gram Jaccard verification of LSH candidates: pairs sharing the
-    band-0 bucket, exact jaccard over the DISTINCT HASHED shingle sets
-    (the md5-32 shingle space shared with minhash — identical in the
-    DuckDB oracle, so collisions, if any, affect both engines equally).
+def candidate_pairs_jaccard(
+    docs: DataFrame, threshold: float = 0.5, bands: int = 1, rows: int = ROWS_PER_BAND
+) -> DataFrame:
+    """n-gram Jaccard verification of LSH candidates: pairs sharing any
+    of `bands` LSH band buckets (`rows` signature rows each), exact
+    jaccard over the DISTINCT HASHED shingle sets (the md5-32 shingle
+    space shared with minhash — identical in the DuckDB oracle, so
+    collisions, if any, affect both engines equally).
 
-    One tokenizer pass: the shared shingle_hashes_flat frame feeds a
-    single partial aggregation computing the per-doc distinct hash set
-    AND the band-0 minhash bucket together (an Aggregate is a structural
-    barrier, so no expression can be inlined back into the tokenizer —
-    a projection-chain draft of this measured a 24x regex blow-up from
-    CollapseProject). One equi-join on bucket carries the int hash sets
-    (3-5x narrower than shingle strings) and computes jaccard directly —
-    round 1's shape was 3 joins with the tokenizer run 3x. The two join
-    inputs canonicalize to the same exchange, which ReuseExchange dedups
-    in the non-broadcast regime."""
+    One tokenizer pass either way: the shared shingle_hashes_flat frame
+    feeds a single partial aggregation computing the per-doc distinct
+    hash set AND all bands*rows minhashes together (an Aggregate is a
+    structural barrier, so no expression can be inlined back into the
+    tokenizer — a projection-chain draft of this measured a 24x regex
+    blow-up from CollapseProject).
+
+    bands=1 (the oracle-pinned demo default, band-0 of the 3x2 family):
+    one equi-join on bucket carries the int hash sets (3-5x narrower
+    than shingle strings) and computes jaccard directly — round 1's
+    shape was 3 joins with the tokenizer run 3x. The two join inputs
+    canonicalize to the same exchange, which ReuseExchange dedups in
+    the non-broadcast regime.
+
+    bands>1 (the production path — BENCH/lsh_curve.md recommends 8x4
+    per the recall/cost sweep: 0.948 recall of the planted truth with
+    near-1.0 candidate precision, 4x fewer candidates than loose 16x2
+    and half the wall of 16x8): candidates are generated as (doc_a,
+    doc_b) ID pairs from a banded self equi-join and DISTINCT'd BEFORE
+    the hash sets attach (a doc pair colliding in several bands must be
+    verified once, not once per band, and the wide hs arrays must not
+    ride through the band explosion); two id-equi-joins then attach
+    hs_a/hs_b from the same per_doc exchange ReuseExchange dedups."""
+    k = bands * rows
     flat = shingle_hashes_flat(docs)
     per_doc = flat.groupBy("doc_id").agg(
         F.sort_array(F.collect_set("h")).alias("hs"),
-        F.min(_perm(0)).alias("mh0"),
-        F.min(_perm(1)).alias("mh1"),
+        *[F.min(_perm(i, k)).alias(f"mh{i}") for i in range(k)],
     )
-    base = per_doc.select("doc_id", "hs", band_bucket(0).alias("bucket"))
-    a = base.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), "bucket")
-    b = base.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), "bucket")
-    joined = a.join(b, "bucket").filter(F.col("doc_a") < F.col("doc_b"))
+    if bands == 1:
+        base = per_doc.select("doc_id", "hs", band_bucket(0, rows).alias("bucket"))
+        a = base.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), "bucket")
+        b = base.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), "bucket")
+        joined = a.join(b, "bucket").filter(F.col("doc_a") < F.col("doc_b"))
+    else:
+        band_structs = F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), band_bucket(b, rows).alias("bucket"))
+                for b in range(bands)
+            ]
+        )
+        ids = per_doc.select("doc_id", F.explode(band_structs).alias("bb")).select(
+            "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+        cand = (
+            ids.alias("a")
+            .join(ids.alias("b"), ["band", "bucket"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        sets = per_doc.select("doc_id", "hs")
+        joined = cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")),
+            "doc_a",
+        ).join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
+            "doc_b",
+        )
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     union = F.size("hs_a") + F.size("hs_b") - inter
     return (

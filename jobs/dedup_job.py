@@ -44,7 +44,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_dedup(spark, docs, output: str, threshold: float = 0.5) -> dict:
+def run_dedup(
+    spark, docs, output: str, threshold: float = 0.5, bands: int = 8, rows: int = 4
+) -> dict:
     """Compose the dedup operators over `docs` (doc_id, text) and write
     keep/clusters/exact tables + metrics under `output`. Returns the
     metrics dict. Resolution runs ONCE; the keep-set reuses its labels
@@ -70,7 +72,14 @@ def run_dedup(spark, docs, output: str, threshold: float = 0.5) -> dict:
         .collect()[0]
     )
 
-    pairs = candidate_pairs_jaccard(docs, threshold).select("doc_a", "doc_b")
+    # 8x4 banding is the production default per the measured recall/cost
+    # sweep (BENCH/lsh_curve.md, tools/lsh_curve.py): 0.948 recall of the
+    # planted truth at near-1.0 candidate precision — loose 16x2 buys
+    # recall 1.0 only at 4.3x the candidate volume (the verify-join input
+    # at 100 TB), tight 16x8 drops recall to 0.90 and doubles minhash cost
+    pairs = candidate_pairs_jaccard(docs, threshold, bands=bands, rows=rows).select(
+        "doc_a", "doc_b"
+    )
     resolved = connected_components(pairs)
     resolved.write.mode("overwrite").parquet(os.path.join(output, "clusters"))
     resolved = spark.read.parquet(os.path.join(output, "clusters"))
@@ -97,6 +106,8 @@ def run_dedup(spark, docs, output: str, threshold: float = 0.5) -> dict:
         "n_dropped_neardup": int(cl["dropped"] or 0),
         "n_kept": n_kept,
         "threshold": threshold,
+        "bands": bands,
+        "rows": rows,
     }
     assert metrics["n_kept"] + metrics["n_dropped_neardup"] == n_in, metrics
     with open(os.path.join(output, "metrics.json"), "w") as f:
@@ -110,6 +121,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--tier", help="synthetic tier instead of --input (e.g. sf0.001)")
     p.add_argument("--output", required=True, help="output root (keep/clusters/exact/metrics)")
     p.add_argument("--threshold", type=float, default=0.5, help="Jaccard verify threshold")
+    p.add_argument("--bands", type=int, default=8,
+                   help="LSH bands for candidate generation (BENCH/lsh_curve.md)")
+    p.add_argument("--rows", type=int, default=4, help="signature rows per band")
     p.add_argument("--cores", type=int, default=None, help="local[N] cores (sandbox only)")
     args = p.parse_args(argv)
     if not args.input and not args.tier:
@@ -131,7 +145,10 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     os.makedirs(args.output, exist_ok=True)
-    metrics = run_dedup(spark, docs, args.output, threshold=args.threshold)
+    metrics = run_dedup(
+        spark, docs, args.output,
+        threshold=args.threshold, bands=args.bands, rows=args.rows,
+    )
     print(json.dumps(metrics))
     spark.stop()
     return 0

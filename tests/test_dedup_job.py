@@ -64,3 +64,33 @@ def test_dedup_job_end_to_end(spark, sf_dir):
             shutil.rmtree(out2, ignore_errors=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_multiband_candidates_beat_single_band_recall(spark, sf_dir):
+    """The production multi-band path (bands>1) of candidate_pairs_jaccard:
+    planted-truth recall must beat the 1-band demo banding (the curve in
+    BENCH/lsh_curve.md is the full instrument; this pins its direction),
+    every emitted pair must clear the threshold, and pairs colliding in
+    several bands must be emitted once (the pre-verify DISTINCT)."""
+    from pyspark.sql import functions as F
+
+    from docling_nlp_api_spark.operators.dedup import candidate_pairs_jaccard
+
+    docs = _docs(spark, sf_dir)
+    planted = {
+        (r.doc_id, r.doc_id + 1000000)
+        for r in docs.filter("doc_id % 10 = 0 AND doc_id < 1000000")
+        .select("doc_id").collect()
+    }
+
+    def verified(bands, rows):
+        rows_ = candidate_pairs_jaccard(docs, 0.5, bands=bands, rows=rows).collect()
+        pairs = [(r.doc_a, r.doc_b) for r in rows_]
+        assert len(pairs) == len(set(pairs)), "duplicate pair emitted"
+        assert all(r.jaccard >= 0.5 for r in rows_)
+        return set(pairs)
+
+    one_band = verified(1, 2)
+    multi = verified(8, 4)
+    assert len(planted & multi) > len(planted & one_band)
+    assert len(planted & multi) >= int(0.9 * len(planted))
