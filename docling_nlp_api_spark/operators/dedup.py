@@ -426,7 +426,12 @@ def with_planted_vec_dups(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", "label", "embedding").unionByName(dups)
 
 
-def embedding_near_dup(spark: SparkSession, sf_dir: str, threshold: float = 0.40) -> DataFrame:
+def embedding_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.40,
+    max_bucket: int = 1024,
+) -> DataFrame:
     """Embedding-cosine near-dup: pairs above threshold from candidates
     sharing (label, band, bucket) — the coarse cluster AND a 4-bit
     hyperplane-LSH bucket in either of 2 bands (OR-construction: near-
@@ -438,6 +443,26 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str, threshold: float = 0.40
     and skew-prone on hot labels. The band buckets (16 per band) cut each
     label's join fan-out ~256x in expectation; the same hyperplane
     machinery as similarity.hyperplanes(), split 4+4.
+
+    max_bucket (round-4 sf10 dry run): "~256x in expectation" assumes
+    near-isotropic vectors. On label-CLUSTERED embeddings every vector of
+    a label shares most hyperplane signs, so one bucket absorbs the whole
+    label and the within-bucket pair count grows QUADRATICALLY with
+    corpus size — at the 100x tier (200k vecs) that was ~4B interpreted
+    cosine evals, a never-finishing join. A metadata pre-pass therefore
+    counts each (label, band, bucket); a bucket over max_bucket rows is
+    split into ceil(size/max_bucket) sub-buckets keyed by the vector's
+    QUANTIZED UNIT DIRECTION (round(x_i/|x|, 3) hashed), so true
+    near-dups — same direction by definition — stay co-bucketed while
+    the dropped cross-sub-bucket pairs are the low-cosine ones. The cap
+    bounds candidates at ~max_bucket * n/2 (linear in corpus, tunable),
+    and the recall trade concentrates on pairs far below any dedup
+    threshold. Oversized buckets are logged driver-side from the
+    bucket-count table (metadata-scale, one row per bucket) — no silent
+    truncation. At the oracle tier (sf0.01, ~200 vectors) no bucket
+    reaches the cap, so the DuckDB value-hash comparison runs the
+    identical uncapped plan (pytest pins cap-inertness and forced-cap
+    planted recall).
 
     The vector and its L2 norm are computed once per row BELOW the join's
     exchange (a shuffle materializes columns, so no HOF re-evaluation can
@@ -475,15 +500,46 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str, threshold: float = 0.40
         "vec_id", "label", "embedding", F.expr(nrm).alias("nrm"), F.explode(bands).alias("bb")
     ).select("vec_id", "label", "embedding", "nrm", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = base.select(
+    # metadata pre-pass: one row per (label, band, bucket). localCheckpoint
+    # pins the tiny count table (one corpus scan) so the audit read and the
+    # join below don't re-aggregate, and nothing stays cached after return.
+    counts = (
+        base.groupBy("label", "band", "bucket")
+        .agg(F.count("*").alias("bsz"))
+        .withColumn(
+            "nsplit",
+            F.greatest(F.lit(1), F.ceil(F.col("bsz") / max_bucket)).cast("int"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    over = counts.filter(F.col("nsplit") > 1).agg(
+        F.count("*").alias("n_over"), F.max("bsz").alias("max_bsz"),
+        F.sum("bsz").alias("rows_over"),
+    ).first()
+    if over["n_over"]:
+        print(
+            f"embedding_near_dup: {over['n_over']} bucket(s) over "
+            f"max_bucket={max_bucket} (largest {over['max_bsz']} rows, "
+            f"{over['rows_over']} rows total) split by quantized direction; "
+            "cross-sub-bucket (low-cosine) pairs are not compared",
+            flush=True,
+        )
+    qdir = F.expr("transform(embedding, x -> round(CAST(x AS DOUBLE) / nrm, 3))")
+    salted = (
+        base.join(F.broadcast(counts.select("label", "band", "bucket", "nsplit")),
+                  ["label", "band", "bucket"])
+        .withColumn("salt", F.pmod(F.xxhash64(qdir), F.col("nsplit")).cast("int"))
+    )
+
+    a = salted.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
-        "label", "band", "bucket",
+        "label", "band", "bucket", "salt",
     )
-    b = base.select(
+    b = salted.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
-        "label", "band", "bucket",
+        "label", "band", "bucket", "salt",
     )
-    pairs = a.join(b, ["label", "band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    pairs = a.join(b, ["label", "band", "bucket", "salt"]).filter(F.col("id_a") < F.col("id_b"))
     cos = F.expr(DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))

@@ -88,19 +88,23 @@ def run_extract_stream(
     src_dir: str,
     out_dir: str,
     checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
 ) -> int:
     """One availableNow pass: extract every file the checkpoint has not
     committed yet, append to the parquet sink, stop. Returns the number
     of micro-batches executed (0 on a no-new-data restart — the
     exactly-once evidence). The extraction itself is the unmodified
     batch kernel: mapInArrow is stateless, so Structured Streaming
-    applies it per micro-batch with no semantic delta vs batch."""
+    applies it per micro-batch with no semantic delta vs batch.
+    max_files_per_trigger=1 (default) exercises per-file commit
+    granularity (tests); None drains everything in one micro-batch —
+    the throughput configuration measured by tools/stream_bench.py."""
     # recentProgress is a ring buffer capped at
     # spark.sql.streaming.numRecentProgressUpdates (default 100) — a drop
     # of >100 files would silently undercount; raise the cap for the
     # drain so the returned batch count stays exact
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
-    stream = extract(read_span_stream(spark, src_dir))
+    stream = extract(read_span_stream(spark, src_dir, max_files_per_trigger))
     q = (
         stream.writeStream.format("parquet")
         .option("path", out_dir)

@@ -1824,3 +1824,29 @@ def test_first_touch_attribution_planted(spark):
     first = {r.channel for r in first_touch_attribution(df).collect()}
     last = {r.channel for r in last_touch_attribution(df).collect()}
     assert first == {"view"} and last == {"click"}
+
+
+def test_embedding_neardup_bucket_cap(spark):
+    """Round-4 sf10 finding: label-clustered embeddings collapse every
+    hyperplane bucket, making the candidate join quadratic (the 100x dry
+    run's one never-finishing query). The max_bucket split must (a) be
+    inert at oracle scale — identical pairs with and without the cap —
+    and (b) under a FORCED tiny cap still co-bucket true near-dups: every
+    planted scaled duplicate (same quantized unit direction) survives."""
+    from docling_nlp_api_spark.operators.dedup import (
+        VEC_PLANT_EVERY,
+        embedding_near_dup,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    default = sorted(map(tuple, embedding_near_dup(spark, sf).collect()))
+    uncapped = sorted(
+        map(tuple, embedding_near_dup(spark, sf, max_bucket=10**9).collect())
+    )
+    assert default == uncapped and len(default) > 0
+
+    capped = embedding_near_dup(spark, sf, max_bucket=8)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    n_vecs = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    planted = {(v, v + 1_000_000) for v in range(0, n_vecs, VEC_PLANT_EVERY)}
+    assert planted <= got

@@ -47,8 +47,13 @@ def main() -> None:
     ap.add_argument("--passes", type=int, default=1)
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--only", default=None, help="comma-separated query subset")
+    ap.add_argument("--skip", default=None, help="comma-separated queries to skip")
     ap.add_argument("--timeout-note", type=int, default=120,
                     help="flag queries slower than this many seconds")
+    ap.add_argument("--kill-after", type=int, default=900,
+                    help="cancel a query's Spark jobs after this many seconds "
+                         "and record err=cancelled (watchdog: the first sf10 "
+                         "sweep lost an hour to one unbounded query)")
     args = ap.parse_args()
 
     from docling_nlp_api_spark.catalog import QUERIES
@@ -60,11 +65,32 @@ def main() -> None:
     if args.only:
         keep = set(args.only.split(","))
         names = [n for n in names if n in keep]
+    if args.skip:
+        drop = set(args.skip.split(","))
+        names = [n for n in names if n not in drop]
 
     results: dict[str, dict] = {n: {"sec": None, "err": None} for n in names}
+
+    def dump_partial() -> None:
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out + ".partial", "w") as f:
+            json.dump({"dir": args.dir, "queries": results}, f, indent=1)
+
     t_start = time.time()
     for p in range(args.passes):
         for i, name in enumerate(names):
+            # watchdog: cancel the query's jobs if it exceeds --kill-after
+            # (a query whose candidate set blows up at 100x must cost one
+            # bounded slot, not the whole sweep)
+            import threading
+            cancelled = threading.Event()
+
+            def _cancel() -> None:
+                cancelled.set()
+                spark.sparkContext.cancelAllJobs()
+
+            timer = threading.Timer(args.kill_after, _cancel)
+            timer.start()
             t0 = time.time()
             try:
                 df = QUERIES[name](spark, args.dir)
@@ -73,15 +99,21 @@ def main() -> None:
                 prev = results[name]["sec"]
                 results[name]["sec"] = dt if prev is None else min(prev, dt)
             except Exception as exc:
-                results[name]["err"] = (
-                    f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
-                )
+                if cancelled.is_set():
+                    results[name]["err"] = f"cancelled_after_{args.kill_after}s"
+                else:
+                    results[name]["err"] = (
+                        f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
+                    )
                 print(f"FAIL {name}: {results[name]['err']}", flush=True)
                 traceback.print_exc(limit=3)
+            finally:
+                timer.cancel()
             print(
                 f"[pass {p + 1} {i + 1}/{len(names)}] {name}: "
                 f"{results[name]['sec']}s", flush=True,
             )
+            dump_partial()
 
     ref = {}
     if args.ref_json and os.path.exists(args.ref_json):
