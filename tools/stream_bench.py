@@ -38,6 +38,7 @@ def main() -> None:
     ap.add_argument("--tier", default="sf0.1")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "stream_bench.json"))
     ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--scratch", default=os.path.join(REPO, ".data", "stream_bench"))
     args = ap.parse_args()
 
@@ -60,30 +61,53 @@ def main() -> None:
         shutil.copy(p, os.path.join(drop, f"docs_{i:05d}.parquet"))
     print(f"staged {len(parts)} files / {n_docs} docs into {drop}", flush=True)
 
-    # batch ceiling on the SAME files, same JVM (warm it once first)
-    extract(spark.read.parquet(drop)).write.format("noop").mode("overwrite").save()
-    t0 = time.time()
-    extract(spark.read.parquet(drop)).write.format("noop").mode("overwrite").save()
-    batch_sec = round(time.time() - t0, 3)
+    # Noise protocol (BENCH/BASELINE.md "Measurement honesty": this host
+    # has multi-minute noisy-neighbor windows where the same kernel runs
+    # 2-10x slower). Variants interleave batch/stream1/stream8 per round
+    # and best-of is reported, so every variant samples the same windows;
+    # the batch kernel measured in the SAME session is the ceiling the
+    # streaming numbers are ratioed against.
+    def run_batch() -> int:
+        extract(spark.read.parquet(drop)).write.format("noop").mode("overwrite").save()
+        return -1
 
-    results = {"batch_kernel_same_files": {"sec": batch_sec, "micro_batches": None,
-                                           "docs_per_sec": round(n_docs / batch_sec)}}
-    for label, mfpt in [("stream_one_batch", None), ("stream_mfpt8", 8)]:
-        out_dir = os.path.join(args.scratch, f"out_{label}")
-        ckpt = os.path.join(args.scratch, f"ckpt_{label}")
-        t0 = time.time()
-        n_batches = run_extract_stream(spark, drop, out_dir, ckpt,
-                                       max_files_per_trigger=mfpt)
-        sec = round(time.time() - t0, 3)
-        got = spark.read.parquet(out_dir).count()
-        assert got == n_docs, f"{label}: sink has {got} docs, expected {n_docs}"
-        results[label] = {"sec": sec, "micro_batches": n_batches,
-                          "docs_per_sec": round(n_docs / sec)}
-        print(f"{label}: {sec}s, {n_batches} micro-batches, "
-              f"{results[label]['docs_per_sec']} docs/s", flush=True)
+    seq = [0]
+
+    def run_stream(mfpt):
+        def go() -> int:
+            out_dir = os.path.join(args.scratch, f"out_{seq[0]}")
+            ckpt = os.path.join(args.scratch, f"ckpt_{seq[0]}")
+            seq[0] += 1
+            n_batches = run_extract_stream(spark, drop, out_dir, ckpt,
+                                           max_files_per_trigger=mfpt)
+            got = spark.read.parquet(out_dir).count()
+            assert got == n_docs, f"sink has {got} docs, expected {n_docs}"
+            return n_batches
+        return go
+
+    variants = {"batch_kernel_same_files": run_batch,
+                "stream_one_batch": run_stream(None),
+                "stream_mfpt8": run_stream(8)}
+    run_batch()  # JVM/codegen warmup
+    results = {n: {"sec": None, "micro_batches": None} for n in variants}
+    for rnd in range(args.rounds):
+        for label, fn in variants.items():
+            t0 = time.time()
+            nb = fn()
+            sec = round(time.time() - t0, 3)
+            prev = results[label]["sec"]
+            if prev is None or sec < prev:
+                results[label] = {"sec": sec,
+                                  "micro_batches": nb if nb >= 0 else None}
+            print(f"[round {rnd + 1}] {label}: {sec}s", flush=True)
+    for label, r in results.items():
+        r["docs_per_sec"] = round(n_docs / r["sec"])
+    base = results["batch_kernel_same_files"]["sec"]
+    for label, r in results.items():
+        r["vs_batch"] = round(r["sec"] / base, 2)
 
     report = {"tier": args.tier, "n_docs": n_docs, "n_files": len(parts),
-              "cores": args.cores, "results": results}
+              "cores": args.cores, "rounds": args.rounds, "results": results}
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report, indent=1))
