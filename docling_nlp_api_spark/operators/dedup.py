@@ -465,17 +465,27 @@ def embedding_near_dup(
     planted recall).
 
     The vector and its L2 norm are computed once per row BELOW the join's
-    exchange (a shuffle materializes columns, so no HOF re-evaluation can
-    leak past it); each surviving pair costs one zip_with dot product and
-    a scalar multiply. A pair matching both bands computes the same
+    exchange (a shuffle materializes columns, so no re-evaluation can
+    leak past it); each surviving pair costs one dot product — an
+    Arrow-batch einsum by default, the interpreted zip_with fold under
+    SPARK_GRAFT_ANN_SCORER=sql (see vecmath.py) — and a scalar multiply.
+    A pair matching both bands computes the same
     cosine twice and collapses in the final distinct (threshold survivors
     only — a tiny set)."""
-    from .similarity import DOT, hyperplanes
+    from . import vecmath
+    from .similarity import DOT, _scorer, _use_sql, hyperplanes
 
     emb = with_planted_vec_dups(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     planes = hyperplanes()
 
     def band_of(lo: int) -> F.Column:
+        # arrow mode (default, round 4): one matmul per Arrow batch for
+        # the whole 4-plane band; sql mode keeps the r3 interpreted folds
+        # (the A/B baseline — same sign rule, see vecmath.py).
+        if not _use_sql():
+            return vecmath.plane_bits_udf(planes[lo:lo + PLANES_PER_BAND])(
+                F.col("embedding")
+            )
         acc = None
         for p in range(lo, lo + PLANES_PER_BAND):
             lit = "array(" + ",".join(f"CAST({v} AS DOUBLE)" for v in planes[p]) + ")"
@@ -486,10 +496,11 @@ def embedding_near_dup(
             acc = bit if acc is None else acc + bit
         return acc
 
-    nrm = (
+    nrm_sql = (
         "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), "
         "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
     )
+    nrm = F.expr(nrm_sql) if _use_sql() else vecmath.vec_norm(F.col("embedding"))
     bands = F.array(
         *[
             F.struct(F.lit(bi).alias("band"), band_of(bi * PLANES_PER_BAND).alias("bucket"))
@@ -497,7 +508,7 @@ def embedding_near_dup(
         ]
     )
     base = emb.select(
-        "vec_id", "label", "embedding", F.expr(nrm).alias("nrm"), F.explode(bands).alias("bb")
+        "vec_id", "label", "embedding", nrm.alias("nrm"), F.explode(bands).alias("bb")
     ).select("vec_id", "label", "embedding", "nrm", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     # metadata pre-pass: one row per (label, band, bucket). localCheckpoint
@@ -531,6 +542,25 @@ def embedding_near_dup(
         .withColumn("salt", F.pmod(F.xxhash64(qdir), F.col("nsplit")).cast("int"))
     )
 
+    if _scorer() == "kernel":
+        # gram kernel (default): one matmul per bucket GROUP, each vector
+        # crossing Arrow once per bucket — the pair join below ships both
+        # embeddings per candidate PAIR, which is transfer-bound on the
+        # quadratic fan-out of clustered buckets at the 100x tier
+        # (BENCH/ann_ab_sf10_kernel.json). Kept-pair cosines are einsum-
+        # recomputed so they are bit-identical to the pair tier's
+        # pair_dot; the JVM-side round + threshold filter + distinct tail
+        # is shared by all three tiers.
+        cand = salted.groupBy("label", "band", "bucket", "salt").applyInPandas(
+            vecmath.gram_pairs_kernel(threshold),
+            schema="id_a long, id_b long, cos double",
+        )
+        return (
+            cand.select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+            .distinct()
+        )
+
     a = salted.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
         "label", "band", "bucket", "salt",
@@ -540,7 +570,12 @@ def embedding_near_dup(
         "label", "band", "bucket", "salt",
     )
     pairs = a.join(b, ["label", "band", "bucket", "salt"]).filter(F.col("id_a") < F.col("id_b"))
-    cos = F.expr(DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
+    dot = (
+        F.expr(DOT.format(a="ea", b="eb"))
+        if _use_sql()
+        else vecmath.pair_dot(F.col("ea"), F.col("eb"))
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
     return (
         pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
