@@ -929,8 +929,10 @@ def _band_sql(lo: int) -> str:
     )
 
 
-q("dedup_embedding_cosine", f"""
-WITH all_vecs AS (
+# banded-LSH near-dup pair derivation over the embeddings table (planted
+# dups included) — shared by the pair-list entry and the fused
+# clusters entry below
+_EMB_PAIR_CTES = f"""all_vecs AS (
   SELECT vec_id, label, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + 1000000 AS vec_id, label,
@@ -946,15 +948,33 @@ WITH all_vecs AS (
   SELECT vec_id, label, ev, nrm, 0 AS band, bk0 AS bucket FROM e
   UNION ALL
   SELECT vec_id, label, ev, nrm, 1 AS band, bk1 AS bucket FROM e
-)
-SELECT DISTINCT id_a, id_b, cosine FROM (
-  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-         ROUND(list_dot_product(a.ev, b2.ev) / (a.nrm * b2.nrm), 4) AS cosine
-  FROM bnd a JOIN bnd b2
-    ON a.label = b2.label AND a.band = b2.band AND a.bucket = b2.bucket
-   AND a.vec_id < b2.vec_id
-) WHERE cosine >= 0.40
+), emb_pairs AS (
+  SELECT DISTINCT id_a, id_b, cosine FROM (
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           ROUND(list_dot_product(a.ev, b2.ev) / (a.nrm * b2.nrm), 4) AS cosine
+    FROM bnd a JOIN bnd b2
+      ON a.label = b2.label AND a.band = b2.band AND a.bucket = b2.bucket
+     AND a.vec_id < b2.vec_id
+  ) WHERE cosine >= 0.40
+)"""
+
+q("dedup_embedding_cosine", f"""
+WITH {_EMB_PAIR_CTES}
+SELECT id_a, id_b, cosine FROM emb_pairs
 """)(lambda s, d: D.embedding_near_dup(s, d))
+
+q("dedup_embedding_clusters", f"""
+WITH RECURSIVE {_EMB_PAIR_CTES},
+eedges AS (SELECT id_a AS a, id_b AS b FROM emb_pairs
+           UNION SELECT id_b, id_a FROM emb_pairs),
+ereach(a, b) AS (
+  SELECT a, b FROM eedges
+  UNION
+  SELECT r.a, e2.b FROM ereach r JOIN eedges e2 ON r.b = e2.a
+),
+ecomp AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS canonical_id FROM ereach GROUP BY a)
+SELECT vec_id, canonical_id, vec_id = canonical_id AS is_canonical FROM ecomp
+""")(lambda s, d: D.embedding_dup_clusters(s, d))
 
 # ---------------------------------------------------------------------------
 # multimodal plumbing (SQL-expressible projection)
@@ -2763,6 +2783,7 @@ DEMOTED = [
     "ann_ivf_topk",
     "ann_lsh_buckets",
     "dedup_embedding_cosine",
+    "dedup_embedding_clusters",
     "mm_media_metadata",
     "mm_decode_mapinpandas",
     "ann_ivf_kmeans_topk",

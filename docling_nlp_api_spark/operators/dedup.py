@@ -432,6 +432,24 @@ def embedding_near_dup(
     threshold: float = 0.40,
     max_bucket: int = 1024,
 ) -> DataFrame:
+    """Embedding-cosine near-dup pair LIST — the raw pair stream of
+    _embedding_near_dup_pairs collapsed by a global distinct (a pair
+    matching both LSH bands appears once per band pre-distinct). At the
+    100x tier this operator is OUTPUT-bound, not scoring-bound (191.6M
+    distinct pairs at threshold 0.40 on the clustered corpus,
+    BENCH/BASELINE.md) — when the downstream consumer is dedup
+    RESOLUTION rather than the pair list itself, use
+    embedding_dup_clusters, which skips this distinct exchange
+    entirely."""
+    return _embedding_near_dup_pairs(spark, sf_dir, threshold, max_bucket).distinct()
+
+
+def _embedding_near_dup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.40,
+    max_bucket: int = 1024,
+) -> DataFrame:
     """Embedding-cosine near-dup: pairs above threshold from candidates
     sharing (label, band, bucket) — the coarse cluster AND a 4-bit
     hyperplane-LSH bucket in either of 2 bands (OR-construction: near-
@@ -469,11 +487,69 @@ def embedding_near_dup(
     leak past it); each surviving pair costs one dot product — an
     Arrow-batch einsum by default, the interpreted zip_with fold under
     SPARK_GRAFT_ANN_SCORER=sql (see vecmath.py) — and a scalar multiply.
-    A pair matching both bands computes the same
-    cosine twice and collapses in the final distinct (threshold survivors
-    only — a tiny set)."""
+
+    Returns the PRE-distinct (id_a, id_b, cosine) stream: a pair
+    matching both bands computes the same cosine twice and appears once
+    per band. embedding_near_dup adds the global distinct (the pair-list
+    contract); embedding_dup_clusters instead contracts edges in-kernel
+    and feeds star edges into connected components."""
     from . import vecmath
-    from .similarity import DOT, _scorer, _use_sql, hyperplanes
+    from .similarity import DOT, _scorer, _use_sql
+
+    salted = _near_dup_candidates(spark, sf_dir, max_bucket)
+
+    if _scorer() == "kernel":
+        # gram kernel (default): one matmul per bucket GROUP, each vector
+        # crossing Arrow once per bucket — the pair join below ships both
+        # embeddings per candidate PAIR, which is transfer-bound on the
+        # quadratic fan-out of clustered buckets at the 100x tier
+        # (BENCH/ann_ab_sf10_kernel.json). Kept-pair cosines are einsum-
+        # recomputed so they are bit-identical to the pair tier's
+        # pair_dot; the JVM-side round + threshold filter tail is shared
+        # by all three tiers (the distinct, when wanted, lives in
+        # embedding_near_dup).
+        cand = salted.groupBy("label", "band", "bucket", "salt").applyInPandas(
+            vecmath.gram_pairs_kernel(threshold),
+            schema="id_a long, id_b long, cos double",
+        )
+        return (
+            cand.select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    a = salted.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+        "label", "band", "bucket", "salt",
+    )
+    b = salted.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+        "label", "band", "bucket", "salt",
+    )
+    pairs = a.join(b, ["label", "band", "bucket", "salt"]).filter(F.col("id_a") < F.col("id_b"))
+    dot = (
+        F.expr(DOT.format(a="ea", b="eb"))
+        if _use_sql()
+        else vecmath.pair_dot(F.col("ea"), F.col("eb"))
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _near_dup_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Shared candidate staging for the embedding near-dup family: the
+    (vec_id, label, embedding, nrm, band, bucket, salt) frame — banded
+    hyperplane buckets within the coarse label, oversized buckets split
+    by quantized unit direction (see _embedding_near_dup_pairs for the
+    full scale rationale)."""
+    from . import vecmath
+    from .similarity import DOT, _use_sql, hyperplanes
 
     emb = with_planted_vec_dups(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     planes = hyperplanes()
@@ -536,50 +612,89 @@ def embedding_near_dup(
             flush=True,
         )
     qdir = F.expr("transform(embedding, x -> round(CAST(x AS DOUBLE) / nrm, 3))")
-    salted = (
+    return (
         base.join(F.broadcast(counts.select("label", "band", "bucket", "nsplit")),
                   ["label", "band", "bucket"])
         .withColumn("salt", F.pmod(F.xxhash64(qdir), F.col("nsplit")).cast("int"))
     )
 
-    if _scorer() == "kernel":
-        # gram kernel (default): one matmul per bucket GROUP, each vector
-        # crossing Arrow once per bucket — the pair join below ships both
-        # embeddings per candidate PAIR, which is transfer-bound on the
-        # quadratic fan-out of clustered buckets at the 100x tier
-        # (BENCH/ann_ab_sf10_kernel.json). Kept-pair cosines are einsum-
-        # recomputed so they are bit-identical to the pair tier's
-        # pair_dot; the JVM-side round + threshold filter + distinct tail
-        # is shared by all three tiers.
-        cand = salted.groupBy("label", "band", "bucket", "salt").applyInPandas(
-            vecmath.gram_pairs_kernel(threshold),
-            schema="id_a long, id_b long, cos double",
-        )
-        return (
-            cand.select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
-            .filter(F.col("cosine") >= threshold)
-            .distinct()
-        )
 
-    a = salted.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
-        "label", "band", "bucket", "salt",
-    )
-    b = salted.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
-        "label", "band", "bucket", "salt",
-    )
-    pairs = a.join(b, ["label", "band", "bucket", "salt"]).filter(F.col("id_a") < F.col("id_b"))
-    dot = (
-        F.expr(DOT.format(a="ea", b="eb"))
-        if _use_sql()
-        else vecmath.pair_dot(F.col("ea"), F.col("eb"))
-    )
-    cos = dot / (F.col("na") * F.col("nb"))
-    return (
-        pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-        .distinct()
+def embedding_dup_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.40,
+    max_bucket: int = 1024,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Embedding near-dup RESOLUTION, fused: the verified pair stream of
+    _embedding_near_dup_pairs feeds connected components directly and the
+    operator returns (vec_id, canonical_id, is_canonical) — one row per
+    vector that appears in at least one verified pair.
+
+    Scale rationale (the sf10 profile that motivated this operator,
+    BENCH/BASELINE.md): at the 100x tier the pair-LIST contract of
+    embedding_near_dup is OUTPUT-bound — 191.6M distinct pairs at
+    threshold 0.40, with gram scoring itself under 1 s of matmul. A
+    training-data pipeline rarely wants that pair list; it wants the
+    KEEP-SET, i.e. the components. Fusing buys two structural wins:
+
+    1. No global pair `distinct` exchange — edges (band duplicates
+       included) flow straight into connected_components, whose
+       per-round min-label partial agg absorbs edge multiplicity at map
+       side, and the job's output shrinks from O(|pairs|) (quadratic in
+       cluster sizes) to O(|clustered vectors|) (linear in the corpus).
+    2. Under the default kernel scorer, IN-KERNEL STAR CONTRACTION
+       (vecmath.gram_star_kernel): each bucket group runs a local CC
+       over its definite pairs (raw cosine >= threshold + 1e-4, all of
+       which provably pass the exact ROUND(x,4) >= threshold test) and
+       emits O(group) member->root star edges instead of the O(group^2)
+       pair list — the quadratic never leaves the kernel. Only the
+       measure-~0 boundary sliver (|raw - threshold| < 1e-4) is emitted
+       as raw pairs for the exact JVM-side round + threshold filter, so
+       the global CC input has the exact pair set's transitive closure
+       (per-group star contraction preserves components; see the kernel
+       docstring for the margin proof). The sql/pair scorer tiers keep
+       the full verified pair stream — the A/B baseline that
+       test_vecmath_parity pins equal.
+
+    The per-round CC joins still shuffle the edge set, but star edges
+    are O(vectors-per-bucket) rows of two longs — a vanishing fraction
+    of the 191.6M-pair materialization plus its distinct exchange — and
+    nothing quadratic ever reaches the JVM, the driver, or the sink."""
+    pairs = _near_dup_cc_edges(spark, sf_dir, threshold, max_bucket)
+    cc = connected_components(pairs, max_iter=max_iter)
+    return cc.select(F.col("doc_id").alias("vec_id"), "canonical_id", "is_canonical")
+
+
+def _near_dup_cc_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.40,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """The (doc_a, doc_b) edge stream embedding_dup_clusters feeds into
+    connected_components — star-contracted in-kernel under the default
+    kernel scorer, the full verified pair stream under sql/pair (the A/B
+    baseline). Exposed separately so tools/dump_plans.py can audit the
+    edge subplan (the CC loop's eager localCheckpoints hide it from the
+    end plan)."""
+    from . import vecmath
+    from .similarity import _scorer
+
+    if _scorer() == "kernel":
+        edges = (
+            _near_dup_candidates(spark, sf_dir, max_bucket)
+            .groupBy("label", "band", "bucket", "salt")
+            .applyInPandas(
+                vecmath.gram_star_kernel(threshold),
+                schema="id_a long, id_b long, kind int, cos double",
+            )
+        )
+        return edges.filter(
+            (F.col("kind") == 0) | (F.round("cos", 4) >= threshold)
+        ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return _embedding_near_dup_pairs(spark, sf_dir, threshold, max_bucket).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
 
 

@@ -296,6 +296,103 @@ def gram_pairs_kernel(threshold: float, margin: float = 1e-4):
     return gram
 
 
+def _local_components(n: int, i: np.ndarray, j: np.ndarray) -> np.ndarray:
+    """Min-label connected components over group-local edges (i, j) —
+    vectorized label propagation with pointer jumping (labels are index-
+    valued, so labels[labels] is the jump), O(log diameter) rounds of
+    C-speed np.minimum.at. Returns the (n,) local root index per row."""
+    labels = np.arange(n, dtype=np.int64)
+    while True:
+        new = labels.copy()
+        np.minimum.at(new, i, labels[j])
+        np.minimum.at(new, j, labels[i])
+        new = np.minimum(new, new[new])
+        if np.array_equal(new, labels):
+            return labels
+        labels = new
+
+
+def gram_star_kernel(threshold: float, margin: float = 1e-4):
+    """applyInPandas factory for FUSED near-dup resolution: per-group
+    gram matmul -> in-kernel union-find -> O(group) star edges, instead
+    of the O(group^2) pair list of gram_pairs_kernel.
+
+    Emits two edge kinds:
+    - kind=0 (star): (member, local-root) edges of the group's DEFINITE
+      subgraph — pairs with raw cosine >= threshold + margin. Since
+      |round(x,4) - x| <= 5e-5 < margin, every definite pair passes the
+      exact JVM ROUND(x,4) >= threshold test, so star contraction of the
+      definite subgraph preserves the exact edge set's transitive
+      closure within the group (a star edge connects exactly the rows a
+      definite path connects).
+    - kind=1 (boundary): raw pairs with |cosine - threshold| < margin,
+      einsum-recomputed like gram_pairs_kernel so the value is
+      bit-identical to pair_dot; the CALLER applies the exact
+      F.round(x, 4) >= threshold filter JVM-side. Boundary pairs are the
+      measure-~0 sliver around the threshold, so their quadratic worst
+      case never materializes in practice.
+    Pairs with raw cosine < threshold - margin are provably rejected by
+    the exact test and emit nothing. Global CC over (star UNION kept
+    boundary) edges therefore equals CC over the exact pair list, while
+    each group emits O(n + |boundary|) rows instead of O(n^2) — the fix
+    for the output-bound near-dup profile at the 100x tier
+    (BENCH/BASELINE.md: 191.6M pairs, scoring <1 s)."""
+
+    def star(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+                "kind": np.array([], dtype=np.int32),
+                "cos": np.array([], dtype=np.float64),
+            }
+        )
+        ids = pdf["vec_id"].to_numpy().astype(np.int64, copy=False)
+        n = ids.shape[0]
+        if n < 2:
+            return empty
+        V = _mat(pdf["embedding"])
+        nn = np.sqrt(np.einsum("ij,ij->i", V, V))
+        G = (V @ V.T) / np.outer(nn, nn)
+        iu, ju = np.triu_indices(n, k=1)
+        g = G[iu, ju]
+        definite = g >= (threshold + margin)
+        boundary = np.abs(g - threshold) < margin
+        frames = []
+        if definite.any():
+            di, dj = iu[definite], ju[definite]
+            root = _local_components(n, di, dj)
+            member = np.nonzero(root != np.arange(n))[0]
+            ia, ib = ids[member], ids[root[member]]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id_a": np.minimum(ia, ib),
+                        "id_b": np.maximum(ia, ib),
+                        "kind": np.int32(0),
+                        "cos": np.float64(0.0),
+                    }
+                )
+            )
+        if boundary.any():
+            bi, bj = iu[boundary], ju[boundary]
+            cos = np.einsum("ij,ij->i", V[bi], V[bj]) / (nn[bi] * nn[bj])
+            ia, ib = ids[bi], ids[bj]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id_a": np.minimum(ia, ib),
+                        "id_b": np.maximum(ia, ib),
+                        "kind": np.int32(1),
+                        "cos": cos,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    return star
+
+
 def plane_bits_np(M: np.ndarray, planes: list[list[float]]) -> np.ndarray:
     """NumPy form of plane_bits_udf's sign rule (dot > 0 => bit), shared
     by the kernel key_fn and the driver-side query-probe computation so

@@ -58,6 +58,35 @@ def test_scorers_agree_embedding_near_dup(spark, sf_dir, monkeypatch):
     assert len(got["sql"]) > 0
 
 
+def test_scorers_agree_embedding_dup_clusters(spark, sf_dir, monkeypatch):
+    """The fused pairs->CC operator: all three tiers produce identical
+    cluster labelings, every planted dup (vec_id + 1,000,000) lands in
+    its base vector's component with the base as canonical, and labels
+    obey the transitive-closure invariant (canonical_id is itself a
+    member with is_canonical=True)."""
+    from docling_nlp_api_spark.operators.dedup import (
+        VEC_PLANT_EVERY,
+        embedding_dup_clusters,
+    )
+
+    got = _all_tiers(monkeypatch, lambda: embedding_dup_clusters(spark, sf_dir))
+    assert got["sql"] == got["pair"] == got["kernel"]
+    rows = got["kernel"]
+    assert len(rows) > 0
+    label = {vec_id: canon for vec_id, canon, _ in rows}
+    canonical = {vec_id for vec_id, _, is_c in rows if is_c}
+    # every canonical_id is a clustered member flagged canonical
+    assert set(label.values()) <= canonical
+    # every plant is a scaled copy of its base: same component, and the
+    # base (smaller id) is the component minimum unless an even-nearer
+    # neighbor absorbed both — either way they share one label
+    plants = [(v - 1_000_000, v) for v in label if v >= 1_000_000]
+    assert plants, "no planted dups clustered"
+    for base, plant in plants:
+        assert label.get(base) == label[plant]
+    assert all(base % VEC_PLANT_EVERY == 0 for base, _ in plants)
+
+
 def test_pair_dot_and_norm_analytic(spark, monkeypatch):
     """Ground truth independent of BOTH scorers: hand-computed cosine of
     two fixed vectors (padded to dim 4 for brevity; the kernels are

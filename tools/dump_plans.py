@@ -182,19 +182,25 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["Generate"],
         ["Exchange", "Join", r"(regexp_extract_all\(lower[\s\S]*){2,}"],
     ),
-    # multi-probe LSH: probe fan-out explodes the QUERY side only; the
-    # candidate join is an equi-join on bucket (never a cross join) and
-    # ranking is a per-query window
+    # multi-probe LSH (kernel scorer default since r4): the probe
+    # fan-out lives in the broadcast query-group map — the corpus
+    # crosses Arrow ONCE through MapInPandas keyed by its single bucket,
+    # no join materializes candidates at all, and ranking is a per-query
+    # window (WindowGroupLimit). The sql tier's Generate-explode +
+    # equi-join shape remains the A/B baseline (BENCH/ann_ab*.json).
     "ann_lsh_multiprobe_topk": (
-        ["Generate", "Window"],
-        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        ["MapInPandas", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Join"],
     ),
-    # per-language perplexity terciles: bucket assignment is a map-side
-    # CASE over literal cutoffs — the only joins are the bigram count
-    # probes + the lang attach, no window over the corpus
+    # per-language perplexity terciles: since the r3-advice cache-leak
+    # fix the score frame is localCheckpoint-ed (nothing stays cached
+    # after return), so the end plan is a pure map-side CASE over
+    # LITERAL per-language cutoffs on the checkpointed (doc_id, lang,
+    # mean_nll) frame — no window/join/shuffle over the corpus can
+    # exist downstream of the histogram-derived cutoffs
     "lm_perplexity_buckets_by_lang": (
-        ["Generate", "HashAggregate"],
-        ["CartesianProduct", "Window"],
+        ["Scan ExistingRDD", r"CASE WHEN .*head.*middle.*tail"],
+        ["CartesianProduct", "Window", "Join", "Exchange"],
     ),
     # PMI: Zipf-bounded count tables, one-row totals broadcast (the BNLJ
     # cross is the intended one-row broadcast); top-k compiles to
@@ -251,6 +257,24 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["Exchange hashpartitioning", "Join",
          r"(regexp_extract_all\(lower[\s\S]*){2,}"],
     ),
+    # fused near-dup CC edge stream (the subplan embedding_dup_clusters
+    # feeds into connected_components; the CC loop's eager checkpoints
+    # hide it from the end plan): the star kernel groups on the SALTED
+    # bucket key, and no distinct/agg over the (id_a, id_b) pair stream
+    # exists anywhere — the quadratic pair set never leaves the kernel
+    "neardup_fused_star_edges": (
+        ["FlatMapGroupsInPandas",
+         r"hashpartitioning\(label#\d+, band#\d+, bucket#\d+, salt#\d+"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         r"Keys \[\d+\]: \[id_a"],
+    ),
+}
+
+# audited subplans that are not catalog entries: name -> (spark, sf_dir) -> df
+EXTRA_FRAMES = {
+    "neardup_fused_star_edges": lambda spark, sf_dir: __import__(
+        "docling_nlp_api_spark.operators.dedup", fromlist=["_near_dup_cc_edges"]
+    )._near_dup_cc_edges(spark, sf_dir),
 }
 
 
@@ -275,7 +299,8 @@ def main() -> int:
     sections = []
     failures = []
     for name, (pos, neg) in AUDITS.items():
-        formatted, simple = plans_of(QUERIES[name](spark, SF_DIR))
+        build = EXTRA_FRAMES.get(name) or QUERIES[name]
+        formatted, simple = plans_of(build(spark, SF_DIR))
         checks = []
         for pat in pos:
             if pat == CODEGEN:
