@@ -60,3 +60,52 @@ def test_rerun_is_noop(spark, tmp_path, input_df):
     assert summary["batches"] == 0
     assert _signature(p.read_output()) == sig1
     assert p.read_metrics().count() == 4
+
+
+def test_staged_crash_resume_identical(spark, tmp_path, input_df):
+    """stage_input=True: same exactly-once/equality contract, and the
+    batch scans prune to the staged part_id dirs (the Iceberg-bucketed
+    source stand-in)."""
+    ref = ExtractionPipeline(
+        spark, str(tmp_path / "ref"), n_partitions=N_PARTS, batch_size=BATCH
+    )
+    ref.run(input_df)
+    ref_sig = _signature(ref.read_output())
+
+    p = ExtractionPipeline(
+        spark, str(tmp_path / "st"), n_partitions=N_PARTS, batch_size=BATCH,
+        stage_input=True,
+    )
+    with pytest.raises(RuntimeError, match="injected failure"):
+        p.run(input_df, fail_after_batches=1)
+    # staging is write-once: marker exists and records the bucket count
+    staged_marker = tmp_path / "st" / "_staged" / "_STAGED_LAYOUT"
+    assert staged_marker.read_text() == str(N_PARTS)
+
+    summary = p.run(input_df)
+    assert summary["partitions_done"] == N_PARTS
+    assert _signature(p.read_output()) == ref_sig
+
+    m = p.read_metrics()
+    per_part = m.groupBy("partition_id").count().collect()
+    assert len(per_part) == N_PARTS and all(r["count"] == 1 for r in per_part)
+    assert m.agg(F.sum("docs_in")).collect()[0][0] == N_DOCS
+
+    # a batch's chunk plan prunes: only the batch's part_id dirs are read
+    src = p._staged_src(input_df)
+    plan = src.filter(F.col("part_id").isin([0, 1]))._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "part_id" in plan
+
+
+def test_staged_layout_mismatch_raises(spark, tmp_path, input_df):
+    p = ExtractionPipeline(
+        spark, str(tmp_path / "mm"), n_partitions=N_PARTS, batch_size=BATCH,
+        stage_input=True,
+    )
+    p.run(input_df)
+    p2 = ExtractionPipeline(
+        spark, str(tmp_path / "mm"), run_id="other", n_partitions=N_PARTS * 2,
+        batch_size=BATCH, stage_input=True,
+    )
+    with pytest.raises(ValueError, match="bucketed for n_partitions"):
+        p2.run(input_df)
