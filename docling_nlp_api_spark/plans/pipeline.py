@@ -223,13 +223,22 @@ class ExtractionPipeline:
         pruned scan per batch, vs n_batches full scans unstaged
         (BENCH/pipeline_resume_sf5.json quantifies both).
 
-        Crash-safe: the staging write is atomic-by-marker — parquet's
-        _SUCCESS flag only exists after the job commits, so a crash
+        Crash-safe: the staging write is atomic-by-marker — the marker
+        is written only after the parquet job commits, so a crash
         mid-staging restages from scratch (every part_id is rewritten;
         orphans from the dead attempt are overwritten). Staging is
-        keyed by n_partitions: a layout staged for a different bucket
-        count is rejected rather than silently reused."""
+        keyed by n_partitions AND the input's source-file set: a layout
+        staged for a different bucket count or from different input
+        files is rejected rather than silently reused (an in-place
+        rewrite of the same file paths is the one change this cannot
+        see — delete _staged/ when rewriting a source in place)."""
+        import hashlib
+
         marker = os.path.join(self.staged_dir, "_STAGED_LAYOUT")
+        src_key = hashlib.md5(
+            "\n".join(sorted(input_df.inputFiles())).encode()
+        ).hexdigest()
+        layout = f"{self.n_partitions} {src_key}"
         if not os.path.exists(marker):
             (
                 input_df.withColumn(
@@ -240,17 +249,16 @@ class ExtractionPipeline:
                 .partitionBy("part_id")
                 .parquet(self.staged_dir)
             )
-            # written only after the parquet job commits — the crash-safety
-            # marker AND the layout key
             with open(marker, "w") as f:
-                f.write(str(self.n_partitions))
+                f.write(layout)
         with open(marker) as f:
-            staged_n = int(f.read().strip())
-        if staged_n != self.n_partitions:
+            staged_layout = f.read().strip()
+        if staged_layout != layout:
             raise ValueError(
                 f"staged layout at {self.staged_dir} was bucketed for "
-                f"n_partitions={staged_n}, this run expects "
-                f"{self.n_partitions} — delete the staging or match it"
+                f"'{staged_layout}', this run expects '{layout}' "
+                "(n_partitions + md5 of the input file list) — delete the "
+                "staging or match it"
             )
         return self.spark.read.option("basePath", self.staged_dir).parquet(
             self.staged_dir

@@ -80,7 +80,7 @@ def test_staged_crash_resume_identical(spark, tmp_path, input_df):
         p.run(input_df, fail_after_batches=1)
     # staging is write-once: marker exists and records the bucket count
     staged_marker = tmp_path / "st" / "_staged" / "_STAGED_LAYOUT"
-    assert staged_marker.read_text() == str(N_PARTS)
+    assert staged_marker.read_text().split()[0] == str(N_PARTS)
 
     summary = p.run(input_df)
     assert summary["partitions_done"] == N_PARTS
@@ -91,10 +91,15 @@ def test_staged_crash_resume_identical(spark, tmp_path, input_df):
     assert len(per_part) == N_PARTS and all(r["count"] == 1 for r in per_part)
     assert m.agg(F.sum("docs_in")).collect()[0][0] == N_DOCS
 
-    # a batch's chunk plan prunes: only the batch's part_id dirs are read
+    # a batch's chunk plan prunes: the part_id predicate must appear
+    # INSIDE the scan's PartitionFilters list (an unpartitioned scan
+    # still prints "PartitionFilters: []", so substring checks on the
+    # two tokens separately are vacuous)
+    import re
+
     src = p._staged_src(input_df)
     plan = src.filter(F.col("part_id").isin([0, 1]))._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "part_id" in plan
+    assert re.search(r"PartitionFilters: \[[^\]]*part_id", plan), plan
 
 
 def test_staged_layout_mismatch_raises(spark, tmp_path, input_df):
@@ -107,5 +112,5 @@ def test_staged_layout_mismatch_raises(spark, tmp_path, input_df):
         spark, str(tmp_path / "mm"), run_id="other", n_partitions=N_PARTS * 2,
         batch_size=BATCH, stage_input=True,
     )
-    with pytest.raises(ValueError, match="bucketed for n_partitions"):
+    with pytest.raises(ValueError, match="bucketed for"):
         p2.run(input_df)

@@ -271,10 +271,14 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
 }
 
 # audited subplans that are not catalog entries: name -> (spark, sf_dir) -> df
+def _fused_star_edges(spark, sf_dir):
+    from docling_nlp_api_spark.operators.dedup import _near_dup_cc_edges
+
+    return _near_dup_cc_edges(spark, sf_dir)
+
+
 EXTRA_FRAMES = {
-    "neardup_fused_star_edges": lambda spark, sf_dir: __import__(
-        "docling_nlp_api_spark.operators.dedup", fromlist=["_near_dup_cc_edges"]
-    )._near_dup_cc_edges(spark, sf_dir),
+    "neardup_fused_star_edges": _fused_star_edges,
 }
 
 

@@ -32,7 +32,13 @@ from docling_nlp_api_spark.session import get_spark  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=".data/star_sf10")
-    ap.add_argument("--trials", type=int, default=2)
+    def positive_int(v: str) -> int:
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError("--trials must be >= 1")
+        return n
+
+    ap.add_argument("--trials", type=positive_int, default=2)
     ap.add_argument("--out", default="BENCH/neardup_fused.json")
     args = ap.parse_args()
 
