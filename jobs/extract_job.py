@@ -6,12 +6,19 @@ Cluster usage (ships the package to executors via --py-files):
     python tools/make_pyfiles_zip.py          # -> dist/docling_nlp_api_spark.zip
     spark-submit \
         --master <cluster-master> \
+        --driver-memory 16g \
         --py-files dist/docling_nlp_api_spark.zip \
         jobs/extract_job.py \
         --input  <spans parquet/iceberg path> \
         --output <output root> \
         --run-id prod-2026-08-16 \
         --partitions 4096 --batch-size 64
+
+    NOTE: memory MUST be sized on the submit line (--driver-memory /
+    --executor-memory): under spark-submit the JVM exists before the
+    session builder runs, so get_spark's spark.driver.memory config is
+    silently ignored (tools/submit_scaling_bench.py found the 1g default
+    OOMs a local[4] run at the sf0.5 tier).
 
 Sandbox smoke (local[32], synthetic tier):
 
@@ -64,7 +71,14 @@ def main(argv: list[str] | None = None) -> int:
         n_partitions=args.partitions,
         batch_size=args.batch_size,
     )
+    import time
+
+    t0 = time.time()
     summary = pipe.run(spans)
+    # job-phase wall time (excludes JVM/session startup): the number that
+    # amortizes on a long-running cluster job, reported alongside total
+    # submit wall time by tools/submit_scaling_bench.py
+    summary["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(summary))
     spark.stop()
     return 0
