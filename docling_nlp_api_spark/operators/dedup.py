@@ -431,6 +431,7 @@ def embedding_near_dup(
     sf_dir: str,
     threshold: float = 0.40,
     max_bucket: int = 1024,
+    audit: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pair LIST — the raw pair stream of
     _embedding_near_dup_pairs collapsed by a global distinct (a pair
@@ -441,7 +442,9 @@ def embedding_near_dup(
     RESOLUTION rather than the pair list itself, use
     embedding_dup_clusters, which skips this distinct exchange
     entirely."""
-    return _embedding_near_dup_pairs(spark, sf_dir, threshold, max_bucket).distinct()
+    return _embedding_near_dup_pairs(
+        spark, sf_dir, threshold, max_bucket, audit
+    ).distinct()
 
 
 def _embedding_near_dup_pairs(
@@ -449,6 +452,7 @@ def _embedding_near_dup_pairs(
     sf_dir: str,
     threshold: float = 0.40,
     max_bucket: int = 1024,
+    audit: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup: pairs above threshold from candidates
     sharing (label, band, bucket) — the coarse cluster AND a 4-bit
@@ -475,9 +479,10 @@ def _embedding_near_dup_pairs(
     the dropped cross-sub-bucket pairs are the low-cosine ones. The cap
     bounds candidates at ~max_bucket * n/2 (linear in corpus, tunable),
     and the recall trade concentrates on pairs far below any dedup
-    threshold. Oversized buckets are logged driver-side from the
-    bucket-count table (metadata-scale, one row per bucket) — no silent
-    truncation. At the oracle tier (sf0.01, ~200 vectors) no bucket
+    threshold. Under audit=True (the scale-bench mode — construction
+    stays lazy by default) oversized buckets are logged driver-side from
+    the bucket-count table (metadata-scale, one row per bucket) — no
+    silent truncation. At the oracle tier (sf0.01, ~200 vectors) no bucket
     reaches the cap, so the DuckDB value-hash comparison runs the
     identical uncapped plan (pytest pins cap-inertness and forced-cap
     planted recall).
@@ -496,7 +501,7 @@ def _embedding_near_dup_pairs(
     from . import vecmath
     from .similarity import DOT, _scorer, _use_sql
 
-    salted = _near_dup_candidates(spark, sf_dir, max_bucket)
+    salted = _near_dup_candidates(spark, sf_dir, max_bucket, audit)
 
     if _scorer() == "kernel":
         # gram kernel (default): one matmul per bucket GROUP, each vector
@@ -542,12 +547,21 @@ def _near_dup_candidates(
     spark: SparkSession,
     sf_dir: str,
     max_bucket: int = 1024,
+    audit: bool = False,
 ) -> DataFrame:
     """Shared candidate staging for the embedding near-dup family: the
     (vec_id, label, embedding, nrm, band, bucket, salt) frame — banded
     hyperplane buckets within the coarse label, oversized buckets split
     by quantized unit direction (see _embedding_near_dup_pairs for the
-    full scale rationale)."""
+    full scale rationale).
+
+    audit=False (default) keeps construction LAZY: the bucket-count
+    table is an agg subtree the broadcast join computes at execution.
+    audit=True eagerly materializes the counts (one corpus scan at BUILD
+    time) and prints the oversized-bucket report driver-side — the mode
+    the scale benches run (tools/neardup_fused_bench.py); plan-only and
+    never-executed consumers should not pay that scan, which is why it
+    is opt-in."""
     from . import vecmath
     from .similarity import DOT, _use_sql, hyperplanes
 
@@ -587,9 +601,8 @@ def _near_dup_candidates(
         "vec_id", "label", "embedding", nrm.alias("nrm"), F.explode(bands).alias("bb")
     ).select("vec_id", "label", "embedding", "nrm", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    # metadata pre-pass: one row per (label, band, bucket). localCheckpoint
-    # pins the tiny count table (one corpus scan) so the audit read and the
-    # join below don't re-aggregate, and nothing stays cached after return.
+    # metadata pre-pass: one row per (label, band, bucket), consumed by
+    # the broadcast join below (lazy — computed when the frame executes)
     counts = (
         base.groupBy("label", "band", "bucket")
         .agg(F.count("*").alias("bsz"))
@@ -597,20 +610,23 @@ def _near_dup_candidates(
             "nsplit",
             F.greatest(F.lit(1), F.ceil(F.col("bsz") / max_bucket)).cast("int"),
         )
-        .localCheckpoint(eager=True)
     )
-    over = counts.filter(F.col("nsplit") > 1).agg(
-        F.count("*").alias("n_over"), F.max("bsz").alias("max_bsz"),
-        F.sum("bsz").alias("rows_over"),
-    ).first()
-    if over["n_over"]:
-        print(
-            f"embedding_near_dup: {over['n_over']} bucket(s) over "
-            f"max_bucket={max_bucket} (largest {over['max_bsz']} rows, "
-            f"{over['rows_over']} rows total) split by quantized direction; "
-            "cross-sub-bucket (low-cosine) pairs are not compared",
-            flush=True,
-        )
+    if audit:
+        # eager mode: localCheckpoint pins the tiny count table (one
+        # corpus scan now) so the audit read and the join share it
+        counts = counts.localCheckpoint(eager=True)
+        over = counts.filter(F.col("nsplit") > 1).agg(
+            F.count("*").alias("n_over"), F.max("bsz").alias("max_bsz"),
+            F.sum("bsz").alias("rows_over"),
+        ).first()
+        if over["n_over"]:
+            print(
+                f"embedding_near_dup: {over['n_over']} bucket(s) over "
+                f"max_bucket={max_bucket} (largest {over['max_bsz']} rows, "
+                f"{over['rows_over']} rows total) split by quantized direction; "
+                "cross-sub-bucket (low-cosine) pairs are not compared",
+                flush=True,
+            )
     qdir = F.expr("transform(embedding, x -> round(CAST(x AS DOUBLE) / nrm, 3))")
     return (
         base.join(F.broadcast(counts.select("label", "band", "bucket", "nsplit")),
@@ -625,6 +641,7 @@ def embedding_dup_clusters(
     threshold: float = 0.40,
     max_bucket: int = 1024,
     max_iter: int = 25,
+    audit: bool = False,
 ) -> DataFrame:
     """Embedding near-dup RESOLUTION, fused: the verified pair stream of
     _embedding_near_dup_pairs feeds connected components directly and the
@@ -661,7 +678,7 @@ def embedding_dup_clusters(
     are O(vectors-per-bucket) rows of two longs — a vanishing fraction
     of the 191.6M-pair materialization plus its distinct exchange — and
     nothing quadratic ever reaches the JVM, the driver, or the sink."""
-    pairs = _near_dup_cc_edges(spark, sf_dir, threshold, max_bucket)
+    pairs = _near_dup_cc_edges(spark, sf_dir, threshold, max_bucket, audit)
     cc = connected_components(pairs, max_iter=max_iter)
     return cc.select(F.col("doc_id").alias("vec_id"), "canonical_id", "is_canonical")
 
@@ -671,6 +688,7 @@ def _near_dup_cc_edges(
     sf_dir: str,
     threshold: float = 0.40,
     max_bucket: int = 1024,
+    audit: bool = False,
 ) -> DataFrame:
     """The (doc_a, doc_b) edge stream embedding_dup_clusters feeds into
     connected_components — star-contracted in-kernel under the default
@@ -683,7 +701,7 @@ def _near_dup_cc_edges(
 
     if _scorer() == "kernel":
         edges = (
-            _near_dup_candidates(spark, sf_dir, max_bucket)
+            _near_dup_candidates(spark, sf_dir, max_bucket, audit)
             .groupBy("label", "band", "bucket", "salt")
             .applyInPandas(
                 vecmath.gram_star_kernel(threshold),
@@ -693,7 +711,9 @@ def _near_dup_cc_edges(
         return edges.filter(
             (F.col("kind") == 0) | (F.round("cos", 4) >= threshold)
         ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
-    return _embedding_near_dup_pairs(spark, sf_dir, threshold, max_bucket).select(
+    return _embedding_near_dup_pairs(
+        spark, sf_dir, threshold, max_bucket, audit
+    ).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
 

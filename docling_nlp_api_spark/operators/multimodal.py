@@ -409,10 +409,16 @@ def extract_media_metadata(
                     dur.append(sniff_wav_duration_ms(bytes(p)))
                 else:
                     dur.append(sniff_mp4_duration_ms(bytes(p)))
+            # decode each image at most ONCE per row even when both the
+            # pixel mean and the band features consume it — the inflate +
+            # filter inversion is the dominant cost of this path at scale
+            px_cache: dict[int, np.ndarray] = {}
+            if decode_pixels or with_features:
+                for i in np.nonzero(is_img)[0]:
+                    px_cache[int(i)] = decode_png(bytes(pdf["payload"].iloc[i]))
             mean_px = [None] * n
             if decode_pixels:
-                for i in np.nonzero(is_img)[0]:
-                    px = decode_png(bytes(pdf["payload"].iloc[i]))
+                for i, px in px_cache.items():
                     # exact double, no rounding: the pixel sum is integer-
                     # exact in float64 and the single division is correctly
                     # rounded, so this bit-matches the oracle's AVG over the
@@ -437,7 +443,7 @@ def extract_media_metadata(
                 feats = []
                 for i in range(n):
                     if is_img[i]:
-                        px = decode_png(bytes(pdf["payload"].iloc[i])).astype(np.float32)
+                        px = px_cache[i].astype(np.float32)
                         bands = np.array_split(px, 8, axis=0)
                         feats.append(np.array([b.mean() / 255.0 for b in bands], dtype="float32"))
                     else:

@@ -38,6 +38,7 @@ does the same at partition granularity and never fails the job for a doc.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 import uuid
 from datetime import datetime, timezone
@@ -225,8 +226,13 @@ class ExtractionPipeline:
 
         Crash-safe: the staging write is atomic-by-marker — the marker
         is written only after the parquet job commits, so a crash
-        mid-staging restages from scratch (every part_id is rewritten;
-        orphans from the dead attempt are overwritten). Staging is
+        mid-staging restages from scratch. A missing marker WIPES the
+        staging dir first: run() sets partitionOverwriteMode=dynamic
+        (for the output tables), under which mode("overwrite") replaces
+        only the part_id dirs present in the NEW data — without the
+        wipe, a retry with a different bucket count (or an input that
+        leaves some part_id empty) would union dead-attempt orphan
+        dirs into every later scan. Staging is
         keyed by n_partitions AND the input's source-file set: a layout
         staged for a different bucket count or from different input
         files is rejected rather than silently reused (an in-place
@@ -240,6 +246,9 @@ class ExtractionPipeline:
         ).hexdigest()
         layout = f"{self.n_partitions} {src_key}"
         if not os.path.exists(marker):
+            # no marker = no committed staging: clear any half-written
+            # attempt so dynamic partition overwrite cannot leave orphans
+            shutil.rmtree(self.staged_dir, ignore_errors=True)
             (
                 input_df.withColumn(
                     "part_id",

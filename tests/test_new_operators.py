@@ -1826,7 +1826,7 @@ def test_first_touch_attribution_planted(spark):
     assert first == {"view"} and last == {"click"}
 
 
-def test_embedding_neardup_bucket_cap(spark):
+def test_embedding_neardup_bucket_cap(spark, sf_dir):
     """Round-4 sf10 finding: label-clustered embeddings collapse every
     hyperplane bucket, making the candidate join quadratic (the 100x dry
     run's one never-finishing query). The max_bucket split must (a) be
@@ -1838,7 +1838,7 @@ def test_embedding_neardup_bucket_cap(spark):
         embedding_near_dup,
     )
 
-    sf = "/root/testdata/sf0.01"
+    sf = sf_dir
     default = sorted(map(tuple, embedding_near_dup(spark, sf).collect()))
     uncapped = sorted(
         map(tuple, embedding_near_dup(spark, sf, max_bucket=10**9).collect())

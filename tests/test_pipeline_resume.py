@@ -102,6 +102,46 @@ def test_staged_crash_resume_identical(spark, tmp_path, input_df):
     assert re.search(r"PartitionFilters: \[[^\]]*part_id", plan), plan
 
 
+def test_staged_restage_wipes_dead_attempt_orphans(spark, tmp_path, input_df):
+    """A crash BETWEEN the staging parquet commit and the marker write
+    must not leak dead-attempt part_id dirs into the retry: run() sets
+    partitionOverwriteMode=dynamic, under which mode("overwrite") only
+    replaces partitions present in the NEW data, so a retry with a
+    smaller bucket count would otherwise read the union of both layouts.
+    _staged_src wipes the dir whenever the marker is absent."""
+    dead = ExtractionPipeline(
+        spark, str(tmp_path / "wo"), n_partitions=N_PARTS * 2, batch_size=BATCH,
+        stage_input=True,
+    )
+    # simulate the crash window: staging parquet committed, marker never
+    # written (the marker write is the commit point)
+    dead._staged_src(input_df)
+    marker = tmp_path / "wo" / "_staged" / "_STAGED_LAYOUT"
+    marker.unlink()
+    orphan_dirs = {
+        d.name for d in (tmp_path / "wo" / "_staged").iterdir() if d.is_dir()
+    }
+    assert len(orphan_dirs) == N_PARTS * 2  # dead attempt's 16 part_id dirs
+
+    # retry at half the bucket count: dynamic overwrite alone would leave
+    # part_id=8..15 orphans; the wipe must remove them
+    p = ExtractionPipeline(
+        spark, str(tmp_path / "wo"), n_partitions=N_PARTS, batch_size=BATCH,
+        stage_input=True,
+    )
+    p.run(input_df)
+    staged_dirs = {
+        d.name for d in (tmp_path / "wo" / "_staged").iterdir() if d.is_dir()
+    }
+    assert staged_dirs == {f"part_id={i}" for i in range(N_PARTS)}
+    ref = ExtractionPipeline(
+        spark, str(tmp_path / "woref"), n_partitions=N_PARTS, batch_size=BATCH
+    )
+    ref.run(input_df)
+    assert _signature(p.read_output()) == _signature(ref.read_output())
+    assert p.read_metrics().agg(F.sum("docs_in")).collect()[0][0] == N_DOCS
+
+
 def test_staged_layout_mismatch_raises(spark, tmp_path, input_df):
     p = ExtractionPipeline(
         spark, str(tmp_path / "mm"), n_partitions=N_PARTS, batch_size=BATCH,

@@ -56,8 +56,8 @@ def main() -> None:
     counts: dict[str, int] = {}
     for t in range(args.trials):
         for name, fn in (
-            ("fused_clusters", lambda: embedding_dup_clusters(spark, args.sf_dir)),
-            ("pairs_list", lambda: embedding_near_dup(spark, args.sf_dir)),
+            ("fused_clusters", lambda: embedding_dup_clusters(spark, args.sf_dir, audit=True)),
+            ("pairs_list", lambda: embedding_near_dup(spark, args.sf_dir, audit=True)),
         ):
             t0 = time.time()
             counts[name] = run(fn())

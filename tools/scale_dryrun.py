@@ -84,15 +84,21 @@ def main() -> None:
             # bounded slot, not the whole sweep)
             import threading
             cancelled = threading.Event()
+            # cancellation is scoped to THIS query's job group: a timer
+            # that fires in the gap between query completion and
+            # timer.cancel() must not kill the NEXT query's jobs (which
+            # cancelAllJobs would — a spurious FAIL on the wrong query)
+            group = f"dryrun-p{p}-{name}"
 
             def _cancel() -> None:
                 cancelled.set()
-                spark.sparkContext.cancelAllJobs()
+                spark.sparkContext.cancelJobGroup(group)
 
             timer = threading.Timer(args.kill_after, _cancel)
             timer.start()
             t0 = time.time()
             try:
+                spark.sparkContext.setJobGroup(group, name, interruptOnCancel=True)
                 df = QUERIES[name](spark, args.dir)
                 df.write.format("noop").mode("overwrite").save()
                 dt = round(time.time() - t0, 3)
