@@ -14,6 +14,15 @@ lazy per-row expiry).
 At 100 TB-scale these run unchanged against a Kafka/files drop zone: the
 file source here is the sandbox stand-in (same DataFrame program, same
 state-store semantics, different `format()`).
+
+API adjudication (round 4): Spark 4's `transformWithStateInPandas` —
+the successor stateful API (timers, multiple state variables, RocksDB-
+first) — was prototyped and is SANDBOX-BLOCKED: its driver worker
+imports `google.protobuf` (pyspark
+`streaming/proto/StateMessage_pb2.py`), which is not installed here and
+cannot be (no pip index). `applyInPandasWithState` is therefore the
+stateful API throughout; on a cluster with protobuf present, T5/T7
+translate mechanically (ValueState per key replaces the state tuple).
 """
 
 from __future__ import annotations
