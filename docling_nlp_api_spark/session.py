@@ -45,6 +45,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+        # production default for the stateful streaming plane (T5/T7):
+        # at 10^12-doc scale the per-key state must spill to disk, which
+        # the HDFS-backed in-memory provider cannot. rocksdbjni ships
+        # with Spark 4; results are provider-independent
+        # (tests/test_streaming_rocksdb.py pins parity)
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
