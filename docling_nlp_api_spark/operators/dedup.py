@@ -406,6 +406,7 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
 
 NEAR_DUP_BANDS = 2     # 2 bands x 4 hyperplane sign bits each
 PLANES_PER_BAND = 4
+N_SALT_PLANES = 12     # extra sign bits that key oversized-bucket sub-splits
 VEC_PLANT_EVERY = 25   # every 25th vector gets a planted scaled near-dup
 VEC_PLANT_SCALE = 1.5  # exactly representable in binary -> identical in DuckDB
 
@@ -473,19 +474,27 @@ def _embedding_near_dup_pairs(
     corpus size — at the 100x tier (200k vecs) that was ~4B interpreted
     cosine evals, a never-finishing join. A metadata pre-pass therefore
     counts each (label, band, bucket); a bucket over max_bucket rows is
-    split into ceil(size/max_bucket) sub-buckets keyed by the vector's
-    QUANTIZED UNIT DIRECTION (round(x_i/|x|, 3) hashed), so true
-    near-dups — same direction by definition — stay co-bucketed while
-    the dropped cross-sub-bucket pairs are the low-cosine ones. The cap
-    bounds candidates at ~max_bucket * n/2 (linear in corpus, tunable),
-    and the recall trade concentrates on pairs far below any dedup
-    threshold. Under audit=True (the scale-bench mode — construction
-    stays lazy by default) oversized buckets are logged driver-side from
-    the bucket-count table (metadata-scale, one row per bucket) — no
-    silent truncation. At the oracle tier (sf0.01, ~200 vectors) no bucket
-    reaches the cap, so the DuckDB value-hash comparison runs the
-    identical uncapped plan (pytest pins cap-inertness and forced-cap
-    planted recall).
+    split into sub-buckets keyed by ceil(log2(nsplit)) EXTRA HYPERPLANE
+    SIGN BITS (the same deterministic LSH family, indices past the band
+    planes): a pair at angle theta is separated only when one of those
+    planes falls between its two directions (prob ~ bits * theta/pi), so
+    near-dup pairs survive with high probability while the low-cosine
+    bulk that made the bucket oversized spreads out; exact-direction
+    duplicates share every sign bit and never separate. A sub-bucket the
+    sign bits cannot break (an angularly tight cluster > max_bucket,
+    where losing SOME true pairs is forced by any bound) falls back to a
+    quantized-unit-direction hash split, preserving the candidate bound
+    at the cost of cross-split pairs within that one cluster — for
+    resolution consumers, at most rsplit surviving representatives per
+    true mega-cluster instead of 1. The cap bounds candidates at
+    ~max_bucket * n/2 (linear in corpus, tunable). Under audit=True (the
+    scale-bench mode — construction stays lazy by default) both split
+    tiers are logged driver-side from the bucket-count tables
+    (metadata-scale, one row per bucket) — no silent truncation. At the
+    oracle tier (sf0.01, ~200 vectors) no bucket reaches the cap, so the
+    DuckDB value-hash comparison runs the identical uncapped plan
+    (pytest pins cap-inertness, forced-cap planted recall, and forced-cap
+    PERTURBED-pair recall).
 
     The vector and its L2 norm are computed once per row BELOW the join's
     exchange (a shuffle materializes columns, so no re-evaluation can
@@ -552,8 +561,8 @@ def _near_dup_candidates(
     """Shared candidate staging for the embedding near-dup family: the
     (vec_id, label, embedding, nrm, band, bucket, salt) frame — banded
     hyperplane buckets within the coarse label, oversized buckets split
-    by quantized unit direction (see _embedding_near_dup_pairs for the
-    full scale rationale).
+    by EXTRA LSH SIGN BITS with a direction-hash residual fallback (see
+    _embedding_near_dup_pairs for the full scale rationale).
 
     audit=False (default) keeps construction LAZY: the bucket-count
     table is an agg subtree the broadcast join computes at execution.
@@ -566,18 +575,19 @@ def _near_dup_candidates(
     from .similarity import DOT, _use_sql, hyperplanes
 
     emb = with_planted_vec_dups(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
-    planes = hyperplanes()
+    n_band_planes = NEAR_DUP_BANDS * PLANES_PER_BAND
+    planes = hyperplanes(n_band_planes + N_SALT_PLANES)
 
-    def band_of(lo: int) -> F.Column:
+    def sign_bits(lo: int, width: int) -> F.Column:
         # arrow mode (default, round 4): one matmul per Arrow batch for
-        # the whole 4-plane band; sql mode keeps the r3 interpreted folds
+        # the whole plane block; sql mode keeps the r3 interpreted folds
         # (the A/B baseline — same sign rule, see vecmath.py).
         if not _use_sql():
-            return vecmath.plane_bits_udf(planes[lo:lo + PLANES_PER_BAND])(
+            return vecmath.plane_bits_udf(planes[lo:lo + width])(
                 F.col("embedding")
             )
         acc = None
-        for p in range(lo, lo + PLANES_PER_BAND):
+        for p in range(lo, lo + width):
             lit = "array(" + ",".join(f"CAST({v} AS DOUBLE)" for v in planes[p]) + ")"
             bit = (
                 F.when(F.expr(DOT.format(a="embedding", b=lit)) > 0, F.lit(1 << (p - lo)))
@@ -585,6 +595,9 @@ def _near_dup_candidates(
             )
             acc = bit if acc is None else acc + bit
         return acc
+
+    def band_of(lo: int) -> F.Column:
+        return sign_bits(lo, PLANES_PER_BAND)
 
     nrm_sql = (
         "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), "
@@ -598,8 +611,17 @@ def _near_dup_candidates(
         ]
     )
     base = emb.select(
-        "vec_id", "label", "embedding", nrm.alias("nrm"), F.explode(bands).alias("bb")
-    ).select("vec_id", "label", "embedding", "nrm", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        "vec_id", "label", "embedding", nrm.alias("nrm"),
+        # salt_code: N_SALT_PLANES extra sign bits from the SAME
+        # deterministic plane family (indices past the band planes),
+        # computed once per vector BEFORE the band explode. Only
+        # consulted when a bucket is oversized.
+        sign_bits(n_band_planes, N_SALT_PLANES).alias("salt_code"),
+        F.explode(bands).alias("bb"),
+    ).select(
+        "vec_id", "label", "embedding", "nrm", "salt_code",
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+    )
 
     # metadata pre-pass: one row per (label, band, bucket), consumed by
     # the broadcast join below (lazy — computed when the frame executes)
@@ -623,15 +645,70 @@ def _near_dup_candidates(
             print(
                 f"embedding_near_dup: {over['n_over']} bucket(s) over "
                 f"max_bucket={max_bucket} (largest {over['max_bsz']} rows, "
-                f"{over['rows_over']} rows total) split by quantized direction; "
-                "cross-sub-bucket (low-cosine) pairs are not compared",
+                f"{over['rows_over']} rows total) split by extra LSH sign "
+                "bits; near-identical pairs survive the split with "
+                "probability ~(1 - angle/pi)^bits",
+                flush=True,
+            )
+    # Locality-preserving split: ceil(log2(nsplit)) of the salt planes'
+    # sign bits key the sub-bucket, so a pair at angle theta is separated
+    # only when one of those planes falls between the two directions
+    # (prob ~ bits * theta/pi — vanishing for near-dups, high for the
+    # low-cosine bulk that makes the bucket oversized). Exact-direction
+    # duplicates share every sign bit and can never be separated.
+    staged = (
+        base.join(F.broadcast(counts.select("label", "band", "bucket", "nsplit")),
+                  ["label", "band", "bucket"])
+        .withColumn(
+            "lbits",
+            F.least(F.ceil(F.log2("nsplit")), F.lit(N_SALT_PLANES)).cast("int"),
+        )
+        .withColumn("lsalt", F.expr("salt_code & (shiftleft(1, lbits) - 1)"))
+    )
+    # Residual fallback: a group the sign bits could NOT break (an
+    # angularly tight cluster larger than max_bucket — every member on
+    # the same side of every salt plane) is re-split by quantized-unit-
+    # direction hash. This preserves the memory/candidate bound; the
+    # recall loss it forces is inherent (any split of an n-clique keeps
+    # ~1/nsplit of its pairs), is confined to within-mega-cluster pairs,
+    # and for RESOLUTION consumers degrades to at most rsplit surviving
+    # representatives per true cluster instead of 1. Exact-direction
+    # duplicates still co-bucket (identical quantized direction).
+    counts2 = (
+        staged.groupBy("label", "band", "bucket", "lsalt")
+        .agg(F.count("*").alias("bsz2"))
+        .withColumn(
+            "rsplit",
+            F.greatest(F.lit(1), F.ceil(F.col("bsz2") / max_bucket)).cast("int"),
+        )
+    )
+    if audit:
+        counts2 = counts2.localCheckpoint(eager=True)
+        res = counts2.filter(F.col("rsplit") > 1).agg(
+            F.count("*").alias("n_res"), F.max("bsz2").alias("max_bsz2"),
+        ).first()
+        if res["n_res"]:
+            print(
+                f"embedding_near_dup: {res['n_res']} sub-bucket(s) still over "
+                f"max_bucket={max_bucket} after sign-bit split (largest "
+                f"{res['max_bsz2']} rows — tight mega-cluster); residual "
+                "direction-hash split bounds the join, cross-split pairs "
+                "within those clusters are not compared",
                 flush=True,
             )
     qdir = F.expr("transform(embedding, x -> round(CAST(x AS DOUBLE) / nrm, 3))")
     return (
-        base.join(F.broadcast(counts.select("label", "band", "bucket", "nsplit")),
-                  ["label", "band", "bucket"])
-        .withColumn("salt", F.pmod(F.xxhash64(qdir), F.col("nsplit")).cast("int"))
+        staged.join(
+            F.broadcast(counts2.select("label", "band", "bucket", "lsalt", "rsplit")),
+            ["label", "band", "bucket", "lsalt"],
+        )
+        .withColumn(
+            "salt",
+            F.shiftleft(F.col("lsalt").cast("long"), 32).bitwiseOR(
+                F.pmod(F.xxhash64(qdir), F.col("rsplit"))
+            ),
+        )
+        .drop("salt_code", "nsplit", "lbits", "lsalt", "rsplit")
     )
 
 

@@ -145,18 +145,20 @@ def _probe_groups(qids, Q, qn, probes) -> dict:
 
 
 def _kernel_topk(emb: DataFrame, k: int, groups: dict, key_fn=None, corpus_extra=()) -> DataFrame:
-    """Shared kernel-tier tail: broadcast the probe groups, stream the
-    corpus through group_topk_kernel ONCE (no join, no pre-rank shuffle),
-    round JVM-side, rank per query. Final plan tail (round + window) is
-    identical to the pair/sql tiers, so the emitted schema and the
-    (cosine DESC, cand_id ASC) tie rule are shared by all three."""
+    """Shared kernel-tier tail: ship the probe groups in the kernel
+    closure (Spark TorrentBroadcasts the stage's task binary — one
+    transfer per executor, reclaimed by the ContextCleaner; an explicit
+    sc.broadcast would pin memory for the session since the lazy return
+    gives no destroy point), stream the corpus through group_topk_kernel
+    ONCE (no join, no pre-rank shuffle), round JVM-side, rank per query.
+    Final plan tail (round + window) is identical to the pair/sql tiers,
+    so the emitted schema and the (cosine DESC, cand_id ASC) tie rule
+    are shared by all three."""
     from pyspark.sql import Window
 
-    spark = emb.sparkSession
-    bc = spark.sparkContext.broadcast(groups)
     src = emb.select(F.col("vec_id").alias("cand_id"), "embedding", *corpus_extra)
     raw = src.mapInPandas(
-        vecmath.group_topk_kernel(bc, k, key_fn),
+        vecmath.group_topk_kernel(groups, k, key_fn),
         schema="query_id long, cand_id long, cos double",
     )
     scored = raw.select("query_id", "cand_id", F.round("cos", 4).alias("cosine"))

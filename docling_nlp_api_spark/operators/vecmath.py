@@ -180,13 +180,20 @@ def per_query_topk(q: np.ndarray, c: np.ndarray, s: np.ndarray, k: int):
     return q[keep], c[keep], s[keep]
 
 
-def group_topk_kernel(groups_bc, k: int, key_fn=None):
+def group_topk_kernel(groups, k: int, key_fn=None):
     """mapInPandas generator factory for broadcast-probe ANN top-k.
 
-    groups_bc: broadcast of {bucket_key: (qids (m,) int64, Q (m, dim)
+    groups: plain dict {bucket_key: (qids (m,) int64, Q (m, dim)
     float64, qn (m,) float64)} — queries grouped by the bucket they probe
     (a query probing p buckets appears in p groups; a candidate lives in
     exactly ONE bucket, so each (query, cand) pair is scored at most once).
+    The dict is captured in the generator closure: Spark serializes the
+    stage's task binary once and TorrentBroadcasts it (one transfer per
+    executor, same wire profile as an explicit sc.broadcast) and the
+    ContextCleaner reclaims it when the stage is GC'd — an explicit
+    broadcast here would pin executor+driver memory until the session
+    ends, since the lazy returned DataFrame gives no safe destroy point
+    (this leaked ~MBs per call across bench loops before round 4).
     key_fn: (C (n, dim) float64, pdf) -> (n,) int64 bucket per corpus row;
     None = single bucket 0 (brute force). Emits (query_id, cand_id, cos)
     with cos the RAW float64 cosine. Pruning is two-level: per scored
@@ -196,7 +203,6 @@ def group_topk_kernel(groups_bc, k: int, key_fn=None):
     how many Arrow batches it contains."""
 
     def gen(batches):
-        groups = groups_bc.value
         out_q: list[np.ndarray] = []
         out_c: list[np.ndarray] = []
         out_s: list[np.ndarray] = []

@@ -233,17 +233,31 @@ class ExtractionPipeline:
         wipe, a retry with a different bucket count (or an input that
         leaves some part_id empty) would union dead-attempt orphan
         dirs into every later scan. Staging is
-        keyed by n_partitions AND the input's source-file set: a layout
-        staged for a different bucket count or from different input
-        files is rejected rather than silently reused (an in-place
+        keyed by n_partitions AND the input's identity — the sorted
+        source-file set for file-backed inputs, the canonicalized-plan
+        semanticHash for in-memory inputs (whose inputFiles() is empty
+        and would otherwise collide) — so a layout staged for a
+        different bucket count or a different input is rejected rather
+        than silently reused (an in-place
         rewrite of the same file paths is the one change this cannot
         see — delete _staged/ when rewriting a source in place)."""
         import hashlib
 
         marker = os.path.join(self.staged_dir, "_STAGED_LAYOUT")
-        src_key = hashlib.md5(
-            "\n".join(sorted(input_df.inputFiles())).encode()
-        ).hexdigest()
+        files = input_df.inputFiles()
+        if files:
+            src_key = hashlib.md5("\n".join(sorted(files)).encode()).hexdigest()
+        else:
+            # Non-file-backed input (in-memory / createDataFrame): an
+            # empty file list would make every such input hash identical
+            # and silently reuse stale staged data. Key on the
+            # canonicalized-plan hash instead — for a LocalRelation that
+            # covers the data itself, so a DIFFERENT in-memory input into
+            # the same out_dir is rejected rather than served the first
+            # input's staging. (Resume with the same re-created input in
+            # a fresh session still matches: canonicalization normalizes
+            # expression ids.)
+            src_key = f"plan:{input_df.semanticHash()}"
         layout = f"{self.n_partitions} {src_key}"
         if not os.path.exists(marker):
             # no marker = no committed staging: clear any half-written

@@ -1832,7 +1832,9 @@ def test_embedding_neardup_bucket_cap(spark, sf_dir):
     run's one never-finishing query). The max_bucket split must (a) be
     inert at oracle scale — identical pairs with and without the cap —
     and (b) under a FORCED tiny cap still co-bucket true near-dups: every
-    planted scaled duplicate (same quantized unit direction) survives."""
+    planted scaled duplicate (same direction -> identical sign bits AND
+    identical quantized direction, so neither split tier can part the
+    pair) survives."""
     from docling_nlp_api_spark.operators.dedup import (
         VEC_PLANT_EVERY,
         embedding_near_dup,
@@ -1850,3 +1852,44 @@ def test_embedding_neardup_bucket_cap(spark, sf_dir):
     n_vecs = spark.read.parquet(f"{sf}/embeddings.parquet").count()
     planted = {(v, v + 1_000_000) for v in range(0, n_vecs, VEC_PLANT_EVERY)}
     assert planted <= got
+
+
+def test_embedding_neardup_cap_preserves_perturbed_pairs(spark, tmp_path):
+    """The oversized-bucket split keys sub-buckets by extra LSH sign
+    bits, so NEAR-identical pairs — not only exact scaled copies — must
+    survive a forced cap: a pair at angle theta is separated only when a
+    salt plane falls between the two directions (prob ~ bits*theta/pi).
+    The old quantized-direction hash salt kept only ~1/nsplit of such
+    pairs (a 3rd-decimal unit-coordinate difference rerolls the hash).
+    Fixture: 120 diffuse same-label base vectors + a tiny-perturbation
+    copy of each (pairwise cosine ~0.9998), forced through max_bucket=16.
+    Deterministic: fixed numpy seed + the deterministic plane family."""
+    import numpy as np
+
+    from docling_nlp_api_spark.operators.dedup import embedding_near_dup
+
+    rng = np.random.RandomState(42)
+    base = rng.normal(size=(120, 64))
+    pert = base + 0.02 * rng.normal(size=base.shape)
+    rows = [
+        (i, [float(x) for x in base[i]], 0) for i in range(len(base))
+    ] + [
+        (1000 + i, [float(x) for x in pert[i]], 0) for i in range(len(pert))
+    ]
+    d = str(tmp_path / "sf_pert")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+
+    uncapped = embedding_near_dup(spark, d, max_bucket=10**9)
+    want = {
+        (r.id_a, r.id_b)
+        for r in uncapped.collect()
+        if r.id_b == r.id_a + 1000  # the planted perturbed pairs
+    }
+    assert len(want) >= 100  # LSH banding catches nearly all of them
+
+    capped = embedding_near_dup(spark, d, max_bucket=16)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.9, f"perturbed-pair recall under forced cap: {recall}"

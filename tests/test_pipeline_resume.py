@@ -154,3 +154,30 @@ def test_staged_layout_mismatch_raises(spark, tmp_path, input_df):
     )
     with pytest.raises(ValueError, match="bucketed for"):
         p2.run(input_df)
+
+
+def test_staged_rejects_different_inmemory_input(spark, tmp_path, input_df):
+    """In-memory inputs have no inputFiles(), so before round 4 every
+    such input hashed to the same src_key and a second pipeline run over
+    DIFFERENT data silently reused the first input's staged parquet.
+    The plan-semanticHash fallback must reject the mismatch instead."""
+    p = ExtractionPipeline(
+        spark, str(tmp_path / "sh"), n_partitions=N_PARTS, batch_size=BATCH,
+        stage_input=True,
+    )
+    p.run(input_df)
+
+    other = spans_df(spark, N_DOCS // 2)  # different in-memory input
+    p2 = ExtractionPipeline(
+        spark, str(tmp_path / "sh"), run_id="other", n_partitions=N_PARTS,
+        batch_size=BATCH, stage_input=True,
+    )
+    with pytest.raises(ValueError, match="bucketed for"):
+        p2.run(other)
+
+    # the SAME in-memory input resumes fine (rerun is a committed no-op)
+    p3 = ExtractionPipeline(
+        spark, str(tmp_path / "sh"), n_partitions=N_PARTS, batch_size=BATCH,
+        stage_input=True,
+    )
+    assert p3.run(input_df)["batches"] == 0

@@ -51,8 +51,11 @@ def test_scorers_agree_row_for_row(spark, sf_dir, monkeypatch, fn, kw):
 def test_scorers_agree_embedding_near_dup(spark, sf_dir, monkeypatch):
     from docling_nlp_api_spark.operators.dedup import embedding_near_dup
 
-    # near-dup is a banded self-join; its non-sql tiers share the pair
-    # scorer (candidate pairs are LSH-bounded), so kernel == pair there.
+    # near-dup is a banded self-join with three distinct scoring paths:
+    # sql = interpreted zip_with fold over the pair join, pair = the
+    # einsum pair_dot over the same join, kernel = gram_pairs_kernel
+    # (applyInPandas gram matmul per bucket group — a different code
+    # path entirely). All three must emit the identical pair set.
     got = _all_tiers(monkeypatch, lambda: embedding_near_dup(spark, sf_dir))
     assert got["sql"] == got["pair"] == got["kernel"]
     assert len(got["sql"]) > 0
