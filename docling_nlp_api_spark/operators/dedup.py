@@ -484,10 +484,16 @@ def _embedding_near_dup_pairs(
     sign bits cannot break (an angularly tight cluster > max_bucket,
     where losing SOME true pairs is forced by any bound) falls back to a
     quantized-unit-direction hash split, preserving the candidate bound
-    at the cost of cross-split pairs within that one cluster — for
-    resolution consumers, at most rsplit surviving representatives per
-    true mega-cluster instead of 1. The cap bounds candidates at
-    ~max_bucket * n/2 (linear in corpus, tunable). Under audit=True (the
+    at the cost of cross-split pairs within that one cluster. One
+    DELEGATE pair per sub-bucket pairing is then added back
+    (_delegate_reconnect_pairs), so the pair graph stays CONNECTED
+    across the split: pair-list recall inside a tight mega-cluster is
+    ~1/nsplit (measured: BENCH/neardup_cap_recall.json, 0.51 at
+    cap=1024 on the 20k clustered tier), but the resolution contract
+    loses NOTHING there — capped component structure is bit-identical
+    to uncapped (10/10 components, same member set) at 5-10x less cost.
+    The cap bounds candidates at ~max_bucket * n/2 (linear in corpus,
+    tunable). Under audit=True (the
     scale-bench mode — construction stays lazy by default) both split
     tiers are logged driver-side from the bucket-count tables
     (metadata-scale, one row per bucket) — no silent truncation. At the
@@ -529,6 +535,7 @@ def _embedding_near_dup_pairs(
         return (
             cand.select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
             .filter(F.col("cosine") >= threshold)
+            .unionByName(_delegate_reconnect_pairs(salted, threshold))
         )
 
     a = salted.select(
@@ -548,6 +555,61 @@ def _embedding_near_dup_pairs(
     cos = dot / (F.col("na") * F.col("nb"))
     return (
         pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .unionByName(_delegate_reconnect_pairs(salted, threshold))
+    )
+
+
+def _delegate_reconnect_pairs(salted: DataFrame, threshold: float) -> DataFrame:
+    """Cross-sub-bucket reconnection for capped buckets: one DELEGATE
+    (min vec_id member) per (label, band, bucket, salt) group, all
+    delegate pairs within the parent bucket scored with the shared
+    cosine rule. BENCH/neardup_cap_recall.json is the motivation: the
+    residual direction-hash split of an angularly TIGHT mega-cluster
+    (where sign bits cannot separate members) necessarily drops
+    cross-sub-bucket pairs — pair recall there is ~1/nsplit by any
+    bounded scheme — but for the RESOLUTION contract only CONNECTIVITY
+    matters, and in a tight cluster the delegates are themselves near
+    pairs, so rsplit-1 delegate edges re-unify what the split parted.
+    Cost: one partial-agg pass over the staging frame (one struct row
+    per sub-bucket survives the exchange) plus an rsplit^2-sized
+    self-join per split bucket; an unsplit bucket has a single delegate
+    and contributes nothing — at oracle scale (no bucket capped) the
+    result is provably empty and every oracle comparison is unaffected.
+    Scoring reuses the pair-tier expressions (einsum pair_dot /
+    interpreted fold under sql), which the 3-tier parity suite pins
+    bit-identical, so all scorer tiers emit the same delegate pairs."""
+    from . import vecmath
+    from .similarity import DOT, _use_sql
+
+    deleg = salted.groupBy("label", "band", "bucket", "salt").agg(
+        F.min(F.struct("vec_id", "embedding", "nrm")).alias("d")
+    )
+    a = deleg.select(
+        "label", "band", "bucket", F.col("salt").alias("salt_a"),
+        F.col("d.vec_id").alias("va"), F.col("d.embedding").alias("ea"),
+        F.col("d.nrm").alias("na"),
+    )
+    b = deleg.select(
+        "label", "band", "bucket", F.col("salt").alias("salt_b"),
+        F.col("d.vec_id").alias("vb"), F.col("d.embedding").alias("eb"),
+        F.col("d.nrm").alias("nb"),
+    )
+    pairs = a.join(b, ["label", "band", "bucket"]).filter(
+        F.col("salt_a") < F.col("salt_b")
+    )
+    dot = (
+        F.expr(DOT.format(a="ea", b="eb"))
+        if _use_sql()
+        else vecmath.pair_dot(F.col("ea"), F.col("eb"))
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (
+        pairs.select(
+            F.least("va", "vb").alias("id_a"),
+            F.greatest("va", "vb").alias("id_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -670,10 +732,11 @@ def _near_dup_candidates(
     # the same side of every salt plane) is re-split by quantized-unit-
     # direction hash. This preserves the memory/candidate bound; the
     # recall loss it forces is inherent (any split of an n-clique keeps
-    # ~1/nsplit of its pairs), is confined to within-mega-cluster pairs,
-    # and for RESOLUTION consumers degrades to at most rsplit surviving
-    # representatives per true cluster instead of 1. Exact-direction
-    # duplicates still co-bucket (identical quantized direction).
+    # ~1/nsplit of its pairs) and is confined to within-mega-cluster
+    # pairs; connectivity across the split is restored by
+    # _delegate_reconnect_pairs, so component structure survives intact.
+    # Exact-direction duplicates still co-bucket (identical quantized
+    # direction).
     counts2 = (
         staged.groupBy("label", "band", "bucket", "lsalt")
         .agg(F.count("*").alias("bsz2"))
@@ -777,17 +840,22 @@ def _near_dup_cc_edges(
     from .similarity import _scorer
 
     if _scorer() == "kernel":
-        edges = (
-            _near_dup_candidates(spark, sf_dir, max_bucket, audit)
-            .groupBy("label", "band", "bucket", "salt")
-            .applyInPandas(
-                vecmath.gram_star_kernel(threshold),
-                schema="id_a long, id_b long, kind int, cos double",
+        salted = _near_dup_candidates(spark, sf_dir, max_bucket, audit)
+        edges = salted.groupBy("label", "band", "bucket", "salt").applyInPandas(
+            vecmath.gram_star_kernel(threshold),
+            schema="id_a long, id_b long, kind int, cos double",
+        )
+        return (
+            edges.filter((F.col("kind") == 0) | (F.round("cos", 4) >= threshold))
+            .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+            .unionByName(
+                # capped-bucket reconnection edges (empty when no bucket
+                # splits — see _delegate_reconnect_pairs)
+                _delegate_reconnect_pairs(salted, threshold).select(
+                    F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+                )
             )
         )
-        return edges.filter(
-            (F.col("kind") == 0) | (F.round("cos", 4) >= threshold)
-        ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     return _embedding_near_dup_pairs(
         spark, sf_dir, threshold, max_bucket, audit
     ).select(

@@ -1893,3 +1893,42 @@ def test_embedding_neardup_cap_preserves_perturbed_pairs(spark, tmp_path):
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     recall = len(want & got) / len(want)
     assert recall >= 0.9, f"perturbed-pair recall under forced cap: {recall}"
+
+
+def test_embedding_clusters_delegate_reconnect_tight_cluster(spark, tmp_path, monkeypatch):
+    """An angularly TIGHT cluster larger than max_bucket defeats the
+    sign-bit split (every member on the same side of every salt plane),
+    so the residual direction-hash split parts it — by any bounded
+    scheme, pair recall inside such a cluster is ~1/nsplit. The
+    RESOLUTION contract must still unify it: one delegate per sub-bucket
+    is cross-scored (rsplit^2 tiny join) and in a tight cluster the
+    delegates are themselves near pairs, so the components re-merge.
+    Asserts a single canonical for the whole cluster under a forced cap,
+    identically across all three scorer tiers."""
+    import numpy as np
+
+    from docling_nlp_api_spark.operators.dedup import embedding_dup_clusters
+
+    rng = np.random.RandomState(7)
+    center = rng.normal(size=64)
+    vecs = center + 0.001 * rng.normal(size=(100, 64))  # pairwise cos ~1
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(len(vecs))]
+    d = str(tmp_path / "sf_tight")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+
+    outs = {}
+    for tier in ("kernel", "pair", "sql"):
+        monkeypatch.setenv("SPARK_GRAFT_ANN_SCORER", tier)
+        rows_out = sorted(
+            map(tuple, embedding_dup_clusters(spark, d, max_bucket=8).collect())
+        )
+        outs[tier] = rows_out
+    assert outs["kernel"] == outs["pair"] == outs["sql"]
+
+    members = {r[0] for r in outs["kernel"]}
+    canons = {r[1] for r in outs["kernel"]}
+    # every vector (incl. the with_planted_vec_dups copies) in ONE component
+    assert {i for i in range(100)} <= members
+    assert canons == {0}, f"cluster fragmented into canonicals {canons}"
