@@ -562,41 +562,52 @@ def _embedding_near_dup_pairs(
 
 def _delegate_reconnect_pairs(salted: DataFrame, threshold: float) -> DataFrame:
     """Cross-sub-bucket reconnection for capped buckets: one DELEGATE
-    (min vec_id member) per (label, band, bucket, salt) group, all
-    delegate pairs within the parent bucket scored with the shared
-    cosine rule. BENCH/neardup_cap_recall.json is the motivation: the
-    residual direction-hash split of an angularly TIGHT mega-cluster
-    (where sign bits cannot separate members) necessarily drops
-    cross-sub-bucket pairs — pair recall there is ~1/nsplit by any
+    (min vec_id member) per (label, band, bucket, salt) group; adjacent
+    delegates IN SALT ORDER are chained and each chain edge is scored
+    with the shared cosine rule. BENCH/neardup_cap_recall.json is the
+    motivation: the residual direction-hash split of an angularly TIGHT
+    mega-cluster (where sign bits cannot separate members) necessarily
+    drops cross-sub-bucket pairs — pair recall there is ~1/nsplit by any
     bounded scheme — but for the RESOLUTION contract only CONNECTIVITY
-    matters, and in a tight cluster the delegates are themselves near
-    pairs, so rsplit-1 delegate edges re-unify what the split parted.
-    Cost: one partial-agg pass over the staging frame (one struct row
-    per sub-bucket survives the exchange) plus an rsplit^2-sized
-    self-join per split bucket; an unsplit bucket has a single delegate
+    matters, and in a tight cluster EVERY delegate pair is a near pair,
+    so the nsplit-1 chain edges all pass the threshold and re-unify the
+    component exactly as an all-pairs clique would. The chain (not a
+    clique) keeps the reconnect LINEAR: a 10M-row mega-bucket at
+    max_bucket=1024 has ~10k delegates, which is 10k chain edges vs
+    ~50M clique pairs — the latter would re-import the quadratic the
+    cap exists to bound. For diffuse split buckets the chain is
+    best-effort (a non-adjacent near pair of delegates is not scored),
+    which only matters where the sub-components were never one cluster.
+    Cost: one extra pass over the staging lineage (the delegate partial
+    agg cannot share the main path's exchange; measured ~+8 percent on
+    the sf10 fused job) reduced to one struct row per sub-bucket, plus
+    a delegates-only window. An unsplit bucket has a single delegate
     and contributes nothing — at oracle scale (no bucket capped) the
     result is provably empty and every oracle comparison is unaffected.
     Scoring reuses the pair-tier expressions (einsum pair_dot /
     interpreted fold under sql), which the 3-tier parity suite pins
     bit-identical, so all scorer tiers emit the same delegate pairs."""
+    from pyspark.sql import Window
+
     from . import vecmath
     from .similarity import DOT, _use_sql
 
     deleg = salted.groupBy("label", "band", "bucket", "salt").agg(
         F.min(F.struct("vec_id", "embedding", "nrm")).alias("d")
     )
-    a = deleg.select(
-        "label", "band", "bucket", F.col("salt").alias("salt_a"),
-        F.col("d.vec_id").alias("va"), F.col("d.embedding").alias("ea"),
-        F.col("d.nrm").alias("na"),
-    )
-    b = deleg.select(
-        "label", "band", "bucket", F.col("salt").alias("salt_b"),
-        F.col("d.vec_id").alias("vb"), F.col("d.embedding").alias("eb"),
-        F.col("d.nrm").alias("nb"),
-    )
-    pairs = a.join(b, ["label", "band", "bucket"]).filter(
-        F.col("salt_a") < F.col("salt_b")
+    w = Window.partitionBy("label", "band", "bucket").orderBy("salt")
+    pairs = (
+        deleg.select(
+            F.col("d.vec_id").alias("va"), F.col("d.embedding").alias("ea"),
+            F.col("d.nrm").alias("na"),
+            F.lead("d").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "va", "ea", "na",
+            F.col("nxt.vec_id").alias("vb"), F.col("nxt.embedding").alias("eb"),
+            F.col("nxt.nrm").alias("nb"),
+        )
     )
     dot = (
         F.expr(DOT.format(a="ea", b="eb"))
@@ -717,15 +728,27 @@ def _near_dup_candidates(
     # only when one of those planes falls between the two directions
     # (prob ~ bits * theta/pi — vanishing for near-dups, high for the
     # low-cosine bulk that makes the bucket oversized). Exact-direction
-    # duplicates share every sign bit and can never be separated.
+    # duplicates share every sign bit and can never be separated. Each
+    # band reads a DISJOINT window of the salt code (band b uses bits
+    # [b*6, b*6+lbits)), so a split miss in one band is independent of
+    # the other and the 2-band OR-construction keeps working in the
+    # capped regime: P(pair fully lost) ~ (bits*theta/pi)^2, not
+    # bits*theta/pi (shared low bits would part the same pair in BOTH
+    # bands simultaneously).
+    salt_window = N_SALT_PLANES // NEAR_DUP_BANDS
     staged = (
         base.join(F.broadcast(counts.select("label", "band", "bucket", "nsplit")),
                   ["label", "band", "bucket"])
         .withColumn(
             "lbits",
-            F.least(F.ceil(F.log2("nsplit")), F.lit(N_SALT_PLANES)).cast("int"),
+            F.least(F.ceil(F.log2("nsplit")), F.lit(salt_window)).cast("int"),
         )
-        .withColumn("lsalt", F.expr("salt_code & (shiftleft(1, lbits) - 1)"))
+        .withColumn(
+            "lsalt",
+            F.expr(
+                f"(salt_code >> (band * {salt_window})) & (shiftleft(1, lbits) - 1)"
+            ),
+        )
     )
     # Residual fallback: a group the sign bits could NOT break (an
     # angularly tight cluster larger than max_bucket — every member on

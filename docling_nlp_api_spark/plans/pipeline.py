@@ -234,9 +234,9 @@ class ExtractionPipeline:
         leaves some part_id empty) would union dead-attempt orphan
         dirs into every later scan. Staging is
         keyed by n_partitions AND the input's identity — the sorted
-        source-file set for file-backed inputs, the canonicalized-plan
-        semanticHash for in-memory inputs (whose inputFiles() is empty
-        and would otherwise collide) — so a layout staged for a
+        source-file set for file-backed inputs, an order-independent
+        content fingerprint for in-memory inputs (whose inputFiles() is
+        empty and would otherwise collide) — so a layout staged for a
         different bucket count or a different input is rejected rather
         than silently reused (an in-place
         rewrite of the same file paths is the one change this cannot
@@ -250,14 +250,25 @@ class ExtractionPipeline:
         else:
             # Non-file-backed input (in-memory / createDataFrame): an
             # empty file list would make every such input hash identical
-            # and silently reuse stale staged data. Key on the
-            # canonicalized-plan hash instead — for a LocalRelation that
-            # covers the data itself, so a DIFFERENT in-memory input into
-            # the same out_dir is rejected rather than served the first
-            # input's staging. (Resume with the same re-created input in
-            # a fresh session still matches: canonicalization normalizes
-            # expression ids.)
-            src_key = f"plan:{input_df.semanticHash()}"
+            # and silently reuse stale staged data. Plan identity
+            # (semanticHash) is NOT stable for re-created inputs either
+            # (the LogicalRDD identity leaks into the hash — verified on
+            # PySpark 4.1.2), so fingerprint the CONTENT: row count +
+            # order-independent sum of per-row xxhash64. Deterministic
+            # across sessions, partitionings, and row orders, at the
+            # cost of one extra scan of an input that by definition
+            # fits the session; a DIFFERENT in-memory input into the
+            # same out_dir is rejected, the SAME input — even re-created
+            # in a fresh session — resumes. (Map-typed input columns
+            # would need a to_json pre-hash; the pipeline's input
+            # contract is (doc_id, spans), which xxhash64 supports.)
+            agg = input_df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.xxhash64(F.struct(*input_df.columns)).cast("decimal(38,0)")
+                ).alias("h"),
+            ).first()
+            src_key = f"content:{agg['n']}:{agg['h']}"
         layout = f"{self.n_partitions} {src_key}"
         if not os.path.exists(marker):
             # no marker = no committed staging: clear any half-written
@@ -280,7 +291,9 @@ class ExtractionPipeline:
             raise ValueError(
                 f"staged layout at {self.staged_dir} was bucketed for "
                 f"'{staged_layout}', this run expects '{layout}' "
-                "(n_partitions + md5 of the input file list) — delete the "
+                "(n_partitions + input identity: md5 of the file list for "
+                "file-backed inputs, a content fingerprint for in-memory "
+                "ones) — delete the "
                 "staging or match it"
             )
         return self.spark.read.option("basePath", self.staged_dir).parquet(

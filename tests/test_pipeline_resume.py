@@ -160,7 +160,11 @@ def test_staged_rejects_different_inmemory_input(spark, tmp_path, input_df):
     """In-memory inputs have no inputFiles(), so before round 4 every
     such input hashed to the same src_key and a second pipeline run over
     DIFFERENT data silently reused the first input's staged parquet.
-    The plan-semanticHash fallback must reject the mismatch instead."""
+    The content-fingerprint fallback must reject the mismatch — and,
+    unlike a plan hash (semanticHash embeds the LogicalRDD identity, so
+    two byte-identical createDataFrame inputs hash differently), it must
+    ACCEPT the same input re-created from scratch, or a fresh-session
+    resume of an in-memory pipeline would falsely abort."""
     p = ExtractionPipeline(
         spark, str(tmp_path / "sh"), n_partitions=N_PARTS, batch_size=BATCH,
         stage_input=True,
@@ -175,9 +179,12 @@ def test_staged_rejects_different_inmemory_input(spark, tmp_path, input_df):
     with pytest.raises(ValueError, match="bucketed for"):
         p2.run(other)
 
-    # the SAME in-memory input resumes fine (rerun is a committed no-op)
+    # the SAME content RE-CREATED (fresh DataFrame object and lineage,
+    # different partition count — the fresh-session resume case) must
+    # match the fingerprint and resume as a committed no-op
+    recreated = spans_df(spark, N_DOCS, partitions=3)
     p3 = ExtractionPipeline(
         spark, str(tmp_path / "sh"), n_partitions=N_PARTS, batch_size=BATCH,
         stage_input=True,
     )
-    assert p3.run(input_df)["batches"] == 0
+    assert p3.run(recreated)["batches"] == 0
