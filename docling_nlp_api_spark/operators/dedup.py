@@ -406,7 +406,13 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
 
 NEAR_DUP_BANDS = 2     # 2 bands x 4 hyperplane sign bits each
 PLANES_PER_BAND = 4
-N_SALT_PLANES = 12     # extra sign bits that key oversized-bucket sub-splits
+N_SALT_PLANES = 24     # extra sign bits that key oversized-bucket sub-splits:
+                       # 12 PER BAND (each band reads a disjoint 12-bit window
+                       # of the salt code, so a split miss in one band is
+                       # independent of the other WITHOUT halving split depth —
+                       # 12 usable bits push the lossy direction-hash residual
+                       # out to buckets > 4096*max_bucket, the same depth the
+                       # pre-windowed single-code design had)
 VEC_PLANT_EVERY = 25   # every 25th vector gets a planted scaled near-dup
 VEC_PLANT_SCALE = 1.5  # exactly representable in binary -> identical in DuckDB
 
@@ -514,7 +520,7 @@ def _embedding_near_dup_pairs(
     contract); embedding_dup_clusters instead contracts edges in-kernel
     and feeds star edges into connected components."""
     from . import vecmath
-    from .similarity import DOT, _scorer, _use_sql
+    from .similarity import _scorer
 
     salted = _near_dup_candidates(spark, sf_dir, max_bucket, audit)
 
@@ -547,17 +553,32 @@ def _embedding_near_dup_pairs(
         "label", "band", "bucket", "salt",
     )
     pairs = a.join(b, ["label", "band", "bucket", "salt"]).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", _pair_cosine().alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .unionByName(_delegate_reconnect_pairs(salted, threshold))
+    )
+
+
+def _pair_cosine() -> F.Column:
+    """The ONE copy of the pair cosine-scoring rule over a candidate
+    frame staged as (ea, na, eb, nb): tier-dispatched dot product
+    (einsum pair_dot by default, the interpreted SQL fold under
+    SPARK_GRAFT_ANN_SCORER=sql), divided by the precomputed norms and
+    rounded to 4 places. Both the main pair tier and the delegate
+    reconnect score through this helper, so the 3-tier bit-parity the
+    scorer suite pins rests on a single expression — a scorer-tier or
+    rounding change cannot desynchronize delegate-edge cosines from
+    main-path cosines."""
+    from . import vecmath
+    from .similarity import DOT, _use_sql
+
     dot = (
         F.expr(DOT.format(a="ea", b="eb"))
         if _use_sql()
         else vecmath.pair_dot(F.col("ea"), F.col("eb"))
     )
-    cos = dot / (F.col("na") * F.col("nb"))
-    return (
-        pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-        .unionByName(_delegate_reconnect_pairs(salted, threshold))
-    )
+    return F.round(dot / (F.col("na") * F.col("nb")), 4)
 
 
 def _delegate_reconnect_pairs(salted: DataFrame, threshold: float) -> DataFrame:
@@ -579,20 +600,17 @@ def _delegate_reconnect_pairs(salted: DataFrame, threshold: float) -> DataFrame:
     best-effort (a non-adjacent near pair of delegates is not scored),
     which only matters where the sub-components were never one cluster.
     Cost: one extra pass over the staging lineage (the delegate partial
-    agg cannot share the main path's exchange; measured ~+8 percent on
-    the sf10 fused job) reduced to one struct row per sub-bucket, plus
-    a delegates-only window. An unsplit bucket has a single delegate
-    and contributes nothing — at oracle scale (no bucket capped) the
-    result is provably empty and every oracle comparison is unaffected.
-    Scoring reuses the pair-tier expressions (einsum pair_dot /
-    interpreted fold under sql), which the 3-tier parity suite pins
-    bit-identical, so all scorer tiers emit the same delegate pairs."""
+    agg cannot share the main path's exchange) confined by the staged
+    `split` flag to rows of buckets that actually split — in the common
+    zero-split case (and at oracle scale) the filter drops every row at
+    the scan, so the agg shuffles nothing, the window sees nothing, and
+    the result is provably empty: every oracle comparison is unaffected.
+    Scoring goes through _pair_cosine — the single shared copy of the
+    pair-tier rule the 3-tier parity suite pins bit-identical — so all
+    scorer tiers emit the same delegate pairs."""
     from pyspark.sql import Window
 
-    from . import vecmath
-    from .similarity import DOT, _use_sql
-
-    deleg = salted.groupBy("label", "band", "bucket", "salt").agg(
+    deleg = salted.filter("split").groupBy("label", "band", "bucket", "salt").agg(
         F.min(F.struct("vec_id", "embedding", "nrm")).alias("d")
     )
     w = Window.partitionBy("label", "band", "bucket").orderBy("salt")
@@ -609,17 +627,11 @@ def _delegate_reconnect_pairs(salted: DataFrame, threshold: float) -> DataFrame:
             F.col("nxt.nrm").alias("nb"),
         )
     )
-    dot = (
-        F.expr(DOT.format(a="ea", b="eb"))
-        if _use_sql()
-        else vecmath.pair_dot(F.col("ea"), F.col("eb"))
-    )
-    cos = dot / (F.col("na") * F.col("nb"))
     return (
         pairs.select(
             F.least("va", "vb").alias("id_a"),
             F.greatest("va", "vb").alias("id_b"),
-            F.round(cos, 4).alias("cosine"),
+            _pair_cosine().alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -632,7 +644,9 @@ def _near_dup_candidates(
     audit: bool = False,
 ) -> DataFrame:
     """Shared candidate staging for the embedding near-dup family: the
-    (vec_id, label, embedding, nrm, band, bucket, salt) frame — banded
+    (vec_id, label, embedding, nrm, band, bucket, salt, split) frame —
+    `split` flags rows of buckets the cap actually split, confining the
+    delegate-reconnect pass to that (usually empty) fraction — banded
     hyperplane buckets within the coarse label, oversized buckets split
     by EXTRA LSH SIGN BITS with a direction-hash residual fallback (see
     _embedding_near_dup_pairs for the full scale rationale).
@@ -730,11 +744,15 @@ def _near_dup_candidates(
     # low-cosine bulk that makes the bucket oversized). Exact-direction
     # duplicates share every sign bit and can never be separated. Each
     # band reads a DISJOINT window of the salt code (band b uses bits
-    # [b*6, b*6+lbits)), so a split miss in one band is independent of
-    # the other and the 2-band OR-construction keeps working in the
-    # capped regime: P(pair fully lost) ~ (bits*theta/pi)^2, not
-    # bits*theta/pi (shared low bits would part the same pair in BOTH
-    # bands simultaneously).
+    # [b*W, b*W+lbits), W = N_SALT_PLANES/NEAR_DUP_BANDS = 12), so a
+    # split miss in one band is independent of the other and the 2-band
+    # OR-construction keeps working in the capped regime: P(pair fully
+    # lost) ~ (bits*theta/pi)^2, not bits*theta/pi (shared low bits
+    # would part the same pair in BOTH bands simultaneously). The window
+    # is a FULL 12 bits per band — windowing must not shrink usable
+    # split depth, or buckets > 2^window * max_bucket would spill into
+    # the lossy direction-hash residual that the sign bits exist to
+    # avoid (review finding, round 4).
     salt_window = N_SALT_PLANES // NEAR_DUP_BANDS
     staged = (
         base.join(F.broadcast(counts.select("label", "band", "bucket", "nsplit")),
@@ -794,6 +812,7 @@ def _near_dup_candidates(
                 F.pmod(F.xxhash64(qdir), F.col("rsplit"))
             ),
         )
+        .withColumn("split", (F.col("nsplit") > 1) | (F.col("rsplit") > 1))
         .drop("salt_code", "nsplit", "lbits", "lsalt", "rsplit")
     )
 

@@ -213,6 +213,21 @@ class ExtractionPipeline:
             "docs_out": total_docs,
         }
 
+    @staticmethod
+    def _content_key(df: DataFrame, columns: list) -> str:
+        """Order-independent content fingerprint of `df` projected onto
+        `columns` (the INPUT's column order — xxhash64 over a struct is
+        field-order-sensitive, so both sides of a comparison must hash
+        the same ordering): row count + sum of per-row xxhash64.
+        Deterministic across sessions, partitionings, and row orders."""
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(F.struct(*columns)).cast("decimal(38,0)")
+            ).alias("h"),
+        ).first()
+        return f"content:{agg['n']}:{agg['h']}"
+
     def _staged_src(self, input_df: DataFrame) -> DataFrame:
         """One-time restage of the input PHYSICALLY partitioned by part_id
         (the sandbox stand-in for an Iceberg table bucket-partitioned on
@@ -262,13 +277,7 @@ class ExtractionPipeline:
             # in a fresh session — resumes. (Map-typed input columns
             # would need a to_json pre-hash; the pipeline's input
             # contract is (doc_id, spans), which xxhash64 supports.)
-            agg = input_df.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(
-                    F.xxhash64(F.struct(*input_df.columns)).cast("decimal(38,0)")
-                ).alias("h"),
-            ).first()
-            src_key = f"content:{agg['n']}:{agg['h']}"
+            src_key = self._content_key(input_df, input_df.columns)
         layout = f"{self.n_partitions} {src_key}"
         if not os.path.exists(marker):
             # no marker = no committed staging: clear any half-written
@@ -287,6 +296,28 @@ class ExtractionPipeline:
                 f.write(layout)
         with open(marker) as f:
             staged_layout = f.read().strip()
+        if (
+            staged_layout != layout
+            and staged_layout.startswith(f"{self.n_partitions} plan:")
+            and src_key.startswith("content:")
+        ):
+            # Migration from the pre-content-key format: markers written
+            # by the earlier version recorded Spark's semanticHash, which
+            # is unstable for re-created in-memory inputs (the reason the
+            # key changed) — a layout mismatch here says nothing about
+            # whether the staged ROWS match this input. Re-verify by
+            # content: fingerprint the staged rows themselves (one extra
+            # scan, paid only on a legacy marker) and, on a match,
+            # rewrite the marker so committed batches resume instead of
+            # being stranded behind a key-format change. A genuine
+            # different-input mismatch still falls through to the raise.
+            staged_df = self.spark.read.option("basePath", self.staged_dir).parquet(
+                self.staged_dir
+            )
+            if self._content_key(staged_df, input_df.columns) == src_key:
+                with open(marker, "w") as f:
+                    f.write(layout)
+                staged_layout = layout
         if staged_layout != layout:
             raise ValueError(
                 f"staged layout at {self.staged_dir} was bucketed for "

@@ -1932,3 +1932,18 @@ def test_embedding_clusters_delegate_reconnect_tight_cluster(spark, tmp_path, mo
     # every vector (incl. the with_planted_vec_dups copies) in ONE component
     assert {i for i in range(100)} <= members
     assert canons == {0}, f"cluster fragmented into canonicals {canons}"
+
+
+def test_neardup_salt_window_depth():
+    """Each band's disjoint salt window must keep the FULL 12-bit split
+    depth: buckets up to 4096*max_bucket split by locality-preserving
+    sign bits before the lossy direction-hash residual engages. The
+    round-4 review caught a silent regression to 6 bits/band when
+    band-disjoint windowing was first introduced over a 12-plane code;
+    windowing now widens the code instead of narrowing the window."""
+    from docling_nlp_api_spark.operators.dedup import (
+        N_SALT_PLANES,
+        NEAR_DUP_BANDS,
+    )
+
+    assert N_SALT_PLANES // NEAR_DUP_BANDS >= 12

@@ -91,9 +91,17 @@ def main() -> None:
         for r in truth.groupBy("cband").agg(F.count("*").alias("n")).collect()
     }
 
+    # n_vectors counts what the operators actually run on — the planted
+    # frame (raw + 1-in-25 scaled near-dups), not the raw parquet — so
+    # per-vector rates derived from this JSON use the right denominator
+    from docling_nlp_api_spark.operators.dedup import with_planted_vec_dups
+
     report = {
         "tier": args.tier,
-        "n_vectors": spark.read.parquet(emb_path).count(),
+        "n_vectors": with_planted_vec_dups(
+            spark.read.parquet(emb_path)
+        ).count(),
+        "n_vectors_raw": spark.read.parquet(emb_path).count(),
         "uncapped": {"pairs": n_truth, "sec": sec_truth,
                      "by_band": truth_by_band},
         "caps": {},
