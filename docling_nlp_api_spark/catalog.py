@@ -999,7 +999,7 @@ geo AS (
 _MM_META_COLS = """
        (['image', 'audio', 'video'])[CAST(kind + 1 AS INT)] AS media_type,
        CASE WHEN kind = 0 THEN 68 + (w + 1) * h
-            WHEN kind = 1 THEN 44 + wav_ms
+            WHEN kind = 1 THEN 44 + wav_ms + wav_ms % 2
             ELSE 144 + 16 * (mp4_ms // 5000 + 1) END AS n_bytes,
        CASE WHEN kind = 0 THEN CAST(w AS INT) END AS width,
        CASE WHEN kind = 0 THEN CAST(h AS INT) END AS height,

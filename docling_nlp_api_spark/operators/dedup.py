@@ -170,17 +170,43 @@ def lsh_buckets(
     )
 
 
-def banded_frame(docs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
-    """(band, bucket, doc_id): every doc's bucket in every band, exploded
-    from ONE signature row — shared by lsh_buckets and lsh_recall."""
-    sig = minhash_signatures(docs, k=bands * rows)
-    band_structs = F.array(
+def _band_structs(bands: int, rows: int) -> F.Column:
+    """THE banding rule, one copy: array of (band, bucket) structs, one
+    per LSH band, each bucket an md5 over that band's `rows` minhash
+    slice (band_bucket). Every consumer that explodes a signature row
+    into band rows — banded_frame, candidate_pairs_jaccard,
+    _shingle_index — must render buckets through this helper, or a
+    signature-scheme change could silently desynchronize the verify
+    path from a PERSISTED incremental-dedup index that has to share
+    its bucketing."""
+    return F.array(
         *[
             F.struct(F.lit(b).alias("band"), band_bucket(b, rows).alias("bucket"))
             for b in range(bands)
         ]
     )
-    return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+
+
+def _minhash_hs_per_doc(docs: DataFrame, k: int) -> DataFrame:
+    """THE per-doc signature aggregation, one copy: (doc_id, hs,
+    mh0..mh{k-1}) — the distinct sorted shingle-hash set AND all k
+    minhashes from a single partial agg over the shared shingle stream
+    (one tokenizer pass; the Aggregate is a structural barrier, so no
+    expression can be inlined back into the tokenizer — a
+    projection-chain draft measured a 24x regex blow-up from
+    CollapseProject). Shared by candidate_pairs_jaccard and
+    _shingle_index for the same one-copy reason as _band_structs."""
+    return shingle_hashes_flat(docs).groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("h")).alias("hs"),
+        *[F.min(_perm(i, k)).alias(f"mh{i}") for i in range(k)],
+    )
+
+
+def banded_frame(docs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
+    """(band, bucket, doc_id): every doc's bucket in every band, exploded
+    from ONE signature row — shared by lsh_buckets and lsh_recall."""
+    sig = minhash_signatures(docs, k=bands * rows)
+    return sig.select("doc_id", F.explode(_band_structs(bands, rows)).alias("bb")).select(
         F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), "doc_id"
     )
 
@@ -262,24 +288,14 @@ def candidate_pairs_jaccard(
     ride through the band explosion); two id-equi-joins then attach
     hs_a/hs_b from the same per_doc exchange ReuseExchange dedups."""
     k = bands * rows
-    flat = shingle_hashes_flat(docs)
-    per_doc = flat.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("h")).alias("hs"),
-        *[F.min(_perm(i, k)).alias(f"mh{i}") for i in range(k)],
-    )
+    per_doc = _minhash_hs_per_doc(docs, k)
     if bands == 1:
         base = per_doc.select("doc_id", "hs", band_bucket(0, rows).alias("bucket"))
         a = base.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), "bucket")
         b = base.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), "bucket")
         joined = a.join(b, "bucket").filter(F.col("doc_a") < F.col("doc_b"))
     else:
-        band_structs = F.array(
-            *[
-                F.struct(F.lit(b).alias("band"), band_bucket(b, rows).alias("bucket"))
-                for b in range(bands)
-            ]
-        )
-        ids = per_doc.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        ids = per_doc.select("doc_id", F.explode(_band_structs(bands, rows)).alias("bb")).select(
             "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
         )
         cand = (
@@ -314,20 +330,13 @@ def _shingle_index(docs: DataFrame, bands: int, rows: int) -> DataFrame:
     distinct shingle-hash set plus one row per LSH band. This is the
     frame a production pipeline PERSISTS between snapshots (bucketed by
     (band, bucket)); one partial agg builds sets and all k minhashes
-    together from the shared shingle stream."""
-    k = bands * rows
-    flat = shingle_hashes_flat(docs)
-    per_doc = flat.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("h")).alias("hs"),
-        *[F.min(_perm(i, k)).alias(f"mh{i}") for i in range(k)],
-    )
-    band_structs = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), band_bucket(b, rows).alias("bucket"))
-            for b in range(bands)
-        ]
-    )
-    return per_doc.select("doc_id", "hs", F.explode(band_structs).alias("bb")).select(
+    together from the shared shingle stream (_minhash_hs_per_doc — the
+    same copy candidate_pairs_jaccard verifies through, so the persisted
+    index and the verify path cannot desynchronize)."""
+    per_doc = _minhash_hs_per_doc(docs, bands * rows)
+    return per_doc.select(
+        "doc_id", "hs", F.explode(_band_structs(bands, rows)).alias("bb")
+    ).select(
         "doc_id", "hs", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
@@ -534,7 +543,7 @@ def _embedding_near_dup_pairs(
         # pair_dot; the JVM-side round + threshold filter tail is shared
         # by all three tiers (the distinct, when wanted, lives in
         # embedding_near_dup).
-        cand = salted.groupBy("label", "band", "bucket", "salt").applyInPandas(
+        cand = salted.groupBy("label", "band", "bucket", "salt", "tsalt").applyInPandas(
             vecmath.gram_pairs_kernel(threshold),
             schema="id_a long, id_b long, cos double",
         )
@@ -546,13 +555,15 @@ def _embedding_near_dup_pairs(
 
     a = salted.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
-        "label", "band", "bucket", "salt",
+        "label", "band", "bucket", "salt", "tsalt",
     )
     b = salted.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
-        "label", "band", "bucket", "salt",
+        "label", "band", "bucket", "salt", "tsalt",
     )
-    pairs = a.join(b, ["label", "band", "bucket", "salt"]).filter(F.col("id_a") < F.col("id_b"))
+    pairs = a.join(b, ["label", "band", "bucket", "salt", "tsalt"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
     return (
         pairs.select("id_a", "id_b", _pair_cosine().alias("cosine"))
         .filter(F.col("cosine") >= threshold)
@@ -583,9 +594,12 @@ def _pair_cosine() -> F.Column:
 
 def _delegate_reconnect_pairs(salted: DataFrame, threshold: float) -> DataFrame:
     """Cross-sub-bucket reconnection for capped buckets: one DELEGATE
-    (min vec_id member) per (label, band, bucket, salt) group; adjacent
-    delegates IN SALT ORDER are chained and each chain edge is scored
-    with the shared cosine rule. BENCH/neardup_cap_recall.json is the
+    (min vec_id member) per (label, band, bucket, salt, tsalt) group;
+    adjacent delegates IN (salt, tsalt) ORDER are chained and each chain
+    edge is scored with the shared cosine rule. The lexicographic order
+    keeps sub-buckets of the same residual slot (an identical-direction
+    group split row-uniformly by tsalt) CONSECUTIVE, so their delegates
+    — cosine exactly 1.0 — always chain back into one component. BENCH/neardup_cap_recall.json is the
     motivation: the residual direction-hash split of an angularly TIGHT
     mega-cluster (where sign bits cannot separate members) necessarily
     drops cross-sub-bucket pairs — pair recall there is ~1/nsplit by any
@@ -610,10 +624,12 @@ def _delegate_reconnect_pairs(salted: DataFrame, threshold: float) -> DataFrame:
     scorer tiers emit the same delegate pairs."""
     from pyspark.sql import Window
 
-    deleg = salted.filter("split").groupBy("label", "band", "bucket", "salt").agg(
+    deleg = salted.filter("split").groupBy(
+        "label", "band", "bucket", "salt", "tsalt"
+    ).agg(
         F.min(F.struct("vec_id", "embedding", "nrm")).alias("d")
     )
-    w = Window.partitionBy("label", "band", "bucket").orderBy("salt")
+    w = Window.partitionBy("label", "band", "bucket").orderBy("salt", "tsalt")
     pairs = (
         deleg.select(
             F.col("d.vec_id").alias("va"), F.col("d.embedding").alias("ea"),
@@ -644,12 +660,19 @@ def _near_dup_candidates(
     audit: bool = False,
 ) -> DataFrame:
     """Shared candidate staging for the embedding near-dup family: the
-    (vec_id, label, embedding, nrm, band, bucket, salt, split) frame —
-    `split` flags rows of buckets the cap actually split, confining the
-    delegate-reconnect pass to that (usually empty) fraction — banded
-    hyperplane buckets within the coarse label, oversized buckets split
-    by EXTRA LSH SIGN BITS with a direction-hash residual fallback (see
-    _embedding_near_dup_pairs for the full scale rationale).
+    (vec_id, label, embedding, nrm, band, bucket, salt, tsalt, split)
+    frame — `split` flags rows of buckets the cap actually split,
+    confining the delegate-reconnect pass to that (usually empty)
+    fraction — banded hyperplane buckets within the coarse label,
+    oversized buckets split by THREE escalating levels, each engaging
+    only where the previous one could not bound the group:
+    (1) EXTRA LSH SIGN BITS (locality-preserving — near pairs survive),
+    (2) a quantized-direction hash for angularly tight clusters the
+    sign bits cannot part (exact-direction dups still co-bucket), and
+    (3) a row-uniform vec_id hash (tsalt) for identical-direction
+    groups the direction hash cannot bound — the one input class where
+    no content-keyed split can hold the cap (review finding, round 4).
+    See _embedding_near_dup_pairs for the full scale rationale.
 
     audit=False (default) keeps construction LAZY: the bucket-count
     table is an agg subtree the broadcast join computes at execution.
@@ -777,18 +800,78 @@ def _near_dup_candidates(
     # pairs; connectivity across the split is restored by
     # _delegate_reconnect_pairs, so component structure survives intact.
     # Exact-direction duplicates still co-bucket (identical quantized
-    # direction).
-    counts2 = (
-        staged.groupBy("label", "band", "bucket", "lsalt")
-        .agg(F.count("*").alias("bsz2"))
+    # direction) — which is the one input the direction hash CANNOT
+    # bound: N identical directions all hash to one residual slot no
+    # matter how large rsplit is. A THIRD, row-uniform level (tsalt =
+    # vec_id hash, below) restores the hard bound for exactly that case.
+    #
+    # All residual bookkeeping derives from ONE h-level count table
+    # (counts_h), consumed ONCE: only rows of sign-bit-split buckets
+    # (nsplit > 1) can exceed max_bucket after the lsalt split, so the
+    # table is confined to that (usually empty) fraction. Its grain is
+    # the distinct quantized direction — int rows only, never
+    # embeddings. Both residual levels reduce to a single broadcast at
+    # the (label, band, bucket, lsalt) grain carrying rsplit plus an
+    # rsalt -> tsplit map, so the staging plan keeps the SAME corpus
+    # scan count as the two-level design (an earlier draft broadcast
+    # two tables whose subtrees each re-derived counts_h; the plan
+    # audit caught the scan count doubling).
+    #
+    # Third level rationale: a residual slot exceeds max_bucket only
+    # when identical (or hash-colliding) directions pile into it — the
+    # case the direction hash CANNOT split — or by pmod variance;
+    # tsalt = pmod(xxhash64(vec_id), tsplit) bounds it row-uniformly.
+    # Recall inside such a group is the inherent ~1/tsplit of any
+    # n-clique split, so the level engages only past a 2x SLACK: pmod
+    # variance overflows sit just above the cap (a 2x group costs 4x
+    # pairs — harmless to memory and candidates) and splitting them
+    # would shed real near-dup pairs for nothing (measured at star_sf10:
+    # 35 slots at <=1121 rows vs cap 1024 — all variance, no identical
+    # directions), while the unboundable case (N identical directions,
+    # N >> cap) blows past any constant slack and must split. The
+    # delegate chain (ordered by (salt, tsalt)) re-merges split
+    # sub-buckets for the resolution contract: identical-direction
+    # delegates score cosine 1.0.
+    from pyspark.sql import Window
+
+    qdir = F.expr("transform(embedding, x -> round(CAST(x AS DOUBLE) / nrm, 3))")
+    counts_h = (
+        staged.filter(F.col("nsplit") > 1)
+        .groupBy("label", "band", "bucket", "lsalt", F.xxhash64(qdir).alias("h"))
+        .agg(F.count("*").alias("hn"))
+    )
+    wk = Window.partitionBy("label", "band", "bucket", "lsalt")
+    splitmeta = (
+        counts_h.withColumn("bsz2", F.sum("hn").over(wk))
         .withColumn(
             "rsplit",
             F.greatest(F.lit(1), F.ceil(F.col("bsz2") / max_bucket)).cast("int"),
         )
+        .filter(F.col("rsplit") > 1)
+        .withColumn("rsalt", F.pmod(F.col("h"), F.col("rsplit")))
+        .groupBy("label", "band", "bucket", "lsalt", "rsplit", "bsz2", "rsalt")
+        .agg(F.sum("hn").alias("bsz3"))
+        .groupBy("label", "band", "bucket", "lsalt", "rsplit", "bsz2")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.when(
+                        F.col("bsz3") > 2 * max_bucket,
+                        F.struct(
+                            F.col("rsalt"),
+                            F.ceil(F.col("bsz3") / max_bucket)
+                            .cast("int")
+                            .alias("tsplit"),
+                        ),
+                    )
+                )
+            ).alias("tmap"),
+            F.max("bsz3").alias("max_bsz3"),
+        )
     )
     if audit:
-        counts2 = counts2.localCheckpoint(eager=True)
-        res = counts2.filter(F.col("rsplit") > 1).agg(
+        splitmeta = splitmeta.localCheckpoint(eager=True)
+        res = splitmeta.agg(
             F.count("*").alias("n_res"), F.max("bsz2").alias("max_bsz2"),
         ).first()
         if res["n_res"]:
@@ -800,20 +883,42 @@ def _near_dup_candidates(
                 "within those clusters are not compared",
                 flush=True,
             )
-    qdir = F.expr("transform(embedding, x -> round(CAST(x AS DOUBLE) / nrm, 3))")
+        res3 = splitmeta.filter(F.size("tmap") > 0).agg(
+            F.sum(F.size("tmap")).alias("n_t"), F.max("max_bsz3").alias("max_bsz3"),
+        ).first()
+        if res3["n_t"]:
+            print(
+                f"embedding_near_dup: {res3['n_t']} residual slot(s) over "
+                f"2x max_bucket={max_bucket} (largest {res3['max_bsz3']} "
+                "rows — identical-direction group); row-uniform vec_id-hash "
+                "split bounds the join, delegate chaining re-merges the "
+                "components",
+                flush=True,
+            )
     return (
         staged.join(
-            F.broadcast(counts2.select("label", "band", "bucket", "lsalt", "rsplit")),
+            F.broadcast(
+                splitmeta.select("label", "band", "bucket", "lsalt", "rsplit", "tmap")
+            ),
             ["label", "band", "bucket", "lsalt"],
+            "left",
+        )
+        .withColumn("rsplit", F.coalesce("rsplit", F.lit(1)))
+        .withColumn("rsalt", F.pmod(F.xxhash64(qdir), F.col("rsplit")))
+        .withColumn(
+            "tsplit",
+            F.coalesce(F.element_at("tmap", F.col("rsalt")), F.lit(1)),
         )
         .withColumn(
             "salt",
-            F.shiftleft(F.col("lsalt").cast("long"), 32).bitwiseOR(
-                F.pmod(F.xxhash64(qdir), F.col("rsplit"))
-            ),
+            F.shiftleft(F.col("lsalt").cast("long"), 32).bitwiseOR(F.col("rsalt")),
         )
+        .withColumn("tsalt", F.pmod(F.xxhash64("vec_id"), F.col("tsplit")))
         .withColumn("split", (F.col("nsplit") > 1) | (F.col("rsplit") > 1))
-        .drop("salt_code", "nsplit", "lbits", "lsalt", "rsplit")
+        .drop(
+            "salt_code", "nsplit", "lbits", "lsalt", "rsalt", "rsplit",
+            "tsplit", "tmap",
+        )
     )
 
 
@@ -883,7 +988,7 @@ def _near_dup_cc_edges(
 
     if _scorer() == "kernel":
         salted = _near_dup_candidates(spark, sf_dir, max_bucket, audit)
-        edges = salted.groupBy("label", "band", "bucket", "salt").applyInPandas(
+        edges = salted.groupBy("label", "band", "bucket", "salt", "tsalt").applyInPandas(
             vecmath.gram_star_kernel(threshold),
             schema="id_a long, id_b long, kind int, cos double",
         )

@@ -97,12 +97,18 @@ def png_bytes(width: int, height: int, fill: int) -> bytes:
 
 def wav_bytes(data_len: int) -> bytes:
     """A real RIFF/WAVE container: canonical 44-byte header (PCM, mono,
-    8-bit, 1 kHz => byte_rate 1000 => duration_ms == data_len) followed by
-    a planted ramp payload. n_bytes closed form: 44 + data_len."""
+    8-bit, 1 kHz => byte_rate 1000 => duration_ms == data_len) followed
+    by a planted ramp payload. RIFF requires word alignment: an
+    odd-length data chunk carries a pad byte NOT counted in the chunk's
+    size field but included in the enclosing RIFF size — the sniffer
+    already advances 8 + ln + (ln & 1), and a strict external parser
+    (or any chunk appended after data) needs the pad to be really
+    there. n_bytes closed form: 44 + data_len + (data_len % 2)."""
     data = (np.arange(data_len, dtype=np.uint32) % 256).astype(np.uint8).tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, WAV_BYTE_RATE, WAV_BYTE_RATE, 1, 8)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
-        + b"data" + struct.pack("<I", data_len) + data
+        + b"data" + struct.pack("<I", data_len) + data \
+        + (b"\x00" if data_len % 2 else b"")
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
@@ -391,7 +397,9 @@ def extract_media_metadata(
     video duration from the MP4 mvhd box walk. decode_pixels=True
     additionally inflates image payloads and reports the true pixel mean
     (decode_png) — off by default so the metadata pass stays header-only
-    at scale."""
+    at scale. Undecodable image payloads (JPEG, odd bit depth, truncated
+    bytes) degrade to NULL pixel-derived fields row-locally — dims still
+    come from the sniffer, and one bad payload never fails the job."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -415,7 +423,15 @@ def extract_media_metadata(
             px_cache: dict[int, np.ndarray] = {}
             if decode_pixels or with_features:
                 for i in np.nonzero(is_img)[0]:
-                    px_cache[int(i)] = decode_png(bytes(pdf["payload"].iloc[i]))
+                    try:
+                        px_cache[int(i)] = decode_png(bytes(pdf["payload"].iloc[i]))
+                    except ValueError:
+                        # undecodable image (JPEG — dims still real via the
+                        # SOF sniffer above — odd bit depth, truncated
+                        # bytes): degrade THIS row's pixel-derived fields
+                        # to NULL instead of failing the task; mirrors the
+                        # dims sniffer's -1 -> NULL rule
+                        pass
             mean_px = [None] * n
             if decode_pixels:
                 for i, px in px_cache.items():
@@ -442,7 +458,7 @@ def extract_media_metadata(
                 # a stand-in vision tower whose inputs are decoded bytes
                 feats = []
                 for i in range(n):
-                    if is_img[i]:
+                    if is_img[i] and i in px_cache:
                         px = px_cache[i].astype(np.float32)
                         bands = np.array_split(px, 8, axis=0)
                         feats.append(np.array([b.mean() / 255.0 for b in bands], dtype="float32"))
@@ -460,8 +476,9 @@ def media_meta_sql_equivalent(docs: DataFrame) -> DataFrame:
     """The SQL-expressible projection of the metadata extraction — the
     planted ground truth the parsing path must reproduce: image dims are
     the IMG_W/IMG_H closed forms, n_bytes the per-container length
-    formulas (PNG stored-block 68+(w+1)*h, WAV 44+data, MP4 144+16*
-    frames), durations the WAV/MP4 plants."""
+    formulas (PNG stored-block 68+(w+1)*h, WAV 44+data+pad where pad is
+    the RIFF word-alignment byte for odd data, MP4 144+16*frames),
+    durations the WAV/MP4 plants."""
     mt = F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col("doc_id") % 3 + 1).cast("int"))
     w = F.expr(IMG_W).cast("int")
     h = F.expr(IMG_H).cast("int")
@@ -472,7 +489,7 @@ def media_meta_sql_equivalent(docs: DataFrame) -> DataFrame:
         "doc_id",
         mt.alias("media_type"),
         F.when(mt == "image", (F.lit(68) + (w + 1).cast("long") * h).cast("long"))
-        .when(mt == "audio", F.lit(44) + wav_data)
+        .when(mt == "audio", F.lit(44) + wav_data + wav_data % 2)
         .otherwise(F.lit(144) + F.lit(FRAME_RECORD_BYTES) * n_frames)
         .alias("n_bytes"),
         F.when(mt == "image", w).alias("width"),
@@ -486,13 +503,16 @@ def media_meta_sql_equivalent(docs: DataFrame) -> DataFrame:
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
-        T.StructField("width", T.IntegerType(), False),
-        T.StructField("height", T.IntegerType(), False),
-        T.StructField("out_width", T.IntegerType(), False),
-        T.StructField("out_height", T.IntegerType(), False),
-        T.StructField("out_bytes", T.LongType(), False),
-        T.StructField("thumb_mean", T.DoubleType(), False),
-        T.StructField("thumbnail", T.BinaryType(), False),
+        # nullable: a payload the PNG decoder cannot handle (JPEG, odd
+        # bit depth, truncated bytes) degrades that ROW to NULL outputs
+        # — one bad row must never fail the task (and with it the job)
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
+        T.StructField("out_bytes", T.LongType(), True),
+        T.StructField("thumb_mean", T.DoubleType(), True),
+        T.StructField("thumbnail", T.BinaryType(), True),
     ]
 )
 
@@ -506,7 +526,11 @@ def resize_images(media: DataFrame, target_w: int = 64) -> DataFrame:
     (thumb_mean — the decode-path value a SQL oracle predicts from the
     planted gradient). mapInPandas batch shape, filter-before-decode
     (only image rows ever inflate), and the typed output schema are the
-    engine surface."""
+    engine surface. A payload decode_png cannot handle (JPEG — which
+    the DIMS sniffer supports via the SOF walk — odd bit depth,
+    truncated bytes) degrades that row to NULL resize outputs, mirroring
+    the sniffer's own -1 -> NULL rule: a single undecodable image in a
+    billion-row media table must cost one NULL row, not the job."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -514,7 +538,14 @@ def resize_images(media: DataFrame, target_w: int = 64) -> DataFrame:
             w_l, h_l, ow_l, oh_l, ob_l, tm_l, th_l = [], [], [], [], [], [], []
             for p, w, h in zip(pdf["payload"], ws, hs):
                 w, h = int(w), int(h)
-                px = decode_png(bytes(p))
+                try:
+                    px = decode_png(bytes(p))
+                except ValueError:
+                    w_l.append(w if w >= 0 else None)
+                    h_l.append(h if h >= 0 else None)
+                    ow_l.append(None); oh_l.append(None); ob_l.append(None)
+                    tm_l.append(None); th_l.append(None)
+                    continue
                 ow = min(target_w, w)
                 oh = max(1, h * ow // w)
                 iy = (np.arange(oh, dtype=np.int64) * h) // oh
@@ -528,12 +559,12 @@ def resize_images(media: DataFrame, target_w: int = 64) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "width": pd.array(w_l, dtype="int32"),
-                    "height": pd.array(h_l, dtype="int32"),
-                    "out_width": pd.array(ow_l, dtype="int32"),
-                    "out_height": pd.array(oh_l, dtype="int32"),
-                    "out_bytes": pd.array(ob_l, dtype="int64"),
-                    "thumb_mean": pd.array(tm_l, dtype="float64"),
+                    "width": pd.array(w_l, dtype="Int32"),
+                    "height": pd.array(h_l, dtype="Int32"),
+                    "out_width": pd.array(ow_l, dtype="Int32"),
+                    "out_height": pd.array(oh_l, dtype="Int32"),
+                    "out_bytes": pd.array(ob_l, dtype="Int64"),
+                    "thumb_mean": pd.array(tm_l, dtype="Float64"),
                     "thumbnail": th_l,
                 }
             )

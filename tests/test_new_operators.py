@@ -219,7 +219,10 @@ def test_wav_mp4_duration_and_demux():
 
     for d in (1000, 31337, 60999):
         b = wav_bytes(d)
-        assert len(b) == 44 + d
+        assert len(b) == 44 + d + d % 2  # RIFF pad byte for odd data
+        # RIFF size field covers the pad; data size field does not
+        import struct as _struct
+        assert _struct.unpack("<I", b[4:8])[0] == len(b) - 8
         assert sniff_wav_duration_ms(b) == d  # byte_rate 1000 -> ms == bytes
     assert sniff_wav_duration_ms(b"RIFFxxxxNOPE") is None
     assert sniff_wav_duration_ms(b"short") is None
@@ -1947,3 +1950,108 @@ def test_neardup_salt_window_depth():
     )
 
     assert N_SALT_PLANES // NEAR_DUP_BANDS >= 12
+
+
+def test_embedding_identical_direction_group_stays_bounded(spark, tmp_path, monkeypatch):
+    """N IDENTICAL-direction vectors defeat both locality-preserving
+    split levels: they share every salt-plane sign bit AND the same
+    quantized unit direction, so before the third (row-uniform tsalt)
+    level the whole group landed in ONE join/kernel group regardless of
+    the cap — the exact quadratic/OOM profile max_bucket exists to
+    prevent, on the canonical dedup input (millions of byte-identical
+    boilerplate docs). Asserts (a) the staging bound actually holds for
+    such a group under a forced cap, and (b) the resolution contract
+    still unifies it into one component via the (salt, tsalt)-ordered
+    delegate chain, identically across scorer tiers."""
+    import numpy as np
+
+    from docling_nlp_api_spark.operators.dedup import (
+        _near_dup_candidates,
+        embedding_dup_clusters,
+    )
+
+    rng = np.random.RandomState(11)
+    v = [float(x) for x in rng.normal(size=64)]
+    rows = [(i, v, 0) for i in range(60)]  # 60 copies of ONE direction
+    d = str(tmp_path / "sf_ident")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+
+    cap = 8
+    sizes = (
+        _near_dup_candidates(spark, d, max_bucket=cap)
+        .groupBy("label", "band", "bucket", "salt", "tsalt")
+        .count()
+        .agg(F.max("count").alias("mx"), F.count("*").alias("groups"))
+        .first()
+    )
+    # row-uniform hash split: group sizes fluctuate around cap, but the
+    # pre-fix failure mode was ONE group of all 60+ rows
+    assert sizes["groups"] >= 4, f"identical-direction group never split: {sizes}"
+    assert sizes["mx"] <= 3 * cap, f"bound violated: largest group {sizes['mx']}"
+
+    outs = {}
+    for tier in ("kernel", "pair", "sql"):
+        monkeypatch.setenv("SPARK_GRAFT_ANN_SCORER", tier)
+        outs[tier] = sorted(
+            map(tuple, embedding_dup_clusters(spark, d, max_bucket=cap).collect())
+        )
+    assert outs["kernel"] == outs["pair"] == outs["sql"]
+    members = {r[0] for r in outs["kernel"]}
+    canons = {r[1] for r in outs["kernel"]}
+    assert {i for i in range(60)} <= members
+    assert canons == {0}, f"identical-direction cluster fragmented: {canons}"
+
+
+def test_undecodable_image_degrades_to_null_not_job_failure(spark):
+    """One JPEG (or truncated) payload in an image batch must cost one
+    NULL row, not the task: decode_png only handles the engine's PNG
+    profile, while real-world media tables carry JPEGs — which the DIMS
+    sniffer reads via the SOF walk. Pre-fix, resize_images and
+    extract_media_metadata(with_features=True) let decode_png's
+    ValueError propagate out of mapInPandas and abort the whole job
+    (round-4 review finding). Asserts decodable rows keep real values,
+    the JPEG row keeps sniffer dims with NULL pixel fields, and a
+    truncated payload yields all-NULL."""
+    import struct
+
+    from docling_nlp_api_spark.operators.multimodal import (
+        extract_media_metadata,
+        png_bytes,
+        resize_images,
+    )
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    jpg = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xC0, b"\x08" + struct.pack(">HH", 480, 640) + b"\x03" + bytes(9))
+    )
+    rows = [
+        (1, "image", bytearray(png_bytes(16, 8, 3))),
+        (2, "image", bytearray(jpg)),
+        (3, "image", bytearray(b"\x00garbage")),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    )
+
+    rz = {r["doc_id"]: r for r in resize_images(media, target_w=8).collect()}
+    assert rz[1]["out_width"] == 8 and rz[1]["thumbnail"] is not None
+    assert (rz[2]["width"], rz[2]["height"]) == (640, 480)  # SOF dims survive
+    assert rz[2]["thumbnail"] is None and rz[2]["out_bytes"] is None
+    assert rz[3]["width"] is None and rz[3]["thumbnail"] is None
+
+    meta = {
+        r["doc_id"]: r
+        for r in extract_media_metadata(
+            media, with_features=True, decode_pixels=True
+        ).collect()
+    }
+    assert meta[1]["mean_pixel"] is not None and meta[1]["feature"] is not None
+    assert (meta[2]["width"], meta[2]["height"]) == (640, 480)
+    assert meta[2]["mean_pixel"] is None and meta[2]["feature"] is None
+    assert meta[3]["mean_pixel"] is None and meta[3]["feature"] is None

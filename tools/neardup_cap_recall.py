@@ -145,10 +145,16 @@ def main() -> None:
             for r in kept.groupBy("cband").agg(F.count("*").alias("n")).collect()
         }
         comp_c, mem_c, sec_cc = clusters(cap, f"cap{cap}")
+        # recall = |capped ∩ truth| / |truth| — NOT n_capped / n_truth,
+        # which silently inflates (even past 1.0) if the capped run ever
+        # emits a pair absent from the uncapped ground truth (e.g. a
+        # delegate chain edge); kept_by_band sums over the inner join,
+        # so extra capped-only pairs cannot count (round-4 review)
+        n_kept = sum(kept_by_band.values())
         report["caps"][cap] = {
             "pairs": n_capped,
             "sec": sec_capped,
-            "recall_total": round(n_capped / n_truth, 4) if n_truth else None,
+            "recall_total": round(n_kept / n_truth, 4) if n_truth else None,
             "recall_by_band": {
                 b: round(kept_by_band.get(b, 0) / n, 4)
                 for b, n in sorted(truth_by_band.items())
