@@ -285,6 +285,11 @@ def main() -> None:
                     help="row-count multiple of sf0.1 (100 -> 'sf10')")
     ap.add_argument("--out", default=None)
     ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated subset to generate (default all) — "
+                         "e.g. --tables embeddings for the near-dup scaling "
+                         "curve, where the other ten tables would be dead "
+                         "weight at mult=1000")
     args = ap.parse_args()
     out = args.out or os.path.join(REPO, ".data", f"star_sf{args.mult / 10:g}")
 
@@ -292,7 +297,11 @@ def main() -> None:
 
     spark = get_spark("star_tier_gen", cores=args.cores, shuffle_partitions=64)
     t0 = time.time()
-    for name, df in build_tables(spark, args.mult).items():
+    tables = build_tables(spark, args.mult)
+    if args.tables:
+        keep = set(args.tables.split(","))
+        tables = {n: df for n, df in tables.items() if n in keep}
+    for name, df in tables.items():
         t = time.time()
         df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
         print(f"{name}: {time.time() - t:.1f}s", flush=True)
