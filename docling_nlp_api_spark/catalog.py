@@ -632,15 +632,15 @@ _NEAR_DUPS = f"""
 all_docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, substr(text, 1, length(text) - {D.PLANT_TRUNC}) AS text
+  SELECT doc_id + {D.PLANT_OFFSET} AS doc_id, substr(text, 1, length(text) - {D.PLANT_TRUNC}) AS text
   FROM documents WHERE doc_id % {D.PLANT_EVERY} = 0
 )"""
 
-_EXACT_DUPS = """
+_EXACT_DUPS = f"""
 all_docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+  SELECT doc_id + {D.EXACT_PLANT_OFFSET} AS doc_id, text FROM documents WHERE doc_id % 17 = 0
 )"""
 
 _SHINGLES = f"""
@@ -666,7 +666,7 @@ _SIG = (
 def _exact_docs(s, d):
     base = docs(s, d).select("doc_id", "text")
     dups = base.filter(F.col("doc_id") % 17 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        (F.col("doc_id") + D.EXACT_PLANT_OFFSET).alias("doc_id"), "text"
     )
     return base.unionByName(dups)
 
@@ -751,7 +751,7 @@ WITH {_NEAR_DUPS}, {_SHINGLES}, {_SIG},
 bnd AS ({_BANDS_SQL}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bnd a JOIN bnd b USING (band, bucket) WHERE a.doc_id < b.doc_id),
-pl AS (SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+pl AS (SELECT doc_id AS doc_a, doc_id + {D.PLANT_OFFSET} AS doc_b
        FROM documents WHERE doc_id % {D.PLANT_EVERY} = 0),
 tot AS (SELECT COUNT(*) AS n_planted FROM pl),
 hit AS (SELECT COUNT(*) AS n_caught FROM pl
@@ -780,7 +780,7 @@ def _inc_frames(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Base corpus + the planted near-dup frame as an incoming snapshot."""
     base = df.select("doc_id", "text")
     new = base.filter(F.col("doc_id") % D.PLANT_EVERY == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (F.col("doc_id") + D.PLANT_OFFSET).alias("doc_id"),
         F.expr(f"substr(text, 1, length(text) - {D.PLANT_TRUNC})").alias("text"),
     )
     return base, new
@@ -790,8 +790,8 @@ q("dedup_incremental", f"""
 WITH {_NEAR_DUPS}, {_SHINGLES}, {_SIG},
 bnd AS ({_BANDS_SQL}),
 hset AS (SELECT doc_id, list_distinct(hs) AS hv FROM hs),
-nb AS (SELECT doc_id AS new_id, band, bucket FROM bnd WHERE doc_id >= 1000000),
-bs AS (SELECT doc_id AS base_id, band, bucket FROM bnd WHERE doc_id < 1000000),
+nb AS (SELECT doc_id AS new_id, band, bucket FROM bnd WHERE doc_id >= {D.PLANT_OFFSET}),
+bs AS (SELECT doc_id AS base_id, band, bucket FROM bnd WHERE doc_id < {D.PLANT_OFFSET}),
 pairs AS (SELECT DISTINCT new_id, base_id FROM nb JOIN bs USING (band, bucket)),
 f AS (SELECT new_id, base_id,
         ROUND(len(list_intersect(hn.hv, hb.hv)) * 1.0 /
@@ -935,7 +935,7 @@ def _band_sql(lo: int) -> str:
 _EMB_PAIR_CTES = f"""all_vecs AS (
   SELECT vec_id, label, embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + 1000000 AS vec_id, label,
+  SELECT vec_id + {D.PLANT_OFFSET} AS vec_id, label,
          list_transform(embedding, x -> x * CAST({D.VEC_PLANT_SCALE} AS FLOAT)) AS embedding
   FROM embeddings WHERE vec_id % {D.VEC_PLANT_EVERY} = 0
 ), e AS (

@@ -24,6 +24,16 @@ BANDS = 3              # default banding: 3 bands x 2 rows
 ROWS_PER_BAND = 2
 PLANT_EVERY = 10       # every 10th doc gets a planted near-dup
 PLANT_TRUNC = 25       # near-dup = text minus last 25 chars
+# Plant ids live in the top eighth of the signed-64 space so they can
+# never collide with a raw id at ANY realizable corpus size (raw ids
+# must stay below 2^61 ~= 2.3e18 — six decades above the 10^12-doc
+# design point). The original +1e6 offset silently collided at the 2M-
+# vector bench tier: 40k plants aliased raw vec_ids, deflating the
+# fused cluster count (BENCH/neardup_scaling.json, round 4). Exact-dup
+# plants (catalog _EXACT_DUPS) get their own disjoint block so a doc
+# planted by both rules cannot alias itself across families.
+PLANT_OFFSET = 1 << 62
+EXACT_PLANT_OFFSET = (1 << 62) + (1 << 61)
 
 # Universal-hash minhash family: ONE md5 per shingle (its first 32 bits
 # become h), then mh_i = min((A_i*h + B_i) mod P) — k integer perms per
@@ -57,11 +67,12 @@ def mh_constants(k: int) -> tuple[list[int], list[int]]:
 
 
 def with_planted_dups(docs: DataFrame) -> DataFrame:
-    """Append deterministic near-duplicates: doc_id+1000000, text truncated."""
+    """Append deterministic near-duplicates: doc_id+PLANT_OFFSET, text
+    truncated (offset rationale at the constant)."""
     dups = (
         docs.filter(F.col("doc_id") % PLANT_EVERY == 0)
         .select(
-            (F.col("doc_id") + 1000000).alias("doc_id"),
+            (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
             F.expr(f"substr(text, 1, length(text) - {PLANT_TRUNC})").alias("text"),
         )
     )
@@ -236,7 +247,7 @@ def lsh_recall(docs_raw: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAN
         .distinct()
     )
     planted = docs_raw.filter(F.col("doc_id") % PLANT_EVERY == 0).select(
-        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1000000).alias("doc_b")
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + PLANT_OFFSET).alias("doc_b")
     )
     tot = planted.agg(F.count("*").alias("n_planted"))
     hit = planted.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
@@ -427,13 +438,13 @@ VEC_PLANT_SCALE = 1.5  # exactly representable in binary -> identical in DuckDB
 
 
 def with_planted_vec_dups(emb: DataFrame) -> DataFrame:
-    """Append deterministic vector near-dups: vec_id+1000000, embedding
-    scaled by 1.5. Scaling preserves direction exactly, so the plant has
+    """Append deterministic vector near-dups: vec_id+PLANT_OFFSET,
+    embedding scaled by 1.5. Scaling preserves direction exactly, so the plant has
     cosine 1.0 with its source and identical hyperplane signs (always
     bucket-colocated) — the banded near-dup operator demonstrably finds
     every plant, mirroring with_planted_dups on the text side."""
     dups = emb.filter(F.col("vec_id") % VEC_PLANT_EVERY == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
         "label",
         F.expr(f"transform(embedding, x -> x * CAST({VEC_PLANT_SCALE} AS FLOAT))").alias(
             "embedding"

@@ -15,7 +15,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 
 from dedup_job import run_dedup  # noqa: E402
 
-from docling_nlp_api_spark.operators.dedup import with_planted_dups  # noqa: E402
+from docling_nlp_api_spark.operators.dedup import (  # noqa: E402
+    PLANT_OFFSET,
+    with_planted_dups,
+)
 
 
 def _docs(spark, sf_dir):
@@ -44,13 +47,13 @@ def test_dedup_job_end_to_end(spark, sf_dir):
             assert (r.doc_id in kept_ids) == bool(r.is_canonical)
             assert r.is_canonical == (r.doc_id == r.canonical_id)
 
-        # the planted near-dups (doc_id + 1000000, truncated text) must
+        # the planted near-dups (doc_id + PLANT_OFFSET, truncated text) must
         # cluster with their sources, and the source (min id) wins
-        planted = {r.doc_id for r in clusters.filter("doc_id >= 1000000").collect()}
+        planted = {r.doc_id for r in clusters.filter(f"doc_id >= {PLANT_OFFSET}").collect()}
         assert planted, "no planted dup was clustered"
         canon = {r.doc_id: r.canonical_id for r in clusters.collect()}
         for pid in planted:
-            assert canon[pid] < 1000000
+            assert canon[pid] < PLANT_OFFSET
 
         # idempotence: a second run over the same input reproduces the
         # metrics and the keep-set byte-for-byte
@@ -78,8 +81,8 @@ def test_multiband_candidates_beat_single_band_recall(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     planted = {
-        (r.doc_id, r.doc_id + 1000000)
-        for r in docs.filter("doc_id % 10 = 0 AND doc_id < 1000000")
+        (r.doc_id, r.doc_id + PLANT_OFFSET)
+        for r in docs.filter(f"doc_id % 10 = 0 AND doc_id < {PLANT_OFFSET}")
         .select("doc_id").collect()
     }
 

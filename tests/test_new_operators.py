@@ -420,8 +420,8 @@ def test_minhash_k32_family_and_banding_consistency(spark, sf_dir):
     import hashlib
 
     from docling_nlp_api_spark.operators.dedup import (
-        MH_A, MH_B, MH_P, band_bucket, mh_constants, minhash_signatures,
-        with_planted_dups,
+        MH_A, MH_B, MH_P, PLANT_OFFSET, band_bucket, mh_constants,
+        minhash_signatures, with_planted_dups,
     )
 
     a, b = mh_constants(32)
@@ -453,7 +453,7 @@ def test_minhash_k32_family_and_banding_consistency(spark, sf_dir):
             assert r[f"bucket{bb}"] == hashlib.md5(raw.encode()).hexdigest()
 
     by_doc = {r["doc_id"]: [r[f"bucket{bb}"] for bb in range(bands)] for r in bucketed}
-    planted = [(d, d + 1000000) for d in by_doc if d + 1000000 in by_doc]
+    planted = [(d, d + PLANT_OFFSET) for d in by_doc if d + PLANT_OFFSET in by_doc]
     assert len(planted) >= 10
     for src, dup in planted:
         assert any(x == y for x, y in zip(by_doc[src], by_doc[dup])), (src, dup)
@@ -1839,6 +1839,7 @@ def test_embedding_neardup_bucket_cap(spark, sf_dir):
     identical quantized direction, so neither split tier can part the
     pair) survives."""
     from docling_nlp_api_spark.operators.dedup import (
+        PLANT_OFFSET,
         VEC_PLANT_EVERY,
         embedding_near_dup,
     )
@@ -1853,7 +1854,7 @@ def test_embedding_neardup_bucket_cap(spark, sf_dir):
     capped = embedding_near_dup(spark, sf, max_bucket=8)
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     n_vecs = spark.read.parquet(f"{sf}/embeddings.parquet").count()
-    planted = {(v, v + 1_000_000) for v in range(0, n_vecs, VEC_PLANT_EVERY)}
+    planted = {(v, v + PLANT_OFFSET) for v in range(0, n_vecs, VEC_PLANT_EVERY)}
     assert planted <= got
 
 

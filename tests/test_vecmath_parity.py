@@ -68,6 +68,7 @@ def test_scorers_agree_embedding_dup_clusters(spark, sf_dir, monkeypatch):
     obey the transitive-closure invariant (canonical_id is itself a
     member with is_canonical=True)."""
     from docling_nlp_api_spark.operators.dedup import (
+        PLANT_OFFSET,
         VEC_PLANT_EVERY,
         embedding_dup_clusters,
     )
@@ -83,7 +84,7 @@ def test_scorers_agree_embedding_dup_clusters(spark, sf_dir, monkeypatch):
     # every plant is a scaled copy of its base: same component, and the
     # base (smaller id) is the component minimum unless an even-nearer
     # neighbor absorbed both — either way they share one label
-    plants = [(v - 1_000_000, v) for v in label if v >= 1_000_000]
+    plants = [(v - PLANT_OFFSET, v) for v in label if v >= PLANT_OFFSET]
     assert plants, "no planted dups clustered"
     for base, plant in plants:
         assert label.get(base) == label[plant]
