@@ -207,7 +207,10 @@ def temperature_resample(docs: DataFrame) -> DataFrame:
 
 
 def pack_sequences(
-    docs: DataFrame, max_tokens: int = PACK_MAX_TOKENS, n_shards: int = PACK_SHARDS
+    docs: DataFrame,
+    max_tokens: int = PACK_MAX_TOKENS,
+    n_shards: int = PACK_SHARDS,
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing: docs are concatenated
     in a deterministic order and cut into fixed max_tokens training
@@ -222,20 +225,28 @@ def pack_sequences(
     Within a shard the running token offset is a cumsum window ordered
     by doc_id — per-shard state, bounded by corpus/n_shards, no global
     order anywhere. All arithmetic (cumsum, DIV, %) is integer-exact
-    cross-engine."""
+    cross-engine.
+
+    extra_keys: additional packing-stream keys AHEAD of the md5 shard —
+    e.g. ("split",) so train/val/test pack into disjoint sequence
+    streams and no training sequence ever straddles a split boundary
+    (jobs/pack_job.py). Default () is the oracle-pinned single-corpus
+    form (sample_pack_sequences) — same plan, bit for bit."""
     ntok = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
     shard = _bucket(PACK_SALT, F.col("doc_id"), mod=n_shards)
+    keys = list(extra_keys)
     base = docs.select(
-        "doc_id", shard.alias("shard"), ntok.cast("long").alias("n_tokens")
+        "doc_id", *keys, shard.alias("shard"), ntok.cast("long").alias("n_tokens")
     )
     w = (
-        Window.partitionBy("shard")
+        Window.partitionBy(*keys, "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off")
-    return base.select("doc_id", "shard", "n_tokens", start).select(
+    return base.select("doc_id", *keys, "shard", "n_tokens", start).select(
         "doc_id",
+        *keys,
         "shard",
         "n_tokens",
         "start_off",
