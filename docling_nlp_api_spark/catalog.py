@@ -2560,6 +2560,41 @@ SELECT doc_id, shard, n_tokens, CAST(start_off AS BIGINT) AS start_off,
 FROM off
 """)(lambda s, d: SP.pack_sequences(docs(s, d)))
 
+# the CONTENT half of packing: every sequence materialized from its
+# member docs' token fragments; compared as (length, md5-of-joined)
+# per sequence — tokens are \S+ runs so the space join is collision-free
+q("sample_pack_materialize", f"""
+WITH base AS (
+  SELECT doc_id,
+         {_BKTM.format(salt=SP.PACK_SALT, mod=SP.PACK_SHARDS)} AS shard,
+         regexp_extract_all(text, '\\S+') AS toks,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
+  FROM documents),
+off AS (SELECT doc_id, shard, toks, n,
+               CAST(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS s
+        FROM base),
+frag AS (
+  SELECT shard, u.seq AS seq_idx, s,
+         toks[CAST(greatest(u.seq * {SP.PACK_MAX_TOKENS}, s) - s + 1 AS BIGINT) :
+              CAST(least((u.seq + 1) * {SP.PACK_MAX_TOKENS}, s + n) - s AS BIGINT)]
+           AS frag
+  FROM off, UNNEST(generate_series(s // {SP.PACK_MAX_TOKENS},
+                                   (s + n - 1) // {SP.PACK_MAX_TOKENS})) AS u(seq)
+  WHERE n > 0),
+seqs AS (SELECT shard, seq_idx, flatten(list(frag ORDER BY s)) AS tokens
+         FROM frag GROUP BY shard, seq_idx)
+SELECT shard, CAST(seq_idx AS BIGINT) AS seq_idx,
+       CAST(len(tokens) AS BIGINT) AS n_seq_tokens,
+       md5(array_to_string(tokens, ' ')) AS seq_hash
+FROM seqs
+""")(lambda s, d: SP.materialize_sequences(docs(s, d)).select(
+    "shard",
+    "seq_idx",
+    F.size("tokens").cast("long").alias("n_seq_tokens"),
+    F.md5(F.concat_ws(" ", "tokens")).alias("seq_hash"),
+))
+
 # charset plane: the fixture is clean ASCII, so both engines append the
 # SAME deterministic per-doc tails (accents / a control byte / U+FFFD)
 def _charset_aug(df: DataFrame) -> DataFrame:
@@ -2811,6 +2846,9 @@ DEMOTED = [
     "a12_pipeline_metrics",
     "s3_stream_extract",
     "u1_span_boilerplate",
+    # round-4 late addition: tail membership keeps the rotated driver
+    # window stable; the tail oracle suite runs the identical comparison
+    "sample_pack_materialize",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

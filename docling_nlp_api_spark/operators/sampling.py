@@ -255,6 +255,83 @@ def pack_sequences(
     )
 
 
+def materialize_sequences(
+    docs: DataFrame,
+    max_tokens: int = PACK_MAX_TOKENS,
+    n_shards: int = PACK_SHARDS,
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """The CONTENT half of sequence packing: where pack_sequences emits
+    each doc's placement, this emits the packed sequences themselves —
+    (shard, seq_idx, tokens) with every sequence exactly max_tokens long
+    except each stream's tail. The step a trainer actually consumes.
+
+    Same deterministic layout as pack_sequences (identical md5 shard,
+    identical cumsum-by-doc_id offsets — the two operators tile the same
+    token axis). Each doc then cuts its OWN token array into per-sequence
+    fragments row-locally (a doc touches ceil(n/max_tokens)+1 sequences
+    at most: explode(sequence(first_seq, last_seq)) + slice — no
+    corpus-wide state), and one groupBy (shard, seq_idx) exchange
+    reassembles fragments in start_off order. That exchange necessarily
+    carries the corpus text ONCE — sequences are made of it — keyed by
+    the uniform md5 shard, so it balances at any corpus size; everything
+    else is map-side. Zero-token docs occupy no tokens and emit no
+    fragment (their placement still exists in pack_sequences).
+
+    extra_keys: as in pack_sequences — e.g. ("split",) for split-isolated
+    streams in jobs/pack_job.py."""
+    keys = list(extra_keys)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    shard = _bucket(PACK_SALT, F.col("doc_id"), mod=n_shards)
+    base = docs.select(
+        "doc_id", *keys, shard.alias("shard"), toks.alias("toks")
+    ).withColumn("n_tokens", F.size("toks").cast("long"))
+    w = (
+        Window.partitionBy(*keys, "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    placed = base.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    frags = placed.select(
+        *keys,
+        "shard",
+        "start_off",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_off DIV {max_tokens}"),
+                F.expr(f"(start_off + n_tokens - 1) DIV {max_tokens}"),
+            )
+        ).alias("seq_idx"),
+        "toks",
+        "n_tokens",
+    ).select(
+        *keys,
+        "shard",
+        "seq_idx",
+        "start_off",
+        F.expr(
+            f"slice(toks, CAST(greatest(seq_idx * {max_tokens}, start_off)"
+            f" - start_off + 1 AS INT),"
+            f" CAST(least((seq_idx + 1) * {max_tokens}, start_off + n_tokens)"
+            f" - greatest(seq_idx * {max_tokens}, start_off) AS INT))"
+        ).alias("frag"),
+    )
+    return (
+        frags.groupBy(*keys, "shard", "seq_idx")
+        .agg(
+            F.flatten(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(start_off, frag))),"
+                    " x -> x.frag)"
+                )
+            ).alias("tokens")
+        )
+        .select(*keys, "shard", "seq_idx", "tokens")
+    )
+
+
 def dataset_card(docs: DataFrame) -> DataFrame:
     """The dataset-card rollup every corpus release publishes: doc and
     char mass per (lang x source) cell PLUS both marginals and the grand

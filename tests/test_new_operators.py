@@ -674,6 +674,55 @@ def test_pack_sequences_planted(spark):
     assert got[3] == {"doc_id": 3, "shard": 0, "n_tokens": 2, "start_off": 7, "seq_idx": 1, "seq_off": 2}
 
 
+def test_materialize_sequences_planted(spark):
+    """Content half of the planted pack case (same 3 docs, one shard,
+    max 5): sequence 0 = [a b c | d e], sequence 1 = [f g | h i] — doc 2
+    straddles the boundary, fragments reassemble in start_off order, the
+    tail is short, and a zero-token doc contributes nothing. Consistency
+    with pack_sequences: each doc's tokens begin in the sequence its
+    placement names, at its seq_off."""
+    from docling_nlp_api_spark.operators.sampling import (
+        materialize_sequences,
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, "h i"), (4, "  \t ")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["seq_idx"]: list(r["tokens"])
+        for r in materialize_sequences(df, max_tokens=5, n_shards=1).collect()
+    }
+    assert got == {0: ["a", "b", "c", "d", "e"], 1: ["f", "g", "h", "i"]}
+
+    placed = pack_sequences(df, max_tokens=5, n_shards=1).collect()
+    for p in placed:
+        if p["n_tokens"] == 0:
+            continue
+        seq = got[p["seq_idx"]]
+        first = {1: "a", 2: "d", 3: "h"}[p["doc_id"]]
+        assert seq[p["seq_off"]] == first, p
+
+    # multi-shard: every sequence is exactly max_tokens except each
+    # shard's tail, and the token mass reconciles with the input
+    many = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(1 + i % 7))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    seqs = materialize_sequences(many, max_tokens=8, n_shards=4).collect()
+    by_shard: dict = {}
+    for r in seqs:
+        by_shard.setdefault(r["shard"], []).append((r["seq_idx"], len(r["tokens"])))
+    total = sum(1 + i % 7 for i in range(60))
+    assert sum(n for rows in by_shard.values() for _, n in rows) == total
+    for shard, rows in by_shard.items():
+        rows.sort()
+        assert [i for i, _ in rows] == list(range(len(rows))), (shard, rows)
+        assert all(n == 8 for _, n in rows[:-1]), (shard, rows)
+        assert 1 <= rows[-1][1] <= 8
+
+
 def test_dataset_card_planted(spark):
     """CUBE over 2 langs x 2 sources: 3 populated cells + 2+2 marginals
     + grand total = 8 rows; grouping flags separate rollups from cells."""
