@@ -2582,17 +2582,25 @@ frag AS (
   FROM off, UNNEST(generate_series(s // {SP.PACK_MAX_TOKENS},
                                    (s + n - 1) // {SP.PACK_MAX_TOKENS})) AS u(seq)
   WHERE n > 0),
-seqs AS (SELECT shard, seq_idx, flatten(list(frag ORDER BY s)) AS tokens
+seqs AS (SELECT shard, seq_idx, flatten(list(frag ORDER BY s)) AS tokens,
+                COALESCE(array_to_string(
+                  list(s - seq_idx * {SP.PACK_MAX_TOKENS} ORDER BY s)
+                    FILTER (WHERE s >= seq_idx * {SP.PACK_MAX_TOKENS}), ','
+                ), '') AS doc_starts_csv
          FROM frag GROUP BY shard, seq_idx)
 SELECT shard, CAST(seq_idx AS BIGINT) AS seq_idx,
        CAST(len(tokens) AS BIGINT) AS n_seq_tokens,
-       md5(array_to_string(tokens, ' ')) AS seq_hash
+       md5(array_to_string(tokens, ' ')) AS seq_hash,
+       doc_starts_csv
 FROM seqs
 """)(lambda s, d: SP.materialize_sequences(docs(s, d)).select(
     "shard",
     "seq_idx",
     F.size("tokens").cast("long").alias("n_seq_tokens"),
     F.md5(F.concat_ws(" ", "tokens")).alias("seq_hash"),
+    F.expr(
+        "array_join(transform(doc_starts, x -> cast(x AS STRING)), ',')"
+    ).alias("doc_starts_csv"),
 ))
 
 # charset plane: the fixture is clean ASCII, so both engines append the

@@ -263,8 +263,15 @@ def materialize_sequences(
 ) -> DataFrame:
     """The CONTENT half of sequence packing: where pack_sequences emits
     each doc's placement, this emits the packed sequences themselves —
-    (shard, seq_idx, tokens) with every sequence exactly max_tokens long
-    except each stream's tail. The step a trainer actually consumes.
+    (shard, seq_idx, tokens, doc_starts) with every sequence exactly
+    max_tokens long except each stream's tail. The step a trainer
+    actually consumes: doc_starts lists the in-sequence offsets where a
+    NEW document begins, ascending — the carry-over fragment of a doc
+    straddling in is not a start (its start lies in an earlier
+    sequence); a doc beginning exactly on the boundary appears at
+    offset 0. Exactly the positions an attention mask or EOD insertion
+    needs, emitted here because they are irrecoverable from the token
+    stream alone.
 
     Same deterministic layout as pack_sequences (identical md5 shard,
     identical cumsum-by-doc_id offsets — the two operators tile the same
@@ -321,14 +328,18 @@ def materialize_sequences(
     return (
         frags.groupBy(*keys, "shard", "seq_idx")
         .agg(
-            F.flatten(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(start_off, frag))),"
-                    " x -> x.frag)"
-                )
-            ).alias("tokens")
+            F.expr("array_sort(collect_list(struct(start_off, frag)))").alias("fs")
         )
-        .select(*keys, "shard", "seq_idx", "tokens")
+        .select(
+            *keys,
+            "shard",
+            "seq_idx",
+            F.expr("flatten(transform(fs, x -> x.frag))").alias("tokens"),
+            F.expr(
+                f"transform(filter(fs, x -> x.start_off >= seq_idx * {max_tokens}),"
+                f" x -> x.start_off - seq_idx * {max_tokens})"
+            ).alias("doc_starts"),
+        )
     )
 
 

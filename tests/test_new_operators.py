@@ -690,11 +690,13 @@ def test_materialize_sequences_planted(spark):
         [(1, "a b c"), (2, "d e f g"), (3, "h i"), (4, "  \t ")],
         "doc_id long, text string",
     )
-    got = {
-        r["seq_idx"]: list(r["tokens"])
-        for r in materialize_sequences(df, max_tokens=5, n_shards=1).collect()
-    }
+    rows = materialize_sequences(df, max_tokens=5, n_shards=1).collect()
+    got = {r["seq_idx"]: list(r["tokens"]) for r in rows}
     assert got == {0: ["a", "b", "c", "d", "e"], 1: ["f", "g", "h", "i"]}
+    # doc boundaries: docs 1/2 start in seq 0 at offsets 0/3; doc 2's
+    # carry-over into seq 1 is NOT a start, doc 3 starts there at 2
+    starts = {r["seq_idx"]: list(r["doc_starts"]) for r in rows}
+    assert starts == {0: [0, 3], 1: [2]}
 
     placed = pack_sequences(df, max_tokens=5, n_shards=1).collect()
     for p in placed:
