@@ -143,6 +143,14 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         [r"(Generate[\s\S]*){2,}"],
         ["Exchange", "Join", r"(regexp_extract_all\(lower[\s\S]*){2,}"],
     ),
+    # sequence materialization: the corpus text crosses exactly ONE
+    # exchange (the shard window's hashpartitioning, which the
+    # (shard, seq_idx) aggregate reuses — shard is a subset of the
+    # grouping keys); fragment slicing is row-local, no join, no Python
+    "sample_pack_materialize": (
+        ["Window", "Generate"],
+        [r"(Exchange hashpartitioning[\s\S]*){2,}", "Join", "Python"],
+    ),
     # URL normalize+parse: pure codegen'd string algebra fused into the
     # scan — zero shuffle, zero join
     "url_parse_normalize": ([CODEGEN], ["Exchange", "Join"]),
