@@ -35,6 +35,9 @@ Outputs under --output:
                  repartitioned by (split, shard)
     streams/     parquet (split, shard, n_docs, n_tokens, n_seqs,
                  tail_tokens) — per-stream accounting
+    sequences/   (--materialize only) parquet (split, shard, seq_idx,
+                 tokens, doc_starts) — the packed token content itself,
+                 reconciled stream-by-stream against streams/
     metrics.json per-split totals + the reconciliation verdicts
 
 Exact token accounting (asserted in-job, re-read from the LANDED
@@ -74,13 +77,25 @@ def run_pack(
     output: str,
     max_tokens: int = 512,
     shards: int = 8,
+    materialize: bool = False,
 ) -> dict:
     """Compose split -> per-stream packing -> partitioned write over
     `docs` (doc_id, text). Returns the metrics dict; every count in it is
-    re-read from the written tables."""
+    re-read from the written tables.
+
+    materialize=True additionally writes sequences/ — the packed token
+    content itself, (split, shard, seq_idx, tokens, doc_starts), the
+    table a trainer reads — and reconciles it stream by stream against
+    the placement accounting (invariant 4): per (split, shard) the
+    sequence count equals n_seqs, the token mass equals n_tokens, no
+    sequence exceeds max_tokens, and at most one (the tail) is short.
+    Off by default: placement is metadata-sized, while sequences/
+    duplicates the corpus text — at 100 TB you run it when exporting,
+    not when auditing."""
     from pyspark.sql import functions as F
 
     from docling_nlp_api_spark.operators.sampling import (
+        materialize_sequences,
         pack_sequences,
         with_split,
     )
@@ -111,7 +126,11 @@ def run_pack(
         .partitionBy("split")
         .parquet(os.path.join(output, "doc_map"))
     )
-    doc_map = spark.read.parquet(os.path.join(output, "doc_map"))
+    # explicit schema: a zero-row write under partitionBy lands no data
+    # files, and schema inference on it would fail the whole job
+    doc_map = spark.read.schema(placed.schema).parquet(
+        os.path.join(output, "doc_map")
+    )
 
     # per-stream accounting with in-row arithmetic verdicts (invariant
     # 2): one boolean pair per stream, so a violation names its
@@ -188,6 +207,59 @@ def run_pack(
     assert tok_placed == tok_in, metrics
     # invariant 2: every stream's arithmetic reconciles
     assert bad_streams == 0, metrics
+
+    if materialize:
+        seqs = materialize_sequences(
+            with_split(docs), max_tokens=max_tokens, n_shards=shards,
+            extra_keys=("split",),
+        )
+        (
+            seqs.repartition("split", "shard")
+            .sortWithinPartitions("split", "shard", "seq_idx")
+            .write.mode("overwrite")
+            .partitionBy("split")
+            .parquet(os.path.join(output, "sequences"))
+        )
+        # explicit schema: an all-zero-token corpus writes zero sequences
+        # (no data files) — inference would raise UNABLE_TO_INFER_SCHEMA
+        landed = spark.read.schema(seqs.schema).parquet(
+            os.path.join(output, "sequences")
+        )
+        recon = (
+            landed.groupBy("split", "shard")
+            .agg(
+                F.count("*").alias("m_seqs"),
+                F.sum(F.size("tokens")).alias("m_tokens"),
+                F.max(F.size("tokens")).alias("m_max"),
+                F.sum((F.size("tokens") < max_tokens).cast("int")).alias("m_short"),
+            )
+            .join(streams, ["split", "shard"], "full")
+            .withColumn(
+                "seq_ok",
+                (F.col("m_seqs") == F.col("n_seqs"))
+                & (F.col("m_tokens") == F.col("n_tokens"))
+                & (F.col("m_max") <= max_tokens)
+                & (F.col("m_short") <= 1),
+            )
+        )
+        # a stream of only zero-token docs has placement rows but no
+        # sequences — the full join leaves its materialized side NULL
+        bad_mat = recon.filter(
+            ~F.coalesce(
+                F.col("seq_ok")
+                | ((F.col("n_tokens") == 0) & F.col("m_seqs").isNull()),
+                F.lit(False),
+            )
+        ).count()
+        metrics["sequences"] = {
+            "n_seqs": landed.count(),
+            "bad_streams": bad_mat,
+        }
+        # invariant 4: the materialized content matches the accounting
+        assert bad_mat == 0, metrics
+        assert metrics["sequences"]["n_seqs"] == sum(
+            v["n_seqs"] for v in per_split.values()
+        ), metrics
     with open(os.path.join(output, "metrics.json"), "w") as f:
         json.dump(metrics, f)
     docs.unpersist()
@@ -201,6 +273,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True, help="output root (doc_map/streams/metrics)")
     p.add_argument("--max-tokens", type=int, default=512, help="training sequence length")
     p.add_argument("--shards", type=int, default=8, help="packing streams per split")
+    p.add_argument("--materialize", action="store_true",
+                   help="also write sequences/ (the packed token content)")
     p.add_argument("--cores", type=int, default=None, help="local[N] cores (sandbox only)")
     args = p.parse_args(argv)
     if not args.input and not args.tier:
@@ -216,7 +290,10 @@ def main(argv: list[str] | None = None) -> int:
         docs = spark.read.parquet(
             os.path.join(tier_dir, args.tier, "documents.parquet")
         ).select("doc_id", "text")
-    metrics = run_pack(spark, docs, args.output, args.max_tokens, args.shards)
+    metrics = run_pack(
+        spark, docs, args.output, args.max_tokens, args.shards,
+        materialize=args.materialize,
+    )
     print(json.dumps(metrics))
     spark.stop()
     return 0

@@ -107,6 +107,56 @@ def test_pack_job_end_to_end(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_pack_job_materialize(spark, sf_dir):
+    """--materialize writes the consumable sequences table; its content
+    must reconcile with the placement accounting AND, stream by stream,
+    equal the member docs' tokens concatenated in doc_id order."""
+    out = tempfile.mkdtemp(prefix="pack_job_mat_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        m = run_pack(
+            spark, docs, out, max_tokens=MAX_TOKENS, shards=SHARDS,
+            materialize=True,
+        )
+        assert m["sequences"]["bad_streams"] == 0
+        assert m["sequences"]["n_seqs"] == sum(
+            v["n_seqs"] for v in m["splits"].values()
+        )
+
+        # one stream, end to end: concatenating its sequences in seq_idx
+        # order reproduces the member docs' tokens in doc_id order
+        seqs = spark.read.parquet(os.path.join(out, "sequences"))
+        first = seqs.select("split", "shard").first()
+        got = [
+            t
+            for r in seqs.filter(
+                (seqs.split == first.split) & (seqs.shard == first.shard)
+            )
+            .orderBy("seq_idx")
+            .collect()
+            for t in r.tokens
+        ]
+        members = sorted(
+            (r.doc_id, r.text)
+            for r in docs.collect()
+            if _py_bucket("pack:v1", r.doc_id, SHARDS) == first.shard
+            and (
+                "val"
+                if _py_bucket("split:v1", r.doc_id, 100) < 5
+                else "test"
+                if _py_bucket("split:v1", r.doc_id, 100) < 10
+                else "train"
+            )
+            == first.split
+        )
+        want = [t for _, text in members for t in text.split()]
+        assert got == want
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_pack_job_zero_token_docs(spark):
     """Whitespace-only and empty docs occupy no tokens but must still be
     placed (lossless) without tripping the stream verdicts — including
@@ -128,5 +178,19 @@ def test_pack_job_zero_token_docs(spark):
         assert m["n_docs_placed"] == 6
         assert m["n_tokens_placed"] == m["n_tokens_in"] == 3 + 0 + 0 + 100 + 1 + 0
         assert m["bad_streams"] == 0
+
+        # an all-zero-token corpus: placement rows exist, sequences/ is
+        # empty, and the stream reconciliation must accept the NULL side
+        empty = spark.createDataFrame(
+            [(1, ""), (2, " \t ")], "doc_id long, text string"
+        )
+        out2 = tempfile.mkdtemp(prefix="pack_job_allzero_")
+        try:
+            m2 = run_pack(spark, empty, out2, max_tokens=8, shards=1,
+                          materialize=True)
+            assert m2["n_docs_placed"] == 2 and m2["n_tokens_placed"] == 0
+            assert m2["sequences"] == {"n_seqs": 0, "bad_streams": 0}
+        finally:
+            shutil.rmtree(out2, ignore_errors=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
