@@ -1222,17 +1222,16 @@ def t4_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql(
-    n_clusters: int = 8, iters: int = 2, k: int = 3, query_mod: int = 100, nprobe: int = 1
-) -> str:
-    """DuckDB mirror of similarity.kmeans_fit + ivf_kmeans_topk: Lloyd
-    iterations unrolled as CTE pairs. The cross-engine contract is the
+def _kmeans_prefix_parts(n_clusters: int = 8, iters: int = 2):
+    """Shared Lloyd-unroll CTE prefix: DuckDB mirror of
+    similarity.kmeans_fit as CTE pairs, ending in `af` = the final
+    (vec_id, v, cl) assignment. The cross-engine contract is the
     ROUND(centroid, 6) after init and after every mean update — it
     absorbs the ~1e-13 summation-order drift that would otherwise cascade
     through assignments. Distances: expanded dot-product form (|v|^2 -
-    2<v,c> + |c|^2), ties pinned by (distance, cluster id). nprobe>1
-    mirrors the engine's probe-list explode: queries rank ALL centroids
-    and keep rn <= nprobe; candidates keep their rn = 1 assignment."""
+    2<v,c> + |c|^2), ties pinned by (distance, cluster id). Returns
+    (parts, prev_centroid_cte_name, sq_dist_template) so callers can add
+    their own consumers of `af`/`{prev}`."""
     sq = ("list_dot_product(v, v) - 2 * list_dot_product(v, {c}.cv) "
           "+ list_dot_product({c}.cv, {c}.cv)")
     parts = [f"""
@@ -1260,7 +1259,19 @@ af AS (SELECT vec_id, v, cl FROM (
   SELECT e.vec_id, e.v, {prev}.cl,
          ROW_NUMBER() OVER (PARTITION BY e.vec_id
                             ORDER BY {sq.format(c=prev)}, {prev}.cl) AS rn
-  FROM e CROSS JOIN {prev}) WHERE rn = 1),
+  FROM e CROSS JOIN {prev}) WHERE rn = 1)""")
+    return parts, prev, sq
+
+
+def _kmeans_oracle_sql(
+    n_clusters: int = 8, iters: int = 2, k: int = 3, query_mod: int = 100, nprobe: int = 1
+) -> str:
+    """DuckDB mirror of similarity.ivf_kmeans_topk over the shared Lloyd
+    prefix. nprobe>1 mirrors the engine's probe-list explode: queries
+    rank ALL centroids and keep rn <= nprobe; candidates keep their
+    rn = 1 assignment."""
+    parts, prev, sq = _kmeans_prefix_parts(n_clusters, iters)
+    parts.append(f"""
 qs AS (SELECT vec_id AS query_id, v AS qe, cl AS ql FROM (
   SELECT e.vec_id, e.v, {prev}.cl,
          ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1291,6 +1302,30 @@ q("ann_ivf_kmeans_topk", _kmeans_oracle_sql())(
 q("ann_ivf_nprobe2_topk", _kmeans_oracle_sql(nprobe=2))(
     lambda s, d: S.ivf_kmeans_topk(s, d, nprobe=2).withColumn("rk", F.col("rk").cast("long"))
 )
+
+
+def _semdedup_oracle_sql(
+    n_clusters: int = 8, iters: int = 2, eps: float = D.SEMDEDUP_EPS
+) -> str:
+    """DuckDB mirror of dedup.semdedup over the shared Lloyd prefix:
+    within-cluster pairs (lo < hi), cosine rounded to 4 BEFORE the eps
+    compare (the engine's contract), dup_of = MIN lower partner."""
+    parts, _prev, _sq = _kmeans_prefix_parts(n_clusters, iters)
+    parts.append(f"""
+p AS (SELECT b.vec_id AS hi, a.vec_id AS lo,
+             ROUND(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+      FROM af a JOIN af b ON a.cl = b.cl AND a.vec_id < b.vec_id),
+d AS (SELECT hi, MIN(lo) AS dup_of FROM p WHERE cosine >= {eps} GROUP BY hi)""")
+    return ("WITH" + ",".join(parts) + """
+SELECT af.vec_id, CAST(af.cl AS INT) AS cluster,
+       d.hi IS NOT NULL AS is_dup, CAST(d.dup_of AS BIGINT) AS dup_of
+FROM af LEFT JOIN d ON af.vec_id = d.hi
+""")
+
+
+q("dedup_semdedup", _semdedup_oracle_sql())(lambda s, d: D.semdedup(s, d))
 
 
 # width/height are the planted PNG-header dims (engine side parses real
@@ -2688,6 +2723,51 @@ FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) t(k)
 GROUP BY 1
 """)(t4_streaming_sliding)
 
+def _bm25_oracle_sql(terms: tuple[str, ...] = N.SEARCH_TERMS, k: int = N.BM25_TOP_K) -> str:
+    tf_cols = ",\n                     ".join(
+        f"len(list_filter(toks, w -> w = '{t}')) AS tf_{t}" for t in terms
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in terms
+    )
+    score = "\n     + ".join(
+        f"ln((n_docs - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0) * tf_{t}"
+        f" / (tf_{t} + {N.BM25_K1} * (1.0 - {N.BM25_B} + {N.BM25_B} * dl / avgdl))"
+        for t in terms
+    )
+    keep = " OR ".join(f"tf_{t} > 0" for t in terms)
+    tf_out = ", ".join(f"CAST(tf_{t} AS BIGINT) AS tf_{t}" for t in terms)
+    return f"""
+WITH base AS (SELECT doc_id, len(toks) AS dl,
+                     {tf_cols}
+              FROM (SELECT doc_id, {TOKS} AS toks FROM documents)),
+st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl, {df_cols} FROM base)
+SELECT doc_id, CAST(dl AS BIGINT) AS dl, {tf_out},
+       ROUND({score}, 4) AS bm25
+FROM base CROSS JOIN st WHERE {keep}
+ORDER BY bm25 DESC, doc_id LIMIT {k}
+"""
+
+
+q("nlp_bm25_topk", _bm25_oracle_sql())(lambda s, d: N.bm25_topk(docs(s, d)))
+
+q("tq_char_entropy", f"""
+WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).', 0)) AS c
+            FROM documents),
+cc AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY 1, 2),
+e AS (SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS nd,
+             SUM(cnt * log2(cnt)) AS s
+      FROM cc GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(e.n, 0) AS BIGINT) AS n_chars,
+       CAST(COALESCE(e.nd, 0) AS BIGINT) AS n_distinct_chars,
+       ROUND(log2(e.n) - e.s / e.n, 4) AS char_entropy,
+       COALESCE(e.n >= {Q.ENTROPY_MIN_CHARS}
+                AND ROUND(log2(e.n) - e.s / e.n, 4) < {Q.ENTROPY_MIN_BITS},
+                FALSE) AS low_entropy
+FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
+""")(lambda s, d: Q.char_entropy(docs(s, d)))
+
 QUERIES["u1_u3_extract_spans"] = extract_flat
 QUERIES["s4_s8_extract_render"] = extract_render
 QUERIES["s1_s3_binaryfile_ingest"] = binaryfile_ingest_summary
@@ -2857,6 +2937,9 @@ DEMOTED = [
     # round-4 late addition: tail membership keeps the rotated driver
     # window stable; the tail oracle suite runs the identical comparison
     "sample_pack_materialize",
+    "dedup_semdedup",
+    "nlp_bm25_topk",
+    "tq_char_entropy",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -1650,3 +1650,78 @@ def exact_dedup_normalized(docs: DataFrame) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+SEMDEDUP_EPS = 0.40  # matches the embedding near-dup threshold contract
+
+
+def semdedup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_clusters: int = 8,
+    iters: int = 2,
+    eps: float = SEMDEDUP_EPS,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): semantic dedup by k-means
+    clustering the embedding space and comparing pairs ONLY within a
+    cluster — the cluster partition bounds the quadratic instead of an
+    LSH band (the embedding_near_dup family). Per vector: its learned
+    cluster, an is_dup verdict (EXISTS a same-cluster partner with LOWER
+    vec_id and cosine >= eps — the deterministic keep-lowest-id rule,
+    one survivor per epsilon-chain seed), and dup_of = the smallest such
+    partner. The quantizer is the exact IVF quantizer
+    (similarity.kmeans_fit: deterministic Lloyd, round-6 centroid
+    contract), so the oracle replays it bit-identically.
+
+    Scale shape: fit on a sample at 100 TB, assignment is one codegen map
+    pass, and the pairwise stage is an equi-join on the learned cluster id
+    — O(sum c_i^2) where the paper's own recipe bounds c_i by growing k
+    with the corpus (k ~ n/1000). A runaway cluster (the label-clustered
+    fixture pathology) is the same skew class _embedding_near_dup_pairs
+    bounds with max_bucket sign-bit splits; at production scale this
+    operator composes with that splitter by clustering WITHIN the split
+    buckets. Only (vec_id, cluster) longs and the flagged dup rows cross
+    exchanges after scoring; the per-pair cosine never leaves its join
+    task."""
+    from .similarity import load_embeddings
+
+    return semdedup_df(
+        load_embeddings(spark, sf_dir), n_clusters=n_clusters, iters=iters, eps=eps
+    )
+
+
+def semdedup_df(
+    emb: DataFrame, n_clusters: int = 8, iters: int = 2, eps: float = SEMDEDUP_EPS
+) -> DataFrame:
+    """DataFrame-input form of semdedup (fit + assign + within-cluster
+    pairwise verdicts); see semdedup for semantics and scale notes."""
+    from .similarity import DOT, NORM, _assign, kmeans_fit
+
+    cents = kmeans_fit(emb, n_clusters=n_clusters, iters=iters)
+    asg = emb.select(
+        "vec_id", "embedding", _assign(cents).cast("int").alias("cluster")
+    )
+    a = asg.select(
+        F.col("vec_id").alias("lo"), F.col("embedding").alias("ae"),
+        F.col("cluster").alias("acl"),
+    )
+    b = asg.select(
+        F.col("vec_id").alias("hi"), F.col("embedding").alias("be"),
+        F.col("cluster").alias("bcl"),
+    )
+    cos = F.expr(
+        f"{DOT.format(a='ae', b='be')} / ({NORM.format(a='ae')} * {NORM.format(a='be')})"
+    )
+    dup = (
+        a.join(b, (F.col("acl") == F.col("bcl")) & (F.col("lo") < F.col("hi")))
+        .select("hi", "lo", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= eps)
+        .groupBy("hi")
+        .agg(F.min("lo").alias("dup_of"))
+    )
+    return asg.join(dup, asg.vec_id == dup.hi, "left").select(
+        "vec_id",
+        "cluster",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+        "dup_of",
+    )

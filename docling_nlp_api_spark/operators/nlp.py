@@ -283,3 +283,72 @@ def index_search(docs: DataFrame, terms: tuple[str, ...] = SEARCH_TERMS) -> Data
         .orderBy(F.col("tf_sum").desc(), "doc_id")
         .limit(INDEX_MAX_POSTINGS)
     )
+
+
+# BM25 parameters (Robertson/Sparck Jones defaults; Lucene's idf form) —
+# shared verbatim with the SQL oracle
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+def bm25_topk(
+    docs: DataFrame, terms: tuple[str, ...] = SEARCH_TERMS, k: int = BM25_TOP_K
+) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query — the scoring consumer of
+    the inverted-index plane (index_search is the boolean AND form; this
+    is the ranked OR form a corpus-search endpoint actually serves).
+    Per doc: tf of every query term + doc length in ONE codegen map pass
+    (no explode — query terms are literals, so tf is a row-local HOF
+    count); corpus stats (N, avgdl, per-term df) come from ONE single-row
+    aggregate broadcast back; score = sum_t idf_t * tf /
+    (tf + k1*(1 - b + b*dl/avgdl)) with the Lucene idf
+    ln((N - df + 0.5)/(df + 0.5) + 1), always positive.
+
+    Scale shape: map pass + single-row global agg (partial-agg combine,
+    ~16 bytes per task to the exchange) + broadcast crossJoin + one
+    TakeOrderedAndProject top-k — the corpus text crosses no exchange and
+    there is no per-term explode or vocabulary join (contrast
+    tfidf_top_terms, which builds the full df table because its query is
+    "every term"). Rank key is round(score, 4) with a doc_id tiebreak —
+    the repo's float contract (ln differs <= 1 ulp cross-engine)."""
+    if not terms or len(set(terms)) != len(terms):
+        raise ValueError(f"bad query terms: {terms}")
+    staged = docs.select(
+        "doc_id", F.inline(F.array(F.struct(tokens_col().alias("toks"))))
+    )
+
+    def _tf(term: str) -> F.Column:
+        return F.size(F.filter(F.col("toks"), lambda w: w == F.lit(term)))
+
+    sel = staged.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[_tf(t).cast("long").alias(f"tf_{t}") for t in terms],
+    )
+    stats = sel.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}") for t in terms],
+    )
+    scored = sel.crossJoin(F.broadcast(stats))
+
+    def _term_score(t: str) -> F.Column:
+        tf = F.col(f"tf_{t}")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5) + 1.0
+        )
+        denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        return idf * tf / denom
+
+    score = F.round(sum(_term_score(t) for t in terms), 4)
+    keep = None
+    for t in terms:
+        this = F.col(f"tf_{t}") > 0
+        keep = this if keep is None else keep | this
+    return (
+        scored.filter(keep)
+        .select("doc_id", "dl", *[f"tf_{t}" for t in terms], score.alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(k)
+    )

@@ -582,3 +582,63 @@ def lang_confusion(docs: DataFrame) -> DataFrame:
         "lang", "pred_lang", "n_docs",
         F.round(F.col("n_docs") / tot, 4).alias("share_of_lang"),
     )
+
+
+# char-entropy gate thresholds — shared verbatim with the SQL oracle
+ENTROPY_MIN_CHARS = 40   # gate only applies to docs long enough to judge
+ENTROPY_MIN_BITS = 2.5   # natural prose sits ~3.9-4.3 bits/char; repeated
+                         # filler / key-mashing collapses well below
+
+CHAR_RE = r"(?s)."  # one code point per match, newlines included
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-doc character-level Shannon entropy (bits/char) — the
+    gibberish/binary-spill gate quality pipelines run alongside the
+    charset and repetition filters (a doc of one repeated character has
+    entropy 0; base64 or hex spills sit far above prose): n_chars,
+    distinct code points, H = log2(n) - (sum c*log2(c))/n over the char
+    histogram, and a low_entropy verdict (n >= ENTROPY_MIN_CHARS and
+    rounded H < ENTROPY_MIN_BITS).
+
+    All row-local column math — zero shuffle, zero join, one codegen map
+    pass that fuses into whatever scan already reads the text (same plan
+    class as charset_signals). The per-doc char histogram is computed
+    WITHOUT explode/groupBy via the sorted-run-boundary trick shared with
+    repetition_signals: sort the char array (staged once behind an
+    inline-struct Generate barrier), run starts, run lengths = counts.
+
+    Cross-engine contract: entropy rounded to 4 decimals; the verdict
+    compares the ROUNDED value so the gate can never straddle a float
+    boundary between engines. Both engines' regex and counts operate on
+    code points (the charset_signals precedent). Degenerate empty docs
+    emit NULL entropy and a False verdict."""
+    chars = F.regexp_extract_all(F.col("text"), F.lit(CHAR_RE), 0)
+    staged = docs.select(
+        "doc_id", F.inline(F.array(F.struct(F.array_sort(chars).alias("srt"))))
+    )
+    # stage the boundary array too — transforming the raw starts
+    # expression downstream would re-run the filter chain per reference
+    starts = _sorted_run_starts(F.col("srt"))
+    staged2 = staged.select(
+        "doc_id",
+        F.size("srt").alias("n_chars"),
+        F.inline(F.array(F.struct(starts.alias("_starts")))),
+    )
+    n = F.col("n_chars")
+    run_lens = _run_lengths(F.col("_starts"), n)
+    s = F.aggregate(
+        run_lens,
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log2(c.cast("double")),
+    )
+    ent = F.when(n > 0, F.round(F.log2(n.cast("double")) - s / n, 4))
+    return staged2.select(
+        "doc_id",
+        n.cast("long").alias("n_chars"),
+        F.size("_starts").cast("long").alias("n_distinct_chars"),
+        ent.alias("char_entropy"),
+        F.coalesce(
+            (n >= ENTROPY_MIN_CHARS) & (ent < ENTROPY_MIN_BITS), F.lit(False)
+        ).alias("low_entropy"),
+    )

@@ -1,0 +1,139 @@
+"""Planted-ground-truth checks for the round-4b additions (char entropy,
+BM25 ranked retrieval, SemDeDup) — independent of the DuckDB oracles, so
+a shared-wrong-logic tautology between the Spark and SQL forms cannot
+hide: expectations here are hand-computed or derived with plain Python
+math over tiny planted inputs."""
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from docling_nlp_api_spark.operators import dedup as D
+from docling_nlp_api_spark.operators import nlp as N
+from docling_nlp_api_spark.operators import textquality as Q
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(f"d{i:03d}", t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+
+
+# --- char entropy -----------------------------------------------------------
+
+
+def _expected_entropy(text):
+    if not text:
+        return None
+    c = Counter(text)
+    n = len(text)
+    return round(math.log2(n) - sum(k * math.log2(k) for k in c.values()) / n, 4)
+
+
+def test_char_entropy_planted(spark):
+    texts = [
+        "ab" * 32,        # 64 chars, 2 uniform symbols -> exactly 1.0, low
+        "abcdefgh" * 8,   # 8 uniform symbols -> exactly 3.0, not low
+        "a" * 40,         # one symbol -> 0.0, low
+        "aaa",            # too short to gate
+        "",               # degenerate: NULL entropy, never flagged
+        "The quick brown fox jumps over the lazy dog!",  # prose > 2.5 bits
+    ]
+    rows = {r["doc_id"]: r for r in Q.char_entropy(_docs(spark, texts)).collect()}
+    assert len(rows) == len(texts)
+    for i, t in enumerate(texts):
+        r = rows[f"d{i:03d}"]
+        assert r["n_chars"] == len(t)
+        assert r["n_distinct_chars"] == len(set(t))
+        assert r["char_entropy"] == _expected_entropy(t)
+        exp_flag = len(t) >= Q.ENTROPY_MIN_CHARS and _expected_entropy(t) < Q.ENTROPY_MIN_BITS
+        assert r["low_entropy"] == exp_flag, (t[:20], r)
+    assert rows["d000"]["char_entropy"] == 1.0 and rows["d000"]["low_entropy"]
+    assert rows["d001"]["char_entropy"] == 3.0 and not rows["d001"]["low_entropy"]
+    assert rows["d002"]["low_entropy"]
+    assert rows["d004"]["char_entropy"] is None and not rows["d004"]["low_entropy"]
+
+
+# --- BM25 -------------------------------------------------------------------
+
+
+def test_bm25_planted(spark):
+    corpus = {
+        "d000": "table table table wood",
+        "d001": "table hash",
+        "d002": "wood stone brick",
+        "d003": "hash hash hash hash hash",
+        "d004": "no query words here",  # 'no' too short for TOKEN_RE; still no hit
+    }
+    out = N.bm25_topk(_docs(spark, list(corpus.values())), terms=("table", "hash"))
+    rows = out.collect()
+    got = {r["doc_id"]: r for r in rows}
+    # only docs containing >= 1 query term rank
+    assert set(got) == {"d000", "d001", "d003"}
+
+    # mirror TOKEN_RE: lowercase alpha words of >= 3 letters
+    toks = {
+        k: [w for w in v.split() if len(w) >= 3 and w.isalpha()]
+        for k, v in corpus.items()
+    }
+    dls = {k: len(v) for k, v in toks.items()}
+    n, avgdl = len(corpus), sum(dls.values()) / len(corpus)
+
+    def score(doc, term):
+        tf = toks[doc].count(term)
+        df = sum(1 for t in toks.values() if term in t)
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        return idf * tf / (tf + N.BM25_K1 * (1 - N.BM25_B + N.BM25_B * dls[doc] / avgdl))
+
+    for doc, r in got.items():
+        exp = round(score(doc, "table") + score(doc, "hash"), 4)
+        assert r["bm25"] == exp, (doc, r["bm25"], exp)
+        assert r["dl"] == dls[doc]
+        assert r["tf_table"] == toks[doc].count("table")
+        assert r["tf_hash"] == toks[doc].count("hash")
+    # descending by score, doc_id tiebreak
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+# --- SemDeDup ---------------------------------------------------------------
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_semdedup_planted(spark):
+    # init = two smallest vec_ids -> v0 seeds cluster A (x-axis),
+    # v1 seeds cluster B (y-axis); Lloyd keeps that split
+    vecs = [
+        [1.0, 0.0],     # 0: A
+        [0.0, 1.0],     # 1: B
+        [0.99, 0.01],   # 2: A, ~v0 -> dup_of 0
+        [0.02, 0.98],   # 3: B, ~v1 -> dup_of 1
+        [0.75, 0.66],   # 4: borderline but assigned somewhere; cos vs v0 = .75 < eps
+        [0.98, 0.03],   # 5: A, ~v0 AND ~v2 -> dup_of must be the MIN partner (0)
+    ]
+    out = D.semdedup_df(_emb(spark, vecs), n_clusters=2, iters=2, eps=0.9)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == 6
+    assert rows[0]["cluster"] == rows[2]["cluster"] == rows[5]["cluster"]
+    assert rows[1]["cluster"] == rows[3]["cluster"]
+    assert rows[0]["cluster"] != rows[1]["cluster"]
+    # keep-lowest-id rule: seeds survive, near-copies flagged
+    assert not rows[0]["is_dup"] and rows[0]["dup_of"] is None
+    assert not rows[1]["is_dup"] and rows[1]["dup_of"] is None
+    assert rows[2]["is_dup"] and rows[2]["dup_of"] == 0
+    assert rows[3]["is_dup"] and rows[3]["dup_of"] == 1
+    assert rows[5]["is_dup"] and rows[5]["dup_of"] == 0  # MIN(0, 2), not 2
+    assert not rows[4]["is_dup"]
+    # verify the planted cosines justify the verdicts
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.hypot(*a) * math.hypot(*b))
+    assert cos(vecs[0], vecs[2]) >= 0.9 and cos(vecs[0], vecs[5]) >= 0.9
+    assert cos(vecs[0], vecs[4]) < 0.9 and cos(vecs[1], vecs[4]) < 0.9
