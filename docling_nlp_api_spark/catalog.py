@@ -1842,6 +1842,47 @@ WITH {_SNAP_STATUS}
 SELECT status, COUNT(*) AS n_docs FROM st GROUP BY status
 """)(lambda s, d: SN.snapshot_diff_summary(_snap_old(docs(s, d)), _snap_new(docs(s, d))))
 
+
+def _overlap_oracle_sql(k: int = SN.OVERLAP_K) -> str:
+    """DuckDB mirror of snapshots.corpus_overlap: per-side DISTINCT
+    shingle-hash sets (exact sizes/intersection) plus the k corpus-wide
+    permutation mins (same mh_constants family as the minhash plane)."""
+    a, b = D.mh_constants(k)
+
+    def side_sql(name: str) -> str:
+        return f"""
+tok_{name} AS (SELECT {TOKS} AS toks FROM {name}),
+sh_{name} AS (SELECT DISTINCT CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h
+              FROM (SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                    FROM tok_{name} WHERE len(toks) >= 3)),
+m_{name} AS (SELECT {", ".join(f"MIN(({a[i]} * h + {b[i]}) % {D.MH_P}) AS m{i}_{name}" for i in range(k))}
+             FROM sh_{name})"""
+
+    agree = " + ".join(
+        f"CASE WHEN m{i}_old = m{i}_new THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"""
+WITH old AS ({_SNAP_OLD}), new AS ({_SNAP_NEW}),
+{side_sql('old')},
+{side_sql('new')},
+c AS (SELECT (SELECT COUNT(*) FROM sh_old) AS n_shingles_old,
+             (SELECT COUNT(*) FROM sh_new) AS n_shingles_new,
+             (SELECT COUNT(*) FROM sh_old JOIN sh_new USING (h)) AS n_common)
+SELECT n_shingles_old, n_shingles_new, n_common,
+       ROUND(n_common * 1.0 /
+             (n_shingles_old + n_shingles_new - n_common), 4) AS jaccard_exact,
+       CAST({k} AS BIGINT) AS k,
+       CAST({agree} AS BIGINT) AS n_agree,
+       ROUND(({agree}) * 1.0 / {k}, 4) AS jaccard_est
+FROM c CROSS JOIN m_old CROSS JOIN m_new
+"""
+
+
+q("snap_corpus_overlap", _overlap_oracle_sql())(
+    lambda s, d: SN.corpus_overlap(_snap_old(docs(s, d)), _snap_new(docs(s, d)))
+)
+
 q("url_blocklist_summary", f"""
 WITH {_URL_DOM_SQL}
 SELECT CAST(SUM(CASE WHEN domain NOT IN {_URL_BL} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -2751,6 +2792,37 @@ ORDER BY bm25 DESC, doc_id LIMIT {k}
 
 q("nlp_bm25_topk", _bm25_oracle_sql())(lambda s, d: N.bm25_topk(docs(s, d)))
 
+_CONTAIN_INTER = "len(list_intersect(ha.hv, hb.hv))"
+q("dedup_containment", f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {D.CONTAIN_PLANT_OFFSET} AS doc_id,
+         substr(text, 1, {D.CONTAIN_PLANT_CHARS}) AS text
+  FROM documents WHERE doc_id % {D.CONTAIN_PLANT_EVERY} = 0
+), {_SHINGLES},
+hset AS (SELECT doc_id,
+                list_distinct(list_transform(sh,
+                  s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT))) AS hv
+         FROM sh),
+flat AS (SELECT doc_id, unnest(hv) AS h FROM hset),
+dfreq AS (SELECT h, COUNT(*) AS df FROM flat GROUP BY h),
+rare AS (SELECT doc_id, flat.h AS h FROM flat JOIN dfreq ON flat.h = dfreq.h
+         WHERE df <= {D.CONTAIN_MAX_DF}),
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id)
+SELECT * FROM (
+  SELECT doc_a, doc_b,
+         {_CONTAIN_INTER} AS n_common,
+         len(ha.hv) AS n_a, len(hb.hv) AS n_b,
+         ROUND({_CONTAIN_INTER} * 1.0 / len(ha.hv), 4) AS containment_a,
+         ROUND({_CONTAIN_INTER} * 1.0 / len(hb.hv), 4) AS containment_b,
+         ROUND({_CONTAIN_INTER} * 1.0 /
+               (len(ha.hv) + len(hb.hv) - {_CONTAIN_INTER}), 4) AS jaccard
+  FROM pairs JOIN hset ha ON ha.doc_id = doc_a JOIN hset hb ON hb.doc_id = doc_b
+) WHERE GREATEST(containment_a, containment_b) >= {D.CONTAIN_THRESHOLD}
+""")(lambda s, d: D.containment_pairs(D.with_planted_contained(docs(s, d))))
+
 q("tq_char_entropy", f"""
 WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).', 0)) AS c
             FROM documents),
@@ -2940,6 +3012,8 @@ DEMOTED = [
     "dedup_semdedup",
     "nlp_bm25_topk",
     "tq_char_entropy",
+    "dedup_containment",
+    "snap_corpus_overlap",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -1744,3 +1744,87 @@ def semdedup_df(
         F.col("dup_of").isNotNull().alias("is_dup"),
         "dup_of",
     )
+
+
+# containment plane constants — shared verbatim with the SQL oracle
+CONTAIN_MAX_DF = 5                            # candidate shingles must be this rare
+CONTAIN_THRESHOLD = 0.8                       # gate on max-side containment
+CONTAIN_PLANT_EVERY = 10                      # every 10th doc plants an extract
+CONTAIN_PLANT_CHARS = 240                     # extract = first 240 chars
+CONTAIN_PLANT_OFFSET = (1 << 62) + (1 << 60)  # id block disjoint from the
+                                              # near-dup and exact-dup plants
+
+
+def with_planted_contained(docs: DataFrame) -> DataFrame:
+    """Append deterministic CONTAINED extracts: doc_id % 10 == 0 gets a
+    twin holding only its first CONTAIN_PLANT_CHARS characters — the
+    asymmetric-duplication fixture (a pull-quote / syndicated excerpt):
+    the extract's shingle set is a subset of the source's, so its
+    containment is ~1.0 while the pair's Jaccard is low (the source is
+    much larger). Plant ids live in their own 2^62-block so they can
+    never collide with real ids or the other plant families."""
+    ext = docs.filter(F.col("doc_id") % CONTAIN_PLANT_EVERY == 0).select(
+        (F.col("doc_id") + CONTAIN_PLANT_OFFSET).alias("doc_id"),
+        F.expr(f"substr(text, 1, {CONTAIN_PLANT_CHARS})").alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(ext)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    max_df: int = CONTAIN_MAX_DF,
+    threshold: float = CONTAIN_THRESHOLD,
+) -> DataFrame:
+    """Asymmetric near-dup via shingle containment — the case Jaccard
+    (and therefore minhash-LSH, which approximates Jaccard) structurally
+    misses: a short doc quoted wholly inside a much longer one has
+    containment(short->long) ~ 1.0 but Jaccard ~ |short|/|long| ~ 0,
+    so no Jaccard threshold catches it without drowning in noise.
+    Per pair: exact |A n B| over the distinct hashed shingle sets, both
+    directional containments |A n B|/|A| and |A n B|/|B|, and Jaccard for
+    contrast; kept when the max-side containment >= threshold.
+
+    Candidate generation is RARITY-gated instead of LSH-banded: pairs
+    must share at least one shingle with document frequency <= max_df.
+    That bounds the per-shingle join fan-out at max_df^2 (the exchange
+    carries (h, doc_id) longs only) while keeping recall honest for
+    containment: a contained passage missed by this gate would need
+    EVERY one of its shingles to appear in > max_df docs — i.e. the
+    passage is corpus-common boilerplate, which is segment_boilerplate's
+    job, not dedup's. Verification attaches the per-doc hash-set arrays
+    (the _minhash_hs_per_doc exchange, reused by ReuseExchange for both
+    sides) to the DISTINCT candidate id pairs — same two-id-equi-join
+    shape as candidate_pairs_jaccard's banded path; the corpus text
+    never crosses an exchange."""
+    flat = shingle_hashes_flat(docs).distinct()
+    dfreq = flat.groupBy("h").agg(F.count("*").alias("df"))
+    rare = flat.join(dfreq.filter(F.col("df") <= max_df), "h")
+    cand = (
+        rare.select(F.col("doc_id").alias("doc_a"), "h")
+        .join(rare.select(F.col("doc_id").alias("doc_b"), "h"), "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    hset = flat.groupBy("doc_id").agg(F.sort_array(F.collect_set("h")).alias("hs"))
+    a = hset.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    b = hset.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    n_common = F.size(F.array_intersect("hs_a", "hs_b"))
+    n_a, n_b = F.size("hs_a"), F.size("hs_b")
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.cast("long").alias("n_common"),
+            n_a.cast("long").alias("n_a"),
+            n_b.cast("long").alias("n_b"),
+            F.round(n_common / n_a, 4).alias("containment_a"),
+            F.round(n_common / n_b, 4).alias("containment_b"),
+            F.round(n_common / (n_a + n_b - n_common), 4).alias("jaccard"),
+        )
+    )
+    return scored.filter(
+        F.greatest("containment_a", "containment_b") >= threshold
+    )

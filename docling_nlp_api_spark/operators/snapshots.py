@@ -46,3 +46,59 @@ def snapshot_diff_summary(old: DataFrame, new: DataFrame) -> DataFrame:
     return _status(old, new).groupBy("status").agg(
         F.count("*").alias("n_docs")
     )
+
+
+OVERLAP_K = 32  # minhash components for the corpus-overlap estimate
+
+
+def corpus_overlap(old: DataFrame, new: DataFrame, k: int = OVERLAP_K) -> DataFrame:
+    """Corpus-level CONTENT overlap between two snapshots — the question
+    snapshot_diff cannot answer (diff keys on doc_id; recrawls reassign
+    ids, so a re-keyed identical corpus diffs as 100% churn). Treats each
+    side as one giant set of hashed 3-word shingles and reports, in ONE
+    row: exact set sizes, exact intersection and Jaccard, AND the
+    k-component minhash estimate (per permutation, the corpus-wide min on
+    each side; P(mins agree) = J) computed side-by-side as its own
+    accuracy audit.
+
+    Scale shape: the exact path shuffles DISTINCT shingle hashes (longs)
+    once per side and equi-joins them — exact but corpus-sized. The
+    estimator path is the 100 TB answer: each side partial-aggregates k
+    mins map-side, so ONE k-long row per side crosses the exchange —
+    O(1) state, mergeable across shards/snapshots, and the pattern that
+    replaces the exact join when snapshots live in different stores.
+    Same deterministic universal-hash family as the minhash plane
+    (mh_constants), so the DuckDB oracle reproduces it bit-exactly."""
+    from .dedup import _perm, mh_constants, shingle_hashes_flat  # noqa: F401
+
+    def side(df: DataFrame, name: str):
+        flat = shingle_hashes_flat(df).select("h").distinct()
+        mins = flat.agg(*[F.min(_perm(i, k)).alias(f"m{i}_{name}") for i in range(k)])
+        return flat.withColumnRenamed("h", f"h_{name}"), mins
+
+    flat_o, mins_o = side(old, "old")
+    flat_n, mins_n = side(new, "new")
+    n_old = flat_o.agg(F.count("*").alias("n_shingles_old"))
+    n_new = flat_n.agg(F.count("*").alias("n_shingles_new"))
+    common = flat_o.join(
+        flat_n, flat_o.h_old == flat_n.h_new
+    ).agg(F.count("*").alias("n_common"))
+    agree = sum(
+        (F.col(f"m{i}_old") == F.col(f"m{i}_new")).cast("long") for i in range(k)
+    )
+    uni = F.col("n_shingles_old") + F.col("n_shingles_new") - F.col("n_common")
+    return (
+        n_old.crossJoin(F.broadcast(n_new))
+        .crossJoin(F.broadcast(common))
+        .crossJoin(F.broadcast(mins_o))
+        .crossJoin(F.broadcast(mins_n))
+        .select(
+            "n_shingles_old",
+            "n_shingles_new",
+            "n_common",
+            F.round(F.col("n_common") / uni, 4).alias("jaccard_exact"),
+            F.lit(k).cast("long").alias("k"),
+            agree.alias("n_agree"),
+            F.round(agree / F.lit(k), 4).alias("jaccard_est"),
+        )
+    )

@@ -137,3 +137,87 @@ def test_semdedup_planted(spark):
         return num / (math.hypot(*a) * math.hypot(*b))
     assert cos(vecs[0], vecs[2]) >= 0.9 and cos(vecs[0], vecs[5]) >= 0.9
     assert cos(vecs[0], vecs[4]) < 0.9 and cos(vecs[1], vecs[4]) < 0.9
+
+
+# --- containment ------------------------------------------------------------
+
+
+def test_containment_planted(spark):
+    # a 12-word doc quoted verbatim inside a 120-word doc: Jaccard is
+    # tiny (~|short|/|long|) but containment(short->long) == 1.0 — the
+    # pair NO Jaccard/minhash threshold can isolate
+    quote = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    # filler must be pure-alpha: TOKEN_RE (\b[a-zA-Z]{3,}\b) drops
+    # digit-bearing words entirely
+    filler = " ".join(
+        f"filler{a}{b}" for a in "abcdefghij" for b in "abcdefghijkl"
+    )
+    corpus = [
+        filler + " " + quote,     # d000: the long host
+        quote,                    # d001: the contained extract
+        "completely different tokens entirely " * 3,  # d002: unrelated
+    ]
+    out = D.containment_pairs(_docs(spark, corpus), threshold=0.8)
+    rows = {(r["doc_a"], r["doc_b"]): r for r in out.collect()}
+    assert set(rows) == {("d000", "d001")}
+    r = rows[("d000", "d001")]
+    # every shingle of the quote appears in the host
+    assert r["containment_b"] == 1.0 and r["n_common"] == r["n_b"]
+    assert r["jaccard"] < 0.2  # Jaccard would never flag this pair
+    # the host side is NOT contained in the quote
+    assert r["containment_a"] < 0.2
+
+
+def test_containment_rarity_gate_bounds_candidates(spark):
+    # every shingle of the repeated boilerplate string appears in all 8
+    # docs (df = 8 > max_df = 5), so the gate yields ZERO candidates —
+    # corpus-common text is segment_boilerplate's job, not dedup's
+    boiler = "this exact boilerplate sentence repeats across every single document"
+    out = D.containment_pairs(_docs(spark, [boiler] * 8), max_df=5)
+    assert out.count() == 0
+    # at a permissive gate the same corpus floods: 8*7/2 identical pairs
+    out2 = D.containment_pairs(_docs(spark, [boiler] * 8), max_df=8)
+    assert out2.count() == 28
+    assert all(r["containment_a"] == 1.0 for r in out2.collect())
+
+
+# --- corpus overlap ---------------------------------------------------------
+
+
+def _shingle_set(texts):
+    """Independent mirror of the shingle-hash pipeline via hashlib."""
+    import hashlib
+    import re
+
+    out = set()
+    for t in texts:
+        toks = re.findall(r"\b[a-zA-Z]{3,}\b", t.lower())
+        for i in range(len(toks) - 2):
+            s = " ".join(toks[i : i + 3])
+            out.add(int(hashlib.md5(s.encode()).hexdigest()[:8], 16))
+    return out
+
+
+def test_corpus_overlap_planted(spark):
+    from docling_nlp_api_spark.operators import snapshots as SN
+
+    a = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    b = "juliet kilo lima mike november oscar papa quebec romeo"
+    c = "sierra tango uniform victor whiskey xray yankee zulu alphabet"
+    old, new = _docs(spark, [a, b]), _docs(spark, [a, c])
+    r = SN.corpus_overlap(old, new).collect()[0]
+    sa, sb, sc = _shingle_set([a]), _shingle_set([b]), _shingle_set([c])
+    o, n = sa | sb, sa | sc
+    assert r["n_shingles_old"] == len(o) and r["n_shingles_new"] == len(n)
+    assert r["n_common"] == len(o & n)
+    assert r["jaccard_exact"] == round(len(o & n) / len(o | n), 4)
+    # estimator bounds: agree / k, consistent with its own fields
+    assert 0 <= r["n_agree"] <= r["k"] and r["jaccard_est"] == round(r["n_agree"] / r["k"], 4)
+
+    # identical corpora: exact AND estimate are exactly 1.0
+    r1 = SN.corpus_overlap(old, old).collect()[0]
+    assert r1["jaccard_exact"] == 1.0 and r1["n_agree"] == r1["k"] and r1["jaccard_est"] == 1.0
+
+    # disjoint corpora: exact 0; mins can only agree via a 2^-32 collision
+    r0 = SN.corpus_overlap(_docs(spark, [b]), _docs(spark, [c])).collect()[0]
+    assert r0["n_common"] == 0 and r0["jaccard_exact"] == 0.0 and r0["n_agree"] == 0

@@ -184,6 +184,45 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # full-outer join — the text column must not appear in the join's
     # ReadSchema-side projections beyond the hash input
     "snap_diff_summary": (["FullOuter", "HashAggregate"], ["CartesianProduct"]),
+    # char entropy: one map pass — char sort and run boundaries each
+    # staged behind their own inline-struct Generate; zero shuffle, zero
+    # join, the char regex evaluated exactly once per row
+    "tq_char_entropy": (
+        [r"(Generate[\s\S]*){2,}"],
+        ["Exchange", "Join", r"(regexp_extract_all[\s\S]*){2,}"],
+    ),
+    # BM25: per-doc tf/dl in one staged map pass + a single-row global
+    # stats agg broadcast back (the intended 1-row BroadcastNestedLoop);
+    # top-k is TakeOrderedAndProject; NO hash shuffle anywhere — the
+    # token stream is never grouped. The tokenizer appears exactly TWICE
+    # (the stats branch and the probe branch each scan — the inherent
+    # two-pass shape of global-stats-then-score), never per term
+    "nlp_bm25_topk": (
+        ["TakeOrderedAndProject", "BroadcastNestedLoopJoin", "HashAggregate"],
+        ["SortMergeJoin", "Exchange hashpartitioning",
+         r"(regexp_extract_all\(lower[\s\S]*){3,}"],
+    ),
+    # SemDeDup: the pairwise stage is an equi-join on the learned cluster
+    # id (lo < hi rides as a join filter) — it must never degenerate to a
+    # nested-loop/cartesian pair enumeration
+    "dedup_semdedup": (
+        ["HashAggregate", "Join"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # containment: rarity-gated candidates via shingle-hash equi-joins;
+    # verification attaches hash-set arrays by id equi-join — no
+    # cross/nested-loop pair enumeration anywhere
+    "dedup_containment": (
+        ["HashAggregate", "Join"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # corpus overlap: per-side k-min sketch rows partial-agg map-side
+    # (single-row frames broadcast-crossed); the only non-broadcast join
+    # is the exact intersection equi-join on the distinct hash sets
+    "snap_corpus_overlap": (
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
     # overlapping chunking: row-local slices behind a Generate barrier +
     # one posexplode — zero shuffle, zero join, single tokenizer pass
     "sample_chunk_overlap": (
