@@ -2823,6 +2823,38 @@ SELECT * FROM (
 ) WHERE GREATEST(containment_a, containment_b) >= {D.CONTAIN_THRESHOLD}
 """)(lambda s, d: D.containment_pairs(D.with_planted_contained(docs(s, d))))
 
+# token-budget selection: the oracle is the GLOBAL ordered cumsum the
+# engine deliberately avoids (bounded-histogram prefix location instead);
+# agreement proves the histogram path reproduces the total-order rule
+q("sample_token_budget", f"""
+WITH raw AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\S+')) AS words,
+         len({TOKS}) AS n_toks,
+         len(list_filter({TOKS}, w -> w IN ({STOP_SQL}))) AS n_stop,
+         len(regexp_extract_all(text, '[.!?,;:]')) AS punct,
+         length(text) AS chars
+  FROM documents
+), ratios AS (
+  SELECT doc_id, words,
+         CASE WHEN n_toks > 0 THEN n_stop * 1.0 / n_toks ELSE 0.0 END AS sr,
+         CASE WHEN chars > 0 THEN punct * 1.0 / chars ELSE 0.0 END AS pr
+  FROM raw
+), s AS (
+  SELECT doc_id,
+         ROUND(0.5 * least(words / 100.0, 1.0) + 0.3 * (1.0 - sr)
+               + 0.2 * (1.0 - least(pr * 10, 1.0)), 4) AS quality,
+         words AS n_tokens
+  FROM ratios
+), c AS (
+  SELECT doc_id, quality, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY quality DESC, md5(CAST(doc_id AS VARCHAR)) ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s
+)
+SELECT doc_id, quality, n_tokens FROM c WHERE cum <= {SP.TOKEN_BUDGET}
+""")(lambda s, d: SP.token_budget_select(docs(s, d)))
+
 q("tq_char_entropy", f"""
 WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).', 0)) AS c
             FROM documents),
@@ -3014,6 +3046,7 @@ DEMOTED = [
     "tq_char_entropy",
     "dedup_containment",
     "snap_corpus_overlap",
+    "sample_token_budget",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

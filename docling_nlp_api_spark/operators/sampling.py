@@ -1068,3 +1068,86 @@ def stratified_sample_exact(docs: DataFrame, n_per_group: int = STRAT_N_PER_LANG
         docs.select("doc_id", "lang", F.row_number().over(w).alias("pick_rank"))
         .filter(F.col("pick_rank") <= n_per_group)
     )
+
+
+TOKEN_BUDGET = 15_000  # default selection budget (tokens = \S+ words);
+                       # ~55% of the sf0.01 corpus, so the oracle tier
+                       # exercises the boundary-bucket refinement
+
+
+def token_budget_select(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataFrame:
+    """Quality-greedy corpus selection under an exact token budget: keep
+    whole docs in (quality DESC, md5(doc_id) ASC) order while the running
+    token total stays <= budget — the maximal prefix rule every
+    fixed-budget training-set cut uses. Emits the kept docs as
+    (doc_id, quality, n_tokens).
+
+    The naive form is a GLOBAL ordered cumsum — a total sort of the
+    corpus, the exact anti-pattern this repo bans. Instead the prefix is
+    located through bounded histograms, the percentile/tercile machinery
+    pattern:
+      1. quality is already round-4 quantized (the repo float contract),
+         so groupBy(quality) is <= ~10^4 rows -> collect (guarded by
+         _collect_hist), greedy bucket fill top-down => the threshold
+         bucket qt and its remaining budget.
+      2. buckets ABOVE qt are kept wholesale (a filter, no ordering).
+      3. the ONE boundary bucket refines by md5 2-hex prefix (<= 256
+         histogram rows, same greedy) so the only ordered cumsum window
+         left runs over a single (quality, prefix) slice — ~1/2560000 of
+         the corpus; recurse on more prefix hex chars if a pathological
+         quality spike ever makes that slice large.
+    Ordering by md5 string equals (prefix, remainder) ordering, so the
+    slice window + prefix greedy reproduce the global rule EXACTLY —
+    the DuckDB oracle is the one-window global cumsum, which at sf0.01
+    is cheap and unambiguous.
+
+    Scale shape: one quality map pass (shared with tq_quality_score),
+    two metadata-scale collects (10^4 and 256 rows), two filters, one
+    bucket-slice window. The corpus text never crosses an exchange; the
+    kept set streams out as a filter of the scored pass."""
+    from .textquality import quality_score
+
+    scored = quality_score(docs).select(
+        "doc_id", "quality", F.col("words").alias("n_tokens")
+    )
+    hist = _collect_hist(
+        scored.groupBy("quality").agg(F.sum("n_tokens").alias("toks")),
+        "token_budget_select",
+    )
+    cum, qt, rem = 0, None, 0
+    for r in sorted(hist, key=lambda r: -r["quality"]):
+        if cum + r["toks"] <= budget:
+            cum += r["toks"]
+        else:
+            qt, rem = r["quality"], budget - cum
+            break
+    if qt is None:
+        return scored  # the whole corpus fits the budget
+    kept_full = scored.filter(F.col("quality") > qt)
+
+    bnd = scored.filter(F.col("quality") == qt).withColumn(
+        "_m", F.md5(F.col("doc_id").cast("string"))
+    )
+    pre = F.substring("_m", 1, 2)
+    pre_hist = _collect_hist(
+        bnd.groupBy(pre.alias("p")).agg(F.sum("n_tokens").alias("toks")),
+        "token_budget_select boundary",
+    )
+    cum2, pt, rem2 = 0, None, rem
+    for r in sorted(pre_hist, key=lambda r: r["p"]):
+        if cum2 + r["toks"] <= rem:
+            cum2 += r["toks"]
+        else:
+            pt, rem2 = r["p"], rem - cum2
+            break
+    if pt is None:  # defensive: loop always breaks (bucket total > rem)
+        return kept_full.unionByName(bnd.drop("_m"))
+    kept_pre = bnd.filter(pre < pt).drop("_m")
+    w = Window.orderBy("_m").rowsBetween(Window.unboundedPreceding, 0)
+    slice_kept = (
+        bnd.filter(pre == pt)
+        .withColumn("_cum", F.sum("n_tokens").over(w))
+        .filter(F.col("_cum") <= rem2)
+        .drop("_m", "_cum")
+    )
+    return kept_full.unionByName(kept_pre).unionByName(slice_kept)

@@ -221,3 +221,59 @@ def test_corpus_overlap_planted(spark):
     # disjoint corpora: exact 0; mins can only agree via a 2^-32 collision
     r0 = SN.corpus_overlap(_docs(spark, [b]), _docs(spark, [c])).collect()[0]
     assert r0["n_common"] == 0 and r0["jaccard_exact"] == 0.0 and r0["n_agree"] == 0
+
+
+# --- token-budget selection -------------------------------------------------
+
+
+def test_token_budget_select_planted(spark):
+    """Mirror the maximal-prefix rule in plain Python (global sort by
+    (quality DESC, md5 ASC), cumsum <= budget) and require the engine's
+    bounded-histogram path to reproduce it EXACTLY — including inside
+    the boundary quality bucket, where md5 order decides."""
+    import hashlib
+
+    from docling_nlp_api_spark.operators import sampling as SP
+    from docling_nlp_api_spark.operators import textquality as Q
+
+    # many docs sharing quality buckets: identical texts => identical
+    # round-4 quality, so the boundary bucket holds several docs
+    texts = (
+        ["high quality words " * 30] * 4      # long-ish, same bucket
+        + ["medium text here " * 10] * 6      # the likely boundary bucket
+        + ["tiny"] * 5                        # low quality
+    )
+    df = _docs(spark, texts)
+    scored = {
+        r["doc_id"]: (r["quality"], r["words"])
+        for r in Q.quality_score(df).collect()
+    }
+    # high bucket totals 4*90=360 words, medium docs are 30 words each:
+    # 460 keeps all high + exactly 3 medium docs (md5 order picks WHICH 3)
+    budget = 460
+    order = sorted(
+        scored,
+        key=lambda d: (-scored[d][0], hashlib.md5(d.encode()).hexdigest()),
+    )
+    kept_exp, cum = set(), 0
+    for d in order:
+        if cum + scored[d][1] <= budget:
+            cum += scored[d][1]
+            kept_exp.add(d)
+        else:
+            break  # maximal prefix: first overflow ends the selection
+    out = SP.token_budget_select(df, budget=budget)
+    kept_got = {r["doc_id"] for r in out.collect()}
+    assert kept_got == kept_exp
+    # the cut is strictly inside the corpus and respects the budget
+    assert 0 < len(kept_got) < len(texts)
+    got_tokens = sum(scored[d][1] for d in kept_got)
+    assert got_tokens <= budget
+
+
+def test_token_budget_whole_corpus_fits(spark):
+    from docling_nlp_api_spark.operators import sampling as SP
+
+    df = _docs(spark, ["some short document here"] * 3)
+    out = SP.token_budget_select(df, budget=10_000)
+    assert out.count() == 3

@@ -216,6 +216,13 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "Join"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # token-budget selection: NO global sort — buckets above the
+    # histogram-located threshold are plain filters; the only Sort/Window
+    # runs over the single boundary (quality, md5-prefix) slice
+    "sample_token_budget": (
+        ["Window", "Union"],
+        ["rangepartitioning", "SortMergeJoin"],
+    ),
     # corpus overlap: per-side k-min sketch rows partial-agg map-side
     # (single-row frames broadcast-crossed); the only non-broadcast join
     # is the exact intersection equi-join on the distinct hash sets
