@@ -2823,6 +2823,28 @@ SELECT * FROM (
 ) WHERE GREATEST(containment_a, containment_b) >= {D.CONTAIN_THRESHOLD}
 """)(lambda s, d: D.containment_pairs(D.with_planted_contained(docs(s, d))))
 
+_NORM_SRC_SQL = "'" + Q.NORM_SRC.replace("'", "''") + "'"
+_NORM_DST_SQL = "'" + Q.NORM_DST.replace("'", "''") + "'"
+q("tq_normalize_text", f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {Q.NORM_PLANT_OFFSET} AS doc_id,
+         '“' || regexp_replace(text, ' and ', ' — and… ', 'g') || '”' || chr(7) AS text
+  FROM documents WHERE doc_id % {Q.NORM_PLANT_EVERY} = 5
+),
+n AS (SELECT doc_id, text,
+             trim(regexp_replace(
+               regexp_replace(
+                 replace(translate(text, {_NORM_SRC_SQL}, {_NORM_DST_SQL}), '…', '...'),
+                 '{Q.CTRL_RE}', '', 'g'),
+               '\\s+', ' ', 'g')) AS tn
+      FROM all_docs)
+SELECT doc_id, tn AS text_norm, tn != text AS changed,
+       CAST(length(tn) AS BIGINT) AS n_chars_norm
+FROM n
+""")(lambda s, d: Q.normalize_text(Q.with_planted_unicode(docs(s, d))))
+
 # token-budget selection: the oracle is the GLOBAL ordered cumsum the
 # engine deliberately avoids (bounded-histogram prefix location instead);
 # agreement proves the histogram path reproduces the total-order rule
@@ -3047,6 +3069,7 @@ DEMOTED = [
     "dedup_containment",
     "snap_corpus_overlap",
     "sample_token_budget",
+    "tq_normalize_text",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

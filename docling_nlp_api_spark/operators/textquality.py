@@ -642,3 +642,59 @@ def char_entropy(docs: DataFrame) -> DataFrame:
             (n >= ENTROPY_MIN_CHARS) & (ent < ENTROPY_MIN_BITS), F.lit(False)
         ).alias("low_entropy"),
     )
+
+
+# unicode normalization maps — shared verbatim with the SQL oracle.
+# translate() is per-code-point in both engines, so src/dst align 1:1;
+# the 1->3 ellipsis expansion goes through replace() instead.
+NORM_SRC = "‘’‚“”„–—― "
+NORM_DST = "'''\"\"\"--- "
+NORM_ELLIPSIS = "…"
+
+NORM_PLANT_EVERY = 10
+NORM_PLANT_OFFSET = (1 << 62) + (1 << 59)  # id block disjoint from the
+                                           # dedup/containment plants
+
+
+def with_planted_unicode(docs: DataFrame) -> DataFrame:
+    """Append deterministic messy-unicode variants: every 10th doc gets
+    a twin wrapped in curly quotes with an em-dash/NBSP/ellipsis run and
+    a control char injected — the mojibake-adjacent input normalize_text
+    exists for (the base fixture is clean ASCII, so without the plant
+    the op would only ever exercise its identity path)."""
+    var = docs.filter(F.col("doc_id") % NORM_PLANT_EVERY == 5).select(
+        (F.col("doc_id") + NORM_PLANT_OFFSET).alias("doc_id"),
+        F.concat(
+            F.lit("“"),
+            F.regexp_replace("text", " and ", " — and… "),
+            F.lit("”\x07"),
+        ).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(var)
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Canonical text cleanup — the normalization pass every web corpus
+    runs before tokenization/dedup (CCNet/C4 both start here): fold curly
+    quotes and unicode dashes to ASCII, NBSP to space, ellipsis to
+    '...', strip control chars (the charset_signals CTRL class), collapse
+    whitespace runs, trim. Emits the normalized text, a changed flag and
+    the post-norm length, so downstream exact-dedup can run on canonical
+    bytes (curly-quote vs straight-quote copies of the same article md5
+    to the same hash after this pass).
+
+    One codegen map pass — translate + replace + two regexp_replace fuse
+    into the scan; zero shuffle, zero join, no Python. Both engines'
+    translate/replace operate per code point; \\s is the same ASCII class
+    in Java and RE2; DuckDB's regexp_replace runs with the 'g' flag to
+    match Spark's global default."""
+    t = F.translate("text", NORM_SRC, NORM_DST)
+    t = F.replace(t, F.lit(NORM_ELLIPSIS), F.lit("..."))
+    t = F.regexp_replace(t, F.lit(CTRL_RE), F.lit(""))
+    t = F.trim(F.regexp_replace(t, F.lit(r"\s+"), F.lit(" ")))
+    return docs.select(
+        "doc_id",
+        t.alias("text_norm"),
+        (t != F.col("text")).alias("changed"),
+        F.length(t).cast("long").alias("n_chars_norm"),
+    )

@@ -277,3 +277,29 @@ def test_token_budget_whole_corpus_fits(spark):
     df = _docs(spark, ["some short document here"] * 3)
     out = SP.token_budget_select(df, budget=10_000)
     assert out.count() == 3
+
+
+# --- text normalization -----------------------------------------------------
+
+
+def test_normalize_text_planted(spark):
+    messy = "“Hello’s — world…”\x07  and more – end―here‚„‘ok’"
+    clean = "plain ascii stays untouched"
+    spaced = "collapse   these\t\twhitespace\n\nruns"
+    rows = {
+        r["doc_id"]: r
+        for r in Q.normalize_text(_docs(spark, [messy, clean, spaced])).collect()
+    }
+    # exact expectation built from the published maps, not hand-typed
+    exp = messy
+    exp = exp.translate(str.maketrans(Q.NORM_SRC, Q.NORM_DST))
+    exp = exp.replace(Q.NORM_ELLIPSIS, "...")
+    import re as _re
+    exp = _re.sub(Q.CTRL_RE, "", exp)
+    exp = _re.sub(r"\s+", " ", exp).strip()
+    assert rows["d000"]["text_norm"] == exp
+    assert rows["d000"]["changed"] and rows["d000"]["n_chars_norm"] == len(exp)
+    assert "‘" not in exp and " " not in exp and "\x07" not in exp
+    assert rows["d001"]["text_norm"] == clean and not rows["d001"]["changed"]
+    assert rows["d002"]["text_norm"] == "collapse these whitespace runs"
+    assert rows["d002"]["changed"]

@@ -216,6 +216,9 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "Join"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # unicode normalization: pure map pass (translate/replace/regexp
+    # fused into the scan-union); zero shuffle, zero join
+    "tq_normalize_text": ([CODEGEN], ["Exchange", "Join"]),
     # token-budget selection: NO global sort — buckets above the
     # histogram-located threshold are plain filters; the only Sort/Window
     # runs over the single boundary (quality, md5-prefix) slice
