@@ -2823,6 +2823,52 @@ SELECT * FROM (
 ) WHERE GREATEST(containment_a, containment_b) >= {D.CONTAIN_THRESHOLD}
 """)(lambda s, d: D.containment_pairs(D.with_planted_contained(docs(s, d))))
 
+# per-sentence langid -> code-switching verdict; dominant = most
+# sentences with the lang_id lexicographic tiebreak (rk=1 window mirrors
+# the engine's min((-count, lang)) struct aggregate)
+q("tq_lang_mix", f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {Q.MIX_PLANT_OFFSET} AS doc_id,
+         text || '. {Q.MIX_DE_SENT}. {Q.MIX_FR_SENT}' AS text
+  FROM documents WHERE doc_id % {Q.MIX_PLANT_EVERY} = 2
+),
+sents AS (SELECT doc_id, unnest(list_filter(list_transform(
+                   regexp_split_to_array(text, '[.!?]+'), s -> trim(s)),
+                   s -> s != '')) AS sentence
+          FROM all_docs),
+sc AS (SELECT doc_id,
+              len(regexp_extract_all(lower(sentence), '{_MARKER_SQL["en"]}')) AS s_en,
+              len(regexp_extract_all(lower(sentence), '{_MARKER_SQL["de"]}')) AS s_de,
+              len(regexp_extract_all(lower(sentence), '{_MARKER_SQL["fr"]}')) AS s_fr,
+              len(regexp_extract_all(lower(sentence), '{_MARKER_SQL["es"]}')) AS s_es,
+              len(regexp_extract_all(sentence, '[一-鿿]')) > 0 AS has_cjk
+       FROM sents),
+p AS (SELECT doc_id,
+             CASE WHEN has_cjk THEN 'zh'
+                  WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                  ELSE 'fr' END AS slang
+      FROM sc),
+c AS (SELECT doc_id, slang, COUNT(*) AS c FROM p GROUP BY 1, 2),
+r AS (SELECT doc_id, slang, c,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, slang ASC) AS rk
+      FROM c),
+a AS (SELECT doc_id, SUM(c) AS n_sents,
+             SUM(CASE WHEN slang != 'unknown' THEN 1 ELSE 0 END) AS n_langs
+      FROM c GROUP BY doc_id)
+SELECT a.doc_id,
+       CAST(n_sents AS BIGINT) AS n_sents,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       r.slang AS dominant_lang,
+       ROUND(r.c * 1.0 / n_sents, 4) AS dominant_share,
+       n_langs >= 2 AS is_mixed
+FROM a JOIN r ON a.doc_id = r.doc_id AND r.rk = 1
+""")(lambda s, d: Q.lang_mix(Q.with_planted_mixed(docs(s, d))))
+
 _NORM_SRC_SQL = "'" + Q.NORM_SRC.replace("'", "''") + "'"
 _NORM_DST_SQL = "'" + Q.NORM_DST.replace("'", "''") + "'"
 q("tq_normalize_text", f"""
@@ -3070,6 +3116,7 @@ DEMOTED = [
     "snap_corpus_overlap",
     "sample_token_budget",
     "tq_normalize_text",
+    "tq_lang_mix",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

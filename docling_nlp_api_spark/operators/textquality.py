@@ -698,3 +698,65 @@ def normalize_text(docs: DataFrame) -> DataFrame:
         (t != F.col("text")).alias("changed"),
         F.length(t).cast("long").alias("n_chars_norm"),
     )
+
+
+MIX_PLANT_EVERY = 10
+MIX_PLANT_OFFSET = (1 << 62) + (1 << 58)  # own id block, disjoint from
+                                          # the other plant families
+
+
+MIX_DE_SENT = "der und das ist die"  # 5 German markers, 0 others
+MIX_FR_SENT = "le et la les est"     # 5 French markers, 0 others
+
+
+def with_planted_mixed(docs: DataFrame) -> DataFrame:
+    """Append deterministic MIXED-LANGUAGE variants: every 10th doc gets
+    a twin with one German and one French marker sentence appended — the
+    code-switching input lang_mix exists for. (The fixture's TEXT is
+    synthetic English-ish for every lang label, so concatenating
+    neighbor docs — the first draft — never actually mixes; the marker
+    sentences make the plant's ground truth unconditional: the twin has
+    >= 2 known sentence languages whatever its base text predicts.)"""
+    mixed = docs.filter(F.col("doc_id") % MIX_PLANT_EVERY == 2).select(
+        (F.col("doc_id") + MIX_PLANT_OFFSET).alias("doc_id"),
+        F.concat("text", F.lit(f". {MIX_DE_SENT}. {MIX_FR_SENT}")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(mixed)
+
+
+def lang_mix(docs: DataFrame) -> DataFrame:
+    """Per-SENTENCE language ID rolled up to a document code-switching
+    verdict — CCNet runs its language filter at segment level precisely
+    because page-level argmax (tq_lang_id) hides mixed documents, and a
+    mixed doc pollutes whichever monolingual bucket wins. Per doc:
+    sentence count, count of distinct KNOWN languages predicted,
+    dominant language (most sentences; ties -> lexicographically
+    smallest, the lang_id tie rule), its share, and is_mixed
+    (>= 2 known languages).
+
+    Scale shape: sentence explode -> per-(doc, lang) partial count ->
+    per-doc rollup — two hash aggs on (doc_id[, lang]) keys carrying
+    counts only; the sentence text dies inside the first map stage
+    (the marker regexes are evaluated there, nothing re-tokenizes).
+    Docs with zero sentences are absent by definition (same filter as
+    sentence_split). Dominant via min((-count, lang)) struct — the
+    argmax-with-tiebreak as one aggregate, no window."""
+    from .nlp import sentence_split
+
+    sents = sentence_split(docs)
+    per = sents.select("doc_id", lang_pred_col(F.col("sentence")).alias("slang"))
+    cnt = per.groupBy("doc_id", "slang").agg(F.count("*").alias("c"))
+    dom = F.min(F.struct((-F.col("c")).alias("nc"), F.col("slang").alias("l")))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_sents"),
+        F.sum(F.when(F.col("slang") != "unknown", 1).otherwise(0)).alias("n_langs"),
+        dom.alias("d"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_sents").cast("long").alias("n_sents"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.col("d.l").alias("dominant_lang"),
+        F.round((-F.col("d.nc")) / F.col("n_sents"), 4).alias("dominant_share"),
+        (F.col("n_langs") >= 2).alias("is_mixed"),
+    )

@@ -303,3 +303,33 @@ def test_normalize_text_planted(spark):
     assert rows["d001"]["text_norm"] == clean and not rows["d001"]["changed"]
     assert rows["d002"]["text_norm"] == "collapse these whitespace runs"
     assert rows["d002"]["changed"]
+
+
+# --- language mixing --------------------------------------------------------
+
+
+def test_lang_mix_planted(spark):
+    texts = [
+        # 1 en + 1 de sentence: mixed, dominant tie (1,1) -> 'de'
+        # (lexicographic tiebreak, the lang_id rule)
+        "the cat and the dog. der und das ist die",
+        # 2 en sentences: monolingual
+        "the cat and the dog. the end of all things",
+        # marker-free: all sentences unknown -> n_langs 0, never mixed
+        "xyz qqq. zzz www",
+        # 2 en + 1 fr: mixed with an en majority
+        "the cat and the dog. the end of all things. le et la les est",
+    ]
+    rows = {r["doc_id"]: r for r in Q.lang_mix(_docs(spark, texts)).collect()}
+    r0 = rows["d000"]
+    assert r0["n_sents"] == 2 and r0["n_langs"] == 2 and r0["is_mixed"]
+    assert r0["dominant_lang"] == "de" and r0["dominant_share"] == 0.5
+    r1 = rows["d001"]
+    assert not r1["is_mixed"] and r1["dominant_lang"] == "en"
+    assert r1["dominant_share"] == 1.0 and r1["n_langs"] == 1
+    r2 = rows["d002"]
+    assert r2["n_langs"] == 0 and not r2["is_mixed"]
+    assert r2["dominant_lang"] == "unknown"
+    r3 = rows["d003"]
+    assert r3["is_mixed"] and r3["dominant_lang"] == "en"
+    assert r3["dominant_share"] == 0.6667 and r3["n_sents"] == 3

@@ -216,6 +216,9 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "Join"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # language mixing: sentence explode -> two hash aggs on (doc[, lang])
+    # carrying counts only; dominant is a struct-min AGGREGATE, no window
+    "tq_lang_mix": (["Generate", "HashAggregate"], ["Window", "SortMergeJoin"]),
     # unicode normalization: pure map pass (translate/replace/regexp
     # fused into the scan-union); zero shuffle, zero join
     "tq_normalize_text": ([CODEGEN], ["Exchange", "Join"]),
