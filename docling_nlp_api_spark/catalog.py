@@ -1325,7 +1325,13 @@ FROM af LEFT JOIN d ON af.vec_id = d.hi
 """)
 
 
-q("dedup_semdedup", _semdedup_oracle_sql())(lambda s, d: D.semdedup(s, d))
+# n_clusters pinned to 8 so the engine side matches the oracle's frozen
+# k at EVERY tier (the adaptive default k = max(8, n//64) would diverge
+# from the unrolled SQL the moment n > 512 vectors, e.g. at sf0.1);
+# production callers use the adaptive default via D.semdedup directly
+q("dedup_semdedup", _semdedup_oracle_sql())(
+    lambda s, d: D.semdedup(s, d, n_clusters=8)
+)
 
 
 # width/height are the planted PNG-header dims (engine side parses real

@@ -1699,14 +1699,14 @@ def semdedup_df(
     """DataFrame-input form of semdedup (fit + assign + within-cluster
     pairwise verdicts); see semdedup for semantics and scale notes.
 
-    n_clusters=None (the default, and what the catalog entry uses) picks
+    n_clusters=None (the default for production callers) picks
     k = max(SEMDEDUP_MIN_K, n_vecs // SEMDEDUP_TARGET_CLUSTER) — the
     paper's own scale recipe applied deterministically, so the pairwise
     stage stays O(n * TARGET) instead of O(n^2 / k) with a frozen k (the
     sf10 dry-run pathology class). The count() this costs is one
-    parquet-metadata job. At sf0.01 (500 vecs) the rule lands exactly on
-    MIN_K = 8, which is the k the DuckDB oracle unrolls — the oracle only
-    ever runs at that tier. Large adaptive k relies on the kernel-scorer
+    parquet-metadata job. The catalog entry pins n_clusters=8 on BOTH
+    sides (the DuckDB oracle unrolls a frozen k=8), so the oracle
+    comparison is tier-independent. Large adaptive k relies on the kernel-scorer
     assignment path (numpy argmin); the SQL fallback would codegen one
     struct per centroid and is only for small-k A/Bs. Measured at the
     star_sf10 tier (200k vecs, 400x the oracle input, k = 3125): 28.7 s

@@ -1101,19 +1101,28 @@ def token_budget_select(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataFram
     the DuckDB oracle is the one-window global cumsum, which at sf0.01
     is cheap and unambiguous.
 
-    Scale shape: one quality map pass (shared with tq_quality_score),
-    two metadata-scale collects (10^4 and 256 rows), two filters, one
-    bucket-slice window. The corpus text never crosses an exchange; the
-    kept set streams out as a filter of the scored pass."""
+    Scale shape: ONE quality map pass, pinned: the regex-heavy scorer
+    runs once into a persist that feeds the first histogram collect,
+    then swaps to an eager localCheckpoint + unpersist (the
+    perplexity_buckets / connected_components pattern) so the boundary
+    collect and the kept-set branches replay 3-column checkpointed
+    blocks (doc_id, quality, n_tokens — the text itself is dropped
+    before the pin) instead of re-scoring the corpus; nothing stays in
+    the session cache after return. Plus two metadata-scale collects
+    (10^4 and 256 rows), two filters, one bucket-slice window. The
+    corpus text never crosses an exchange; the kept set streams out as
+    a filter of the pinned pass."""
     from .textquality import quality_score
 
-    scored = quality_score(docs).select(
+    pinned = quality_score(docs).select(
         "doc_id", "quality", F.col("words").alias("n_tokens")
-    )
+    ).persist()
     hist = _collect_hist(
-        scored.groupBy("quality").agg(F.sum("n_tokens").alias("toks")),
+        pinned.groupBy("quality").agg(F.sum("n_tokens").alias("toks")),
         "token_budget_select",
     )
+    scored = pinned.localCheckpoint(eager=True)
+    pinned.unpersist()
     cum, qt, rem = 0, None, 0
     for r in sorted(hist, key=lambda r: -r["quality"]):
         if cum + r["toks"] <= budget:
@@ -1142,12 +1151,19 @@ def token_budget_select(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataFram
             break
     if pt is None:  # defensive: loop always breaks (bucket total > rem)
         return kept_full.unionByName(bnd.drop("_m"))
-    kept_pre = bnd.filter(pre < pt).drop("_m")
-    w = Window.orderBy("_m").rowsBetween(Window.unboundedPreceding, 0)
-    slice_kept = (
-        bnd.filter(pre == pt)
+    # whole kept prefixes + the boundary slice in ONE branch: the cumsum
+    # window is PARTITIONED by prefix (so no global-sort WindowExec);
+    # only the pt partition's cumsum is consulted — pre < pt rows are
+    # kept wholesale by the disjunction
+    w = (
+        Window.partitionBy(pre)
+        .orderBy("_m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    boundary_kept = (
+        bnd.filter(pre <= pt)
         .withColumn("_cum", F.sum("n_tokens").over(w))
-        .filter(F.col("_cum") <= rem2)
+        .filter((pre < pt) | (F.col("_cum") <= rem2))
         .drop("_m", "_cum")
     )
-    return kept_full.unionByName(kept_pre).unionByName(slice_kept)
+    return kept_full.unionByName(boundary_kept)

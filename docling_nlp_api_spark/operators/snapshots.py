@@ -83,8 +83,13 @@ def corpus_overlap(old: DataFrame, new: DataFrame, k: int = OVERLAP_K) -> DataFr
     common = flat_o.join(
         flat_n, flat_o.h_old == flat_n.h_new
     ).agg(F.count("*").alias("n_common"))
+    # coalesce: an empty side makes every F.min NULL, and NULL == x is
+    # NULL, which would NULL-propagate through the sum; the defined
+    # answer (and the oracle's CASE WHEN ... THEN 1 ELSE 0) is 0
     agree = sum(
-        (F.col(f"m{i}_old") == F.col(f"m{i}_new")).cast("long") for i in range(k)
+        F.coalesce(F.col(f"m{i}_old") == F.col(f"m{i}_new"), F.lit(False))
+        .cast("long")
+        for i in range(k)
     )
     uni = F.col("n_shingles_old") + F.col("n_shingles_new") - F.col("n_common")
     return (

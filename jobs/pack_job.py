@@ -12,8 +12,10 @@ fixed-length, sharded sequence streams a trainer consumes:
                                                 [one window per stream]
  -> doc_map write partitioned by (split, shard): each output file IS an
     independent training stream; a reader materializes sequence k of a
-    shard from the rows with seq_idx in {k-1, k} (a straddling doc
-    starts in k-1 and spills into k)            [one keyed exchange]
+    shard from the rows with seq_idx <= k AND
+    start_off + n_tokens > k*max_tokens (each doc has ONE placement row
+    at its starting sequence; a doc longer than max_tokens spills across
+    every sequence up to that bound)            [one keyed exchange]
 
 Cluster usage (ships the package to executors via --py-files):
 
@@ -101,169 +103,173 @@ def run_pack(
     )
 
     docs = docs.persist()
-    n_in = docs.count()
-    # independent token-mass recount for invariant 1 (shares the scan
-    # with nothing downstream — this is the auditor, not the pipeline)
-    tok_in = (
-        docs.select(
-            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
-            .cast("long")
-            .alias("t")
+    # finally: a failed invariant assert or write error must not leave
+    # the persisted corpus pinned in executor storage for the session
+    try:
+        n_in = docs.count()
+        # independent token-mass recount for invariant 1 (shares the scan
+        # with nothing downstream — this is the auditor, not the pipeline)
+        tok_in = (
+            docs.select(
+                F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+                .cast("long")
+                .alias("t")
+            )
+            .agg(F.sum("t"))
+            .first()[0]
+            or 0
         )
-        .agg(F.sum("t"))
-        .first()[0]
-        or 0
-    )
 
-    placed = pack_sequences(
-        with_split(docs), max_tokens=max_tokens, n_shards=shards,
-        extra_keys=("split",),
-    )
-    (
-        placed.repartition("split", "shard")
-        .sortWithinPartitions("split", "shard", "doc_id")
-        .write.mode("overwrite")
-        .partitionBy("split")
-        .parquet(os.path.join(output, "doc_map"))
-    )
-    # explicit schema: a zero-row write under partitionBy lands no data
-    # files, and schema inference on it would fail the whole job
-    doc_map = spark.read.schema(placed.schema).parquet(
-        os.path.join(output, "doc_map")
-    )
-
-    # per-stream accounting with in-row arithmetic verdicts (invariant
-    # 2): one boolean pair per stream, so a violation names its
-    # (split, shard) instead of failing an opaque global assert. All
-    # integer arithmetic (no double ceil — exact past 2^53 tokens).
-    streams = (
-        doc_map.groupBy("split", "shard")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").alias("n_tokens"),
-            F.max(F.col("start_off") + F.col("n_tokens")).alias("end_off"),
-            # chunk index of the stream's LAST TOKEN (zero-token docs
-            # excluded: they occupy no token and may sort past the end)
-            F.max(
-                F.when(
-                    F.col("n_tokens") > 0,
-                    F.expr(f"(start_off + n_tokens - 1) DIV {max_tokens}"),
-                )
-            ).alias("last_tok_seq"),
-        )
-        .select(
-            "split",
-            "shard",
-            "n_docs",
-            "n_tokens",
-            F.expr(f"(n_tokens + {max_tokens - 1}) DIV {max_tokens}").alias("n_seqs"),
-            (F.col("n_tokens") % max_tokens).alias("tail_tokens"),
-            # the cumsum must cover the stream end to end (no gap, no
-            # overlap): the largest start_off + n_tokens IS the total
-            (F.col("end_off") == F.col("n_tokens")).alias("cumsum_ok"),
-            # the last token's chunk must be the last sequence
-            (
-                F.coalesce(F.col("last_tok_seq"), F.lit(-1))
-                == F.expr(f"(n_tokens + {max_tokens - 1}) DIV {max_tokens}") - 1
-            ).alias("chunk_ok"),
-        )
-    )
-    streams.write.mode("overwrite").parquet(os.path.join(output, "streams"))
-    streams = spark.read.parquet(os.path.join(output, "streams"))
-
-    per_split = {
-        r["split"]: {
-            "n_docs": r["d"],
-            "n_tokens": r["t"],
-            "n_seqs": r["s"],
-            "n_streams": r["k"],
-        }
-        for r in streams.groupBy("split")
-        .agg(
-            F.sum("n_docs").alias("d"),
-            F.sum("n_tokens").alias("t"),
-            F.sum("n_seqs").alias("s"),
-            F.count("*").alias("k"),
-        )
-        .collect()
-    }
-    n_placed = doc_map.count()
-    n_distinct = doc_map.select("doc_id").distinct().count()
-    tok_placed = sum(v["n_tokens"] for v in per_split.values())
-    bad_streams = streams.filter(~F.col("cumsum_ok") | ~F.col("chunk_ok")).count()
-
-    metrics = {
-        "n_docs_in": n_in,
-        "n_docs_placed": n_placed,
-        "n_tokens_in": tok_in,
-        "n_tokens_placed": tok_placed,
-        "max_tokens": max_tokens,
-        "shards": shards,
-        "splits": per_split,
-        "bad_streams": bad_streams,
-    }
-    # invariant 1: lossless, duplicate-free placement
-    assert n_placed == n_in == n_distinct, metrics
-    assert tok_placed == tok_in, metrics
-    # invariant 2: every stream's arithmetic reconciles
-    assert bad_streams == 0, metrics
-
-    if materialize:
-        seqs = materialize_sequences(
+        placed = pack_sequences(
             with_split(docs), max_tokens=max_tokens, n_shards=shards,
             extra_keys=("split",),
         )
         (
-            seqs.repartition("split", "shard")
-            .sortWithinPartitions("split", "shard", "seq_idx")
+            placed.repartition("split", "shard")
+            .sortWithinPartitions("split", "shard", "doc_id")
             .write.mode("overwrite")
             .partitionBy("split")
-            .parquet(os.path.join(output, "sequences"))
+            .parquet(os.path.join(output, "doc_map"))
         )
-        # explicit schema: an all-zero-token corpus writes zero sequences
-        # (no data files) — inference would raise UNABLE_TO_INFER_SCHEMA
-        landed = spark.read.schema(seqs.schema).parquet(
-            os.path.join(output, "sequences")
+        # explicit schema: a zero-row write under partitionBy lands no data
+        # files, and schema inference on it would fail the whole job
+        doc_map = spark.read.schema(placed.schema).parquet(
+            os.path.join(output, "doc_map")
         )
-        recon = (
-            landed.groupBy("split", "shard")
+
+        # per-stream accounting with in-row arithmetic verdicts (invariant
+        # 2): one boolean pair per stream, so a violation names its
+        # (split, shard) instead of failing an opaque global assert. All
+        # integer arithmetic (no double ceil — exact past 2^53 tokens).
+        streams = (
+            doc_map.groupBy("split", "shard")
             .agg(
-                F.count("*").alias("m_seqs"),
-                F.sum(F.size("tokens")).alias("m_tokens"),
-                F.max(F.size("tokens")).alias("m_max"),
-                F.sum((F.size("tokens") < max_tokens).cast("int")).alias("m_short"),
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.max(F.col("start_off") + F.col("n_tokens")).alias("end_off"),
+                # chunk index of the stream's LAST TOKEN (zero-token docs
+                # excluded: they occupy no token and may sort past the end)
+                F.max(
+                    F.when(
+                        F.col("n_tokens") > 0,
+                        F.expr(f"(start_off + n_tokens - 1) DIV {max_tokens}"),
+                    )
+                ).alias("last_tok_seq"),
             )
-            .join(streams, ["split", "shard"], "full")
-            .withColumn(
-                "seq_ok",
-                (F.col("m_seqs") == F.col("n_seqs"))
-                & (F.col("m_tokens") == F.col("n_tokens"))
-                & (F.col("m_max") <= max_tokens)
-                & (F.col("m_short") <= 1),
+            .select(
+                "split",
+                "shard",
+                "n_docs",
+                "n_tokens",
+                F.expr(f"(n_tokens + {max_tokens - 1}) DIV {max_tokens}").alias("n_seqs"),
+                (F.col("n_tokens") % max_tokens).alias("tail_tokens"),
+                # the cumsum must cover the stream end to end (no gap, no
+                # overlap): the largest start_off + n_tokens IS the total
+                (F.col("end_off") == F.col("n_tokens")).alias("cumsum_ok"),
+                # the last token's chunk must be the last sequence
+                (
+                    F.coalesce(F.col("last_tok_seq"), F.lit(-1))
+                    == F.expr(f"(n_tokens + {max_tokens - 1}) DIV {max_tokens}") - 1
+                ).alias("chunk_ok"),
             )
         )
-        # a stream of only zero-token docs has placement rows but no
-        # sequences — the full join leaves its materialized side NULL
-        bad_mat = recon.filter(
-            ~F.coalesce(
-                F.col("seq_ok")
-                | ((F.col("n_tokens") == 0) & F.col("m_seqs").isNull()),
-                F.lit(False),
+        streams.write.mode("overwrite").parquet(os.path.join(output, "streams"))
+        streams = spark.read.parquet(os.path.join(output, "streams"))
+
+        per_split = {
+            r["split"]: {
+                "n_docs": r["d"],
+                "n_tokens": r["t"],
+                "n_seqs": r["s"],
+                "n_streams": r["k"],
+            }
+            for r in streams.groupBy("split")
+            .agg(
+                F.sum("n_docs").alias("d"),
+                F.sum("n_tokens").alias("t"),
+                F.sum("n_seqs").alias("s"),
+                F.count("*").alias("k"),
             )
-        ).count()
-        metrics["sequences"] = {
-            "n_seqs": landed.count(),
-            "bad_streams": bad_mat,
+            .collect()
         }
-        # invariant 4: the materialized content matches the accounting
-        assert bad_mat == 0, metrics
-        assert metrics["sequences"]["n_seqs"] == sum(
-            v["n_seqs"] for v in per_split.values()
-        ), metrics
-    with open(os.path.join(output, "metrics.json"), "w") as f:
-        json.dump(metrics, f)
-    docs.unpersist()
-    return metrics
+        n_placed = doc_map.count()
+        n_distinct = doc_map.select("doc_id").distinct().count()
+        tok_placed = sum(v["n_tokens"] for v in per_split.values())
+        bad_streams = streams.filter(~F.col("cumsum_ok") | ~F.col("chunk_ok")).count()
+
+        metrics = {
+            "n_docs_in": n_in,
+            "n_docs_placed": n_placed,
+            "n_tokens_in": tok_in,
+            "n_tokens_placed": tok_placed,
+            "max_tokens": max_tokens,
+            "shards": shards,
+            "splits": per_split,
+            "bad_streams": bad_streams,
+        }
+        # invariant 1: lossless, duplicate-free placement
+        assert n_placed == n_in == n_distinct, metrics
+        assert tok_placed == tok_in, metrics
+        # invariant 2: every stream's arithmetic reconciles
+        assert bad_streams == 0, metrics
+
+        if materialize:
+            seqs = materialize_sequences(
+                with_split(docs), max_tokens=max_tokens, n_shards=shards,
+                extra_keys=("split",),
+            )
+            (
+                seqs.repartition("split", "shard")
+                .sortWithinPartitions("split", "shard", "seq_idx")
+                .write.mode("overwrite")
+                .partitionBy("split")
+                .parquet(os.path.join(output, "sequences"))
+            )
+            # explicit schema: an all-zero-token corpus writes zero sequences
+            # (no data files) — inference would raise UNABLE_TO_INFER_SCHEMA
+            landed = spark.read.schema(seqs.schema).parquet(
+                os.path.join(output, "sequences")
+            )
+            recon = (
+                landed.groupBy("split", "shard")
+                .agg(
+                    F.count("*").alias("m_seqs"),
+                    F.sum(F.size("tokens")).alias("m_tokens"),
+                    F.max(F.size("tokens")).alias("m_max"),
+                    F.sum((F.size("tokens") < max_tokens).cast("int")).alias("m_short"),
+                )
+                .join(streams, ["split", "shard"], "full")
+                .withColumn(
+                    "seq_ok",
+                    (F.col("m_seqs") == F.col("n_seqs"))
+                    & (F.col("m_tokens") == F.col("n_tokens"))
+                    & (F.col("m_max") <= max_tokens)
+                    & (F.col("m_short") <= 1),
+                )
+            )
+            # a stream of only zero-token docs has placement rows but no
+            # sequences — the full join leaves its materialized side NULL
+            bad_mat = recon.filter(
+                ~F.coalesce(
+                    F.col("seq_ok")
+                    | ((F.col("n_tokens") == 0) & F.col("m_seqs").isNull()),
+                    F.lit(False),
+                )
+            ).count()
+            metrics["sequences"] = {
+                "n_seqs": landed.count(),
+                "bad_streams": bad_mat,
+            }
+            # invariant 4: the materialized content matches the accounting
+            assert bad_mat == 0, metrics
+            assert metrics["sequences"]["n_seqs"] == sum(
+                v["n_seqs"] for v in per_split.values()
+            ), metrics
+        with open(os.path.join(output, "metrics.json"), "w") as f:
+            json.dump(metrics, f)
+        return metrics
+    finally:
+        docs.unpersist()
 
 
 def main(argv: list[str] | None = None) -> int:
