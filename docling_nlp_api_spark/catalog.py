@@ -2946,6 +2946,102 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
 """)(lambda s, d: Q.char_entropy(docs(s, d)))
 
+# C4-style word-list policy gate — list literals shared verbatim
+_BADWORDS_SQL = ", ".join(f"'{w}'" for w in Q.BADWORDS_DEMO)
+q("tq_badwords_gate", f"""
+WITH t AS (SELECT doc_id,
+                  list_filter({TOKS}, w -> list_contains([{_BADWORDS_SQL}], w)) AS hits
+           FROM documents)
+SELECT doc_id,
+       CAST(len(hits) AS BIGINT) AS n_hits,
+       CAST(len(list_distinct(hits)) AS BIGINT) AS n_distinct_hits,
+       hits[1] AS first_hit,
+       len(hits) = 0 AS kept
+FROM t
+""")(lambda s, d: Q.badwords_gate(docs(s, d)))
+
+
+def _caption_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic interleaved spans table for caption-pair mining,
+    derived arithmetically from doc_id so DuckDB can rebuild the exact
+    same sequence: doc d gets 1 + d % 3 media blocks; block i is
+    [para, caption-before if (d+i)%3==1, image, caption-after if
+    (d+i)%3==2]. Offsets are the reading-order index; the STORED array
+    is reversed so the operator's offset-sort contract (not array
+    order) is what's actually under test. The layout exercises every
+    branch: own caption before (dist 1), own caption after (dist 1),
+    neighbor-block captions at dist 2 with before/after ties, and media
+    with no caption within max_dist."""
+    block = """
+      filter(array(
+        named_struct('kind', 'p', 'text', concat('para ', doc_id, ' ', i),
+                     'media_ref', '', 'offset', 0),
+        named_struct('kind', if((doc_id + i) % 3 = 1, 'caption', 'skip'),
+                     'text', concat('cap ', doc_id, ' ', i),
+                     'media_ref', '', 'offset', 0),
+        named_struct('kind', 'image', 'text', '',
+                     'media_ref', concat('media://', doc_id, '/', i),
+                     'offset', 0),
+        named_struct('kind', if((doc_id + i) % 3 = 2, 'caption', 'skip'),
+                     'text', concat('cap ', doc_id, ' ', i),
+                     'media_ref', '', 'offset', 0)
+      ), s -> s.kind != 'skip')"""
+    spans = f"""
+      reverse(transform(
+        flatten(transform(sequence(0, CAST(doc_id % 3 AS INT)), i -> {block})),
+        (s, idx) -> named_struct('kind', s.kind, 'text', s.text,
+                                 'media_ref', s.media_ref, 'offset', idx)))"""
+    return docs(spark, sf_dir).select("doc_id", F.expr(spans).alias("spans"))
+
+
+# oracle rebuilds the same arithmetic span sequence row-wise (slot order
+# == the Spark array construction order) and replays the nearest-caption
+# window rule; CAPTION_MAX_DIST = 2 mirrored literally
+q("mm_caption_pairs", """
+WITH m AS (SELECT doc_id AS d, unnest(generate_series(0, doc_id % 3)) AS i
+           FROM documents),
+sl AS (SELECT d, i, unnest([0, 1, 2, 3]) AS slot FROM m),
+sp AS (SELECT d, i, slot,
+              CASE WHEN slot = 2 THEN 'image'
+                   WHEN slot IN (1, 3) THEN 'caption' ELSE 'p' END AS kind
+       FROM sl
+       WHERE slot IN (0, 2)
+          OR (slot = 1 AND (d + i) % 3 = 1)
+          OR (slot = 3 AND (d + i) % 3 = 2)),
+pos AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY d ORDER BY i, slot) - 1
+                       AS INT) AS pos
+        FROM sp),
+win AS (SELECT *,
+               MAX(CASE WHEN kind = 'caption' THEN pos END)
+                 OVER (PARTITION BY d ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pvp,
+               MIN(CASE WHEN kind = 'caption' THEN pos END)
+                 OVER (PARTITION BY d ORDER BY pos
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxp
+        FROM pos),
+med AS (SELECT d, i, pos, pvp, nxp,
+               (nxp IS NOT NULL AND (pvp IS NULL OR nxp - pos <= pos - pvp))
+                 AS take_next
+        FROM win WHERE kind = 'image'),
+ch AS (SELECT d, i, pos, take_next,
+              CASE WHEN take_next THEN nxp ELSE pvp END AS cpos,
+              CASE WHEN take_next THEN nxp - pos ELSE pos - pvp END AS dist
+       FROM med),
+g AS (SELECT *, cpos IS NOT NULL AND dist <= 2 AS good FROM ch)
+SELECT g.d AS doc_id,
+       g.pos AS media_pos,
+       'media://' || g.d || '/' || g.i AS media_ref,
+       CASE WHEN good THEN c.txt END AS caption_text,
+       CASE WHEN good THEN g.cpos END AS caption_pos,
+       CASE WHEN good THEN CASE WHEN take_next THEN 'after' ELSE 'before' END
+            END AS rel,
+       CASE WHEN good THEN CAST(dist AS INT) END AS dist
+FROM g LEFT JOIN (SELECT d, pos, 'cap ' || d || ' ' || i AS txt
+                  FROM pos WHERE kind = 'caption') c
+  ON g.d = c.d AND g.cpos = c.pos
+""")(lambda s, d: M.caption_pairs(_caption_fixture(s, d)))
+
+
 QUERIES["u1_u3_extract_spans"] = extract_flat
 QUERIES["s4_s8_extract_render"] = extract_render
 QUERIES["s1_s3_binaryfile_ingest"] = binaryfile_ingest_summary
@@ -3123,6 +3219,8 @@ DEMOTED = [
     "sample_token_budget",
     "tq_normalize_text",
     "tq_lang_mix",
+    "tq_badwords_gate",
+    "mm_caption_pairs",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

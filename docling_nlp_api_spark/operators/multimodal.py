@@ -37,7 +37,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -619,3 +619,89 @@ def sample_video_frames(media: DataFrame, every_ms: int = FRAME_CADENCE_MS) -> D
             )
 
     return media.filter(F.col("media_type") == "video").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# image-caption pair mining (interleaved spans -> (media, caption) rows)
+
+CAPTION_MAX_DIST = 2  # span steps; shared verbatim with the SQL oracle
+
+
+def caption_pairs(
+    spans_table: DataFrame, max_dist: int = CAPTION_MAX_DIST
+) -> DataFrame:
+    """Media-caption PAIR MINING over the interleaved spans table
+    (doc_id, spans: array<struct<kind,text,media_ref,offset>>) — the step
+    that turns an extraction corpus into (image, caption) training pairs
+    (the alt-text/figure-caption harvest of image-text pretraining sets,
+    done on the document's own span sequence).
+
+    Rule, per MEDIA span (media_ref != ''): its caption is the NEAREST
+    span with kind='caption' in READING ORDER — distance measured in
+    offset steps on the span's source-order field, NOT array position
+    (20% of fixture docs store spans shuffled; the kernel's reading-order
+    contract is offset, extract.py sorts the same way). Ties break toward
+    the FOLLOWING caption (HTML <figcaption> follows its <img>; PDF
+    figure captions sit under the figure). A caption farther than
+    max_dist spans leaves the media unpaired (caption_* NULL) — prose
+    three blocks away is not a label. A caption between two media spans
+    may serve both; each media row pairs independently, and collapsing
+    shared captions is the consumer's policy choice.
+
+    Scale shape: one explode, then two frame-bounded window passes
+    partitioned by doc_id (parallel across docs — never a global sort)
+    computing the last/first caption struct around each span; nearest /
+    tie / distance-gate arithmetic is row-local and media rows stream out
+    as a filter. ONE hash exchange on doc_id total; non-caption span text
+    is projected away before the exchange, so only (doc_id, pos,
+    media_ref, caption struct) rows cross it."""
+    ex = (
+        spans_table.select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.kind").alias("kind"),
+            # only caption text survives the projection; everything else
+            # crosses the exchange as NULL
+            F.when(F.col("s.kind") == "caption", F.col("s.text")).alias("cap_text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("pos"),
+        )
+    )
+    cap = F.when(
+        F.col("kind") == "caption",
+        F.struct(F.col("pos").alias("p"), F.col("cap_text").alias("t")),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    enriched = ex.select(
+        "doc_id",
+        "media_ref",
+        "pos",
+        F.last(cap, ignorenulls=True).over(w_prev).alias("pv"),
+        F.first(cap, ignorenulls=True).over(w_next).alias("nx"),
+    ).filter(F.col("media_ref") != "")
+    d_prev = F.col("pos") - F.col("pv.p")
+    d_next = F.col("nx.p") - F.col("pos")
+    take_next = F.col("nx").isNotNull() & (F.col("pv").isNull() | (d_next <= d_prev))
+    chosen = F.when(take_next, F.col("nx")).otherwise(F.col("pv"))
+    dist = F.when(take_next, d_next).otherwise(d_prev)
+    ok = chosen.isNotNull() & (dist <= max_dist)
+    return enriched.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("media_pos"),
+        "media_ref",
+        F.when(ok, chosen["t"]).alias("caption_text"),
+        F.when(ok, chosen["p"]).cast("int").alias("caption_pos"),
+        F.when(
+            ok, F.when(take_next, F.lit("after")).otherwise(F.lit("before"))
+        ).alias("rel"),
+        F.when(ok, dist).cast("int").alias("dist"),
+    )

@@ -760,3 +760,43 @@ def lang_mix(docs: DataFrame) -> DataFrame:
         F.round((-F.col("d.nc")) / F.col("n_sents"), 4).alias("dominant_share"),
         (F.col("n_langs") >= 2).alias("is_mixed"),
     )
+
+
+# demo policy list for the word-list gate — fixture-vocabulary placeholders
+# so both verdicts occur in tests ('dup' appears in ~5% of fixture docs,
+# 'forbidden' in none: an all-miss list entry must cost nothing); shared
+# verbatim with the catalog.py SQL oracle. Shipping a real profanity /
+# policy list is a deployment decision, not an engine semantic.
+BADWORDS_DEMO = ("dup", "forbidden")
+
+
+def badwords_gate(
+    docs: DataFrame, words: tuple[str, ...] = BADWORDS_DEMO
+) -> DataFrame:
+    """C4-style word-list policy gate (Raffel et al. 2020 §2.2: C4 drops
+    any page containing a word from a blocklist — the 'bad words' filter
+    every public web-corpus pipeline runs). Per doc: total blocked-token
+    occurrences, distinct blocked words hit, the FIRST hit in token order
+    (the evidence string a review queue shows), and kept = zero hits
+    (C4 semantics: a single hit drops the page).
+
+    Tokenizer = the X3 word tokenizer (nlp.tokens_col), so the gate sees
+    exactly the tokens the rest of the NLP plane sees and the DuckDB
+    oracle replays it verbatim.
+
+    Scale shape: ONE tokenize map pass; the word list is a literal array
+    (the broadcast-equivalent of a tiny dim — no join, nothing crosses
+    the driver) and the hit scan is a row-local higher-order filter:
+    zero exchanges, zero explodes, whole-stage codegen end to end. At a
+    real list size (~400 terms for the public C4 list) the literal array
+    stays a few KB of plan — far below any broadcast threshold concern."""
+    from .nlp import tokens_col
+
+    hits = F.filter(tokens_col(), lambda t: t.isin(*words))
+    return docs.select("doc_id", hits.alias("_h")).select(
+        "doc_id",
+        F.size("_h").cast("long").alias("n_hits"),
+        F.size(F.array_distinct("_h")).cast("long").alias("n_distinct_hits"),
+        F.get("_h", 0).alias("first_hit"),
+        (F.size("_h") == 0).alias("kept"),
+    )

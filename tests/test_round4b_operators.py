@@ -333,3 +333,131 @@ def test_lang_mix_planted(spark):
     r3 = rows["d003"]
     assert r3["is_mixed"] and r3["dominant_lang"] == "en"
     assert r3["dominant_share"] == 0.6667 and r3["n_sents"] == 3
+
+
+# --- badwords gate -----------------------------------------------------------
+
+
+def test_badwords_gate_planted(spark):
+    texts = [
+        "clean table scan with join and filter",          # kept
+        "this dup row is a dup of another dup",           # 3 hits, 1 distinct
+        "forbidden merge then a dup appears",             # 2 distinct words
+        "Dup at sentence start",                          # lowercased tokenizer
+        "duplicate is a DIFFERENT token than dup-stem",   # 'duplicate' != 'dup';
+                                                          # 'dup' from 'dup-stem'
+        "",                                               # empty text kept
+    ]
+    rows = {
+        r["doc_id"]: r
+        for r in Q.badwords_gate(_docs(spark, texts)).collect()
+    }
+    assert rows["d000"]["kept"] and rows["d000"]["n_hits"] == 0
+    assert rows["d000"]["first_hit"] is None
+    assert rows["d001"].asDict() == {"doc_id": "d001", "n_hits": 3,
+                                     "n_distinct_hits": 1, "first_hit": "dup",
+                                     "kept": False}
+    assert rows["d002"]["n_hits"] == 2 and rows["d002"]["n_distinct_hits"] == 2
+    assert rows["d002"]["first_hit"] == "forbidden"
+    assert not rows["d003"]["kept"] and rows["d003"]["first_hit"] == "dup"
+    # 'duplicate' must NOT match 'dup' (whole-token, not substring), but the
+    # \b tokenizer splits 'dup-stem' into 'dup' + 'stem' -> one hit
+    assert rows["d004"]["n_hits"] == 1 and rows["d004"]["n_distinct_hits"] == 1
+    assert rows["d005"]["kept"] and rows["d005"]["n_hits"] == 0
+
+
+def test_badwords_gate_custom_list(spark):
+    out = Q.badwords_gate(
+        _docs(spark, ["alpha beta gamma", "beta beta"]), words=("beta",)
+    ).collect()
+    got = {r["doc_id"]: (r["n_hits"], r["kept"]) for r in out}
+    assert got == {"d000": (1, False), "d001": (2, False)}
+
+
+# --- caption pair mining ------------------------------------------------------
+
+
+def _spans_table(spark, rows):
+    """rows: list of (doc_id, [(kind, text, media_ref, offset), ...]) with
+    the ARRAY deliberately out of reading order where the case needs it."""
+    data = [
+        (did, [{"kind": k, "text": t, "media_ref": m, "offset": o}
+               for (k, t, m, o) in spans])
+        for did, spans in rows
+    ]
+    schema = ("doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    return spark.createDataFrame(data, schema)
+
+
+def test_caption_pairs_planted(spark):
+    from docling_nlp_api_spark.operators import multimodal as M
+
+    tbl = _spans_table(spark, [
+        # own caption AFTER at dist 1 (html figure convention)
+        ("after1", [("image", "", "m://a/0", 0), ("caption", "capA", "", 1)]),
+        # own caption BEFORE at dist 1
+        ("before1", [("caption", "capB", "", 0), ("image", "", "m://b/0", 1)]),
+        # tie at dist 1 both sides -> following wins
+        ("tie", [("caption", "lose", "", 0), ("image", "", "m://t/0", 1),
+                 ("caption", "win", "", 2)]),
+        # nearest caption at dist 3 > max_dist -> unpaired
+        ("far", [("image", "", "m://f/0", 0), ("p", "x", "", 1),
+                 ("p", "y", "", 2), ("caption", "late", "", 3)]),
+        # no caption at all -> unpaired
+        ("none", [("p", "x", "", 0), ("image", "", "m://n/0", 1)]),
+        # ARRAY ORDER SHUFFLED: offsets say caption(2) follows image(1);
+        # a position-order implementation would pair with 'wrongcap'
+        ("shuf", [("caption", "rightcap", "", 2), ("image", "", "m://s/0", 1),
+                  ("caption", "wrongcap", "", 5), ("p", "x", "", 0),
+                  ("p", "y", "", 3), ("p", "z", "", 4)]),
+    ])
+    got = {r["doc_id"]: r for r in M.caption_pairs(tbl).collect()}
+    assert got["after1"]["caption_text"] == "capA"
+    assert got["after1"]["rel"] == "after" and got["after1"]["dist"] == 1
+    assert got["before1"]["caption_text"] == "capB"
+    assert got["before1"]["rel"] == "before" and got["before1"]["dist"] == 1
+    assert got["tie"]["caption_text"] == "win" and got["tie"]["rel"] == "after"
+    assert got["far"]["caption_text"] is None and got["far"]["rel"] is None
+    assert got["none"]["caption_text"] is None and got["none"]["dist"] is None
+    assert got["shuf"]["caption_text"] == "rightcap"
+    assert got["shuf"]["rel"] == "after" and got["shuf"]["dist"] == 1
+
+
+def test_caption_pairs_matches_python_reference_on_datagen(spark):
+    """Third-form check over the REAL fixture generator (random media
+    placement, 20% shuffled storage): a test-local pure-Python pairing
+    vs the Spark windows, 200 docs."""
+    from docling_nlp_api_spark.datagen import spans_df
+    from docling_nlp_api_spark.operators import multimodal as M
+
+    tbl = spans_df(spark, 200)
+    got = {
+        (r["doc_id"], r["media_pos"]): (
+            r["caption_text"], r["caption_pos"], r["rel"], r["dist"])
+        for r in M.caption_pairs(tbl).collect()
+    }
+    expected = {}
+    for row in tbl.select("doc_id", "spans").collect():
+        spans = sorted(
+            [(s["offset"], s["kind"], s["text"], s["media_ref"]) for s in row["spans"]]
+        )
+        caps = [(o, t) for (o, k, t, _m) in spans if k == "caption"]
+        for o, _k, _t, m in spans:
+            if not m:
+                continue
+            prev = max(((co, ct) for co, ct in caps if co < o), default=None)
+            nxt = min(((co, ct) for co, ct in caps if co > o), default=None)
+            pick, rel = None, None
+            if nxt and (not prev or nxt[0] - o <= o - prev[0]):
+                pick, rel = nxt, "after"
+            elif prev:
+                pick, rel = prev, "before"
+            if pick and abs(pick[0] - o) <= M.CAPTION_MAX_DIST:
+                expected[(row["doc_id"], o)] = (
+                    pick[1], pick[0], rel, abs(pick[0] - o))
+            else:
+                expected[(row["doc_id"], o)] = (None, None, None, None)
+    assert got == expected
+    assert any(v[0] is not None for v in got.values())   # some pairs found
+    assert any(v[0] is None for v in got.values())       # some unpaired media

@@ -219,6 +219,22 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # language mixing: sentence explode -> two hash aggs on (doc[, lang])
     # carrying counts only; dominant is a struct-min AGGREGATE, no window
     "tq_lang_mix": (["Generate", "HashAggregate"], ["Window", "SortMergeJoin"]),
+    # badwords gate: one tokenize map pass, list literal in-plan, hit
+    # scan is a row-local HOF filter — zero shuffle, zero join, zero
+    # explode, single tokenizer evaluation
+    "tq_badwords_gate": (
+        [CODEGEN],
+        ["Exchange", "Join", "Generate",
+         r"(regexp_extract_all\(lower[\s\S]*){2,}"],
+    ),
+    # caption pairing: explode -> ONE doc_id exchange feeding both
+    # frame-bounded windows (prev/next caption share the sort) ->
+    # row-local nearest/tie arithmetic; no join, no global sort
+    "mm_caption_pairs": (
+        ["Generate", "Window", r"hashpartitioning\(doc_id"],
+        ["Join", "rangepartitioning",
+         r"(hashpartitioning\([\s\S]*){2,}"],
+    ),
     # unicode normalization: pure map pass (translate/replace/regexp
     # fused into the scan-union); zero shuffle, zero join
     "tq_normalize_text": ([CODEGEN], ["Exchange", "Join"]),
