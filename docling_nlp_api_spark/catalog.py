@@ -3042,6 +3042,66 @@ FROM g LEFT JOIN (SELECT d, pos, 'cap ' || d || ' ' || i AS txt
 """)(lambda s, d: M.caption_pairs(_caption_fixture(s, d)))
 
 
+def _leak_docs(s, d):
+    """Corpus + BOTH plant families, so cross-split contamination of
+    each kind exists whenever a twin's md5 split differs from its
+    source's: exact twins (doc_id % 17, same text — the exact_dedup
+    plant) and truncated near-dup twins (doc_id % PLANT_EVERY, the
+    minhash plant). Twin ids land in disjoint 2^62 blocks."""
+    base = docs(s, d).select("doc_id", "text")
+    exact = base.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + D.EXACT_PLANT_OFFSET).alias("doc_id"), "text"
+    )
+    near = base.filter(F.col("doc_id") % D.PLANT_EVERY == 0).select(
+        (F.col("doc_id") + D.PLANT_OFFSET).alias("doc_id"),
+        F.expr(f"substr(text, 1, length(text) - {D.PLANT_TRUNC})").alias("text"),
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+_SPLIT_CASE = f"""CASE WHEN {_BKT.format(salt=SP.SPLIT_SALT)} < {SP.VAL_PCT} THEN 'val'
+         WHEN {_BKT.format(salt=SP.SPLIT_SALT)} < {SP.VAL_PCT + SP.TEST_PCT} THEN 'test'
+         ELSE 'train' END"""
+
+q("sample_split_leakage", f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {D.EXACT_PLANT_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id + {D.PLANT_OFFSET} AS doc_id,
+         substr(text, 1, length(text) - {D.PLANT_TRUNC}) AS text
+  FROM documents WHERE doc_id % {D.PLANT_EVERY} = 0
+),
+spl AS (SELECT doc_id, text, {_SPLIT_CASE} AS split FROM all_docs),
+nh AS (SELECT split, doc_id, md5({_NORM_SQL}) AS h FROM spl),
+ex AS (SELECT split, COUNT(DISTINCT doc_id) AS n_exact FROM nh
+       WHERE split != 'train'
+         AND h IN (SELECT h FROM nh WHERE split = 'train')
+       GROUP BY split),
+{_SHINGLES}, {_SIG},
+sbb AS (SELECT band, bucket, doc_id, {_SPLIT_CASE} AS split
+        FROM ({_BANDS_SQL})),
+cd AS (SELECT s.split, COUNT(DISTINCT s.doc_id) AS n_cand
+       FROM sbb s
+       JOIN (SELECT DISTINCT band, bucket FROM sbb WHERE split = 'train') t
+         ON s.band = t.band AND s.bucket = t.bucket
+       WHERE s.split != 'train' GROUP BY s.split),
+tot AS (SELECT split, COUNT(*) AS n_docs FROM spl
+        WHERE split != 'train' GROUP BY split)
+SELECT tot.split,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(COALESCE(n_exact, 0) AS BIGINT) AS n_exact_leaks,
+       CAST(COALESCE(n_cand, 0) AS BIGINT) AS n_neardup_cands,
+       ROUND(COALESCE(n_exact, 0) * 1.0 / n_docs, 4) AS exact_rate,
+       ROUND(COALESCE(n_cand, 0) * 1.0 / n_docs, 4) AS cand_rate
+FROM tot
+LEFT JOIN ex ON tot.split = ex.split
+LEFT JOIN cd ON tot.split = cd.split
+""")(lambda s, d: SP.split_leakage(_leak_docs(s, d)))
+
+
 QUERIES["u1_u3_extract_spans"] = extract_flat
 QUERIES["s4_s8_extract_render"] = extract_render
 QUERIES["s1_s3_binaryfile_ingest"] = binaryfile_ingest_summary
@@ -3221,6 +3281,7 @@ DEMOTED = [
     "tq_lang_mix",
     "tq_badwords_gate",
     "mm_caption_pairs",
+    "sample_split_leakage",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

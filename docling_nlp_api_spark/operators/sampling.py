@@ -39,18 +39,27 @@ def _bucket(salt: str, key: F.Column, mod: int = 100) -> F.Column:
     return (F.conv(hx, 16, 10).cast("long") % mod).alias("bucket")
 
 
+def split_col(
+    key: F.Column | None = None, val_pct: int = VAL_PCT, test_pct: int = TEST_PCT
+) -> F.Column:
+    """THE split-assignment rule as a reusable expression (pure doc_id
+    arithmetic — any frame carrying doc_id can recompute its split
+    without a join). Shared by with_split and split_leakage so the two
+    can never drift."""
+    b = _bucket(SPLIT_SALT, F.col("doc_id") if key is None else key)
+    return (
+        F.when(b < val_pct, "val")
+        .when(b < val_pct + test_pct, "test")
+        .otherwise("train")
+    )
+
+
 def with_split(docs: DataFrame, val_pct: int = VAL_PCT, test_pct: int = TEST_PCT) -> DataFrame:
     """Assign every doc a stable train/val/test split: bucket < val_pct
     -> val, next test_pct -> test, rest train. Adding corpus later never
     moves an existing doc between splits (the bucket depends only on
     doc_id + salt)."""
-    b = _bucket(SPLIT_SALT, F.col("doc_id"))
-    split = (
-        F.when(b < val_pct, "val")
-        .when(b < val_pct + test_pct, "test")
-        .otherwise("train")
-    )
-    return docs.withColumn("split", split)
+    return docs.withColumn("split", split_col(val_pct=val_pct, test_pct=test_pct))
 
 
 def split_summary(docs: DataFrame) -> DataFrame:
@@ -1167,3 +1176,90 @@ def token_budget_select(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataFram
         .drop("_m", "_cum")
     )
     return kept_full.unionByName(boundary_kept)
+
+
+# ---------------------------------------------------------------------------
+# cross-split leakage audit (eval-set contamination)
+
+
+def split_leakage(docs: DataFrame) -> DataFrame:
+    """Cross-split contamination audit — the eval-integrity check every
+    training pipeline must run before trusting a benchmark number: a
+    val/test document whose content also exists in train (exactly, or as
+    a near-duplicate) leaks the eval set into training. One row per
+    probe split ('val', 'test'):
+
+      n_docs            docs in the probe split
+      n_exact_leaks     probe docs whose NORMALIZED content hash
+                        (dedup.normalize_for_hash — case/accent/
+                        punctuation variants count as the same text)
+                        also occurs in train
+      n_neardup_cands   probe docs sharing >= 1 minhash-LSH band bucket
+                        with any train doc (the candidate tier of the
+                        near-dup plane: an upper bound that a Jaccard
+                        verify pass — candidate_pairs_jaccard — would
+                        confirm; candidates are what you triage first)
+      exact_rate / cand_rate   the two ratios
+
+    Scale shape: split assignment is map-stage md5 arithmetic on doc_id
+    (split_col — recomputed where needed, never joined). The corpus text
+    is read exactly TWICE (the normalize+hash pass and the
+    shingle+minhash pass); each pass materializes a NARROW index frame
+    — (split, doc_id, hash) and (band, bucket, split, doc_id) — via an
+    eager localCheckpoint, so the probe/train branches replay pinned
+    hash rows instead of re-scanning the corpus (without the pin, the
+    split filters push through the aggregates and each branch re-reads
+    the corpus: 4+ scans). These are the same artifacts an incremental
+    audit persists as tables at 10^12 docs (the _shingle_index
+    pattern); totals derive from the pinned hash frame for free. The
+    semi-joins carry 16-byte hashes only; the final assembly joins
+    three <=2-row aggregates."""
+    from .dedup import banded_frame, normalize_for_hash
+
+    hashes = docs.select(
+        split_col().alias("split"),
+        "doc_id",
+        F.md5(normalize_for_hash(F.col("text"))).alias("h"),
+    ).localCheckpoint(eager=True)
+    train_h = hashes.filter(F.col("split") == "train").select("h").distinct()
+    exact = (
+        hashes.filter(F.col("split") != "train")
+        .join(train_h, "h", "left_semi")
+        .groupBy("split")
+        .agg(F.countDistinct("doc_id").alias("n_exact_leaks"))
+    )
+
+    bb = (
+        banded_frame(docs)
+        .withColumn("split", split_col())
+        .localCheckpoint(eager=True)
+    )
+    train_bb = (
+        bb.filter(F.col("split") == "train").select("band", "bucket").distinct()
+    )
+    cand = (
+        bb.filter(F.col("split") != "train")
+        .join(train_bb, ["band", "bucket"], "left_semi")
+        .groupBy("split")
+        .agg(F.countDistinct("doc_id").alias("n_neardup_cands"))
+    )
+
+    totals = (
+        hashes.filter(F.col("split") != "train")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    ex = F.coalesce("n_exact_leaks", F.lit(0)).cast("long")
+    cd = F.coalesce("n_neardup_cands", F.lit(0)).cast("long")
+    return (
+        totals.join(exact, "split", "left")
+        .join(cand, "split", "left")
+        .select(
+            "split",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            ex.alias("n_exact_leaks"),
+            cd.alias("n_neardup_cands"),
+            F.round(ex / F.col("n_docs"), 4).alias("exact_rate"),
+            F.round(cd / F.col("n_docs"), 4).alias("cand_rate"),
+        )
+    )

@@ -461,3 +461,46 @@ def test_caption_pairs_matches_python_reference_on_datagen(spark):
     assert got == expected
     assert any(v[0] is not None for v in got.values())   # some pairs found
     assert any(v[0] is None for v in got.values())       # some unpaired media
+
+
+# --- cross-split leakage audit ------------------------------------------------
+
+
+def test_split_leakage_planted(spark):
+    """Doc ids chosen by recomputing the md5 split buckets in plain
+    Python (train: 0-5, val: 69/87/107, test: 20/23/30). Plants:
+      - val 69  = EXACT copy of train 0            -> exact + cand leak
+      - val 87  = NORMALIZATION variant of train 1 -> exact leak (the
+                  normalized hash folds case/punct) + cand leak
+      - test 20 = train 2 minus its last word      -> near-dup candidate
+                  but NOT an exact leak
+      - val 107, test 23/30 unique                 -> clean
+    """
+    from docling_nlp_api_spark.operators import sampling as SP
+
+    base = ("spark filter join hash batch scan merge column window "
+            "vector stream table order group value line row data query")
+    rows = [
+        (0, base + " zero"),
+        (1, base + " one two three"),
+        (2, base + " two alpha beta"),
+        (3, base + " three"),
+        (69, base + " zero"),                        # exact copy of 0
+        (87, "  " + (base + " one two three").upper() + " !!"),  # norm variant of 1
+        (20, base + " two alpha"),                   # 2 minus last word
+        (107, "totally different content about nothing shared at all "
+              "unique val words here padding padding padding"),
+        (23, "another unique test doc with its own vocabulary and no "
+             "overlap whatsoever more filler filler filler"),
+        (30, "third unique probe document unrelated content entirely "
+             "separate tokens filler filler filler filler"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["split"]: r for r in SP.split_leakage(docs).collect()}
+    assert got["val"]["n_docs"] == 3 and got["test"]["n_docs"] == 3
+    assert got["val"]["n_exact_leaks"] == 2        # 69 exact, 87 normalized
+    assert got["test"]["n_exact_leaks"] == 0       # truncation != exact
+    assert got["val"]["n_neardup_cands"] == 2      # identical sigs collide
+    assert got["test"]["n_neardup_cands"] == 1     # 20 shares 2's buckets
+    assert got["val"]["exact_rate"] == round(2 / 3, 4)
+    assert got["test"]["cand_rate"] == round(1 / 3, 4)

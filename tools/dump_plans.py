@@ -227,6 +227,18 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["Exchange", "Join", "Generate",
          r"(regexp_extract_all\(lower[\s\S]*){2,}"],
     ),
+    # split leakage: hash-only semi-joins (probe hashes / band buckets
+    # vs the distinct train sets) + tiny per-split aggregates. The
+    # corpus-reading normalize/tokenize passes run INSIDE the two eager
+    # localCheckpoint pins (each exactly once), so the assembled plan
+    # must scan the pinned index RDDs and contain NO tokenizer at all —
+    # a regex reappearing here means the pin was lost and the branches
+    # went back to re-scanning the corpus
+    "sample_split_leakage": (
+        ["LeftSemi", "HashAggregate", "ExistingRDD"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "regexp_extract_all", "Scan parquet"],
+    ),
     # caption pairing: explode -> ONE doc_id exchange feeding both
     # frame-bounded windows (prev/next caption share the sort) ->
     # row-local nearest/tie arithmetic; no join, no global sort
