@@ -3102,6 +3102,26 @@ LEFT JOIN cd ON tot.split = cd.split
 """)(lambda s, d: SP.split_leakage(_leak_docs(s, d)))
 
 
+q("tq_token_fertility", f"""
+WITH t AS (SELECT lang,
+                  len(regexp_extract_all(text, '\\S+')) AS w,
+                  len(regexp_extract_all(text, '{Q.BPE_RE}')) AS t,
+                  length(text) AS c
+           FROM documents),
+a AS (SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(w) AS BIGINT) AS n_words,
+             CAST(SUM(t) AS BIGINT) AS n_tokens,
+             CAST(SUM(c) AS BIGINT) AS n_chars
+      FROM t GROUP BY lang)
+SELECT lang, n_docs, n_words, n_tokens, n_chars,
+       ROUND(CASE WHEN n_words > 0 THEN n_tokens * 1.0 / n_words END, 4)
+         AS fertility,
+       ROUND(CASE WHEN n_tokens > 0 THEN n_chars * 1.0 / n_tokens END, 4)
+         AS chars_per_token
+FROM a
+""")(lambda s, d: Q.token_fertility(docs(s, d)))
+
+
 QUERIES["u1_u3_extract_spans"] = extract_flat
 QUERIES["s4_s8_extract_render"] = extract_render
 QUERIES["s1_s3_binaryfile_ingest"] = binaryfile_ingest_summary
@@ -3282,6 +3302,7 @@ DEMOTED = [
     "tq_badwords_gate",
     "mm_caption_pairs",
     "sample_split_leakage",
+    "tq_token_fertility",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -800,3 +800,42 @@ def badwords_gate(
         F.get("_h", 0).alias("first_hit"),
         (F.size("_h") == 0).alias("kept"),
     )
+
+
+def token_fertility(docs: DataFrame) -> DataFrame:
+    """Tokenizer-efficiency report per language — the table a tokenizer
+    owner reads before committing a vocabulary: BPE-ish tokens per
+    whitespace word (FERTILITY — how many subwords the tokenizer spends
+    per word; high fertility on a language means its text costs more
+    sequence length per content) and characters per token (compression).
+    Aggregated per lang over the whole corpus: doc count, word / token /
+    char masses, fertility = tokens/words, chars_per_token = chars/tokens
+    (both round-4, NULL-safe on empty masses).
+
+    Scale shape: one map pass computing the three per-doc counts (the
+    same regexes as tq_token_count — the report and the per-doc counter
+    can never drift), then one narrow groupBy(lang) partial agg: only
+    (lang, 3 longs) cross the exchange; language cardinality is O(100)."""
+    t = docs.select(
+        "lang",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+        .cast("long").alias("w"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
+        .cast("long").alias("t"),
+        F.length("text").cast("long").alias("c"),
+    )
+    agg = t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("w").alias("n_words"),
+        F.sum("t").alias("n_tokens"),
+        F.sum("c").alias("n_chars"),
+    )
+    return agg.select(
+        "lang", "n_docs", "n_words", "n_tokens", "n_chars",
+        F.round(
+            F.when(F.col("n_words") > 0, F.col("n_tokens") / F.col("n_words")), 4
+        ).alias("fertility"),
+        F.round(
+            F.when(F.col("n_tokens") > 0, F.col("n_chars") / F.col("n_tokens")), 4
+        ).alias("chars_per_token"),
+    )

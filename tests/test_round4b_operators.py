@@ -504,3 +504,34 @@ def test_split_leakage_planted(spark):
     assert got["test"]["n_neardup_cands"] == 1     # 20 shares 2's buckets
     assert got["val"]["exact_rate"] == round(2 / 3, 4)
     assert got["test"]["cand_rate"] == round(1 / 3, 4)
+
+
+# --- tokenizer fertility --------------------------------------------------
+
+
+def test_token_fertility_planted(spark):
+    import re
+
+    rows = [
+        ("en", "hello world"),                    # 2 words
+        ("en", "don't stop-me now!!"),            # punctuation splits BPE tokens
+        ("de", "Donaudampfschifffahrt kurz"),     # long compound: fertility 1
+        ("zz", ""),                               # empty: NULL ratios
+    ]
+    docs = spark.createDataFrame(rows, "lang string, text string")
+    got = {r["lang"]: r for r in Q.token_fertility(docs).collect()}
+
+    bpe = re.compile(Q.BPE_RE)
+    by_lang = {}
+    for lang, t in rows:
+        w, tk, c = len(t.split()), len(bpe.findall(t)), len(t)
+        d = by_lang.setdefault(lang, [0, 0, 0, 0])
+        d[0] += 1; d[1] += w; d[2] += tk; d[3] += c
+    for lang, (nd, w, tk, c) in by_lang.items():
+        r = got[lang]
+        assert (r["n_docs"], r["n_words"], r["n_tokens"], r["n_chars"]) == (nd, w, tk, c)
+        assert r["fertility"] == (round(tk / w, 4) if w else None)
+        assert r["chars_per_token"] == (round(c / tk, 4) if tk else None)
+    # the punctuated doc must push en fertility above 1 token/word
+    assert got["en"]["fertility"] > 1.0
+    assert got["zz"]["fertility"] is None and got["zz"]["chars_per_token"] is None

@@ -227,6 +227,15 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["Exchange", "Join", "Generate",
          r"(regexp_extract_all\(lower[\s\S]*){2,}"],
     ),
+    # tokenizer fertility: one map pass + narrow groupBy(lang); EACH of
+    # the two regexes (ws words, BPE tokens) evaluated exactly once, no
+    # join, one exchange on lang
+    "tq_token_fertility": (
+        ["HashAggregate"],
+        ["Join", "Generate",
+         r"(regexp_extract_all\(text#\d+, \\S\+[\s\S]*){2,}",
+         r"(\[A-Za-z\]\+\|\[0-9\]\+[\s\S]*){2,}"],
+    ),
     # split leakage: hash-only semi-joins (probe hashes / band buckets
     # vs the distinct train sets) + tiny per-split aggregates. The
     # corpus-reading normalize/tokenize passes run INSIDE the two eager
