@@ -3122,6 +3122,34 @@ FROM a
 """)(lambda s, d: Q.token_fertility(docs(s, d)))
 
 
+q("j6_asof_view_purchase", """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id,
+       m.event_id AS view_event_id,
+       ROUND(m.value, 2) AS view_value,
+       epoch_us(p.ts) - epoch_us(m.ts) AS lag_us
+FROM p LEFT JOIN LATERAL (
+    SELECT v.event_id, v.ts, v.value FROM v
+    WHERE v.user_id = p.user_id AND v.ts <= p.ts
+    ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+) m ON TRUE
+""")(lambda s, d: R.asof_view_before_purchase(events(s, d)))
+
+
+q("j7_range_join_nearby", f"""
+WITH e AS (SELECT event_id, epoch_us(ts) AS t FROM events
+           WHERE event_type = 'error'),
+     v AS (SELECT event_id AS v_id, epoch_us(ts) AS v_t, value FROM events)
+SELECT e.event_id,
+       COUNT(v.v_id) AS n_nearby,
+       ROUND(SUM(v.value), 2) AS nearby_value
+FROM e LEFT JOIN v
+  ON abs(v.v_t - e.t) <= {R.RANGE_WINDOW_US} AND v.v_id <> e.event_id
+GROUP BY e.event_id
+""")(lambda s, d: R.range_join_nearby(events(s, d)))
+
+
 QUERIES["u1_u3_extract_spans"] = extract_flat
 QUERIES["s4_s8_extract_render"] = extract_render
 QUERIES["s1_s3_binaryfile_ingest"] = binaryfile_ingest_summary
@@ -3303,6 +3331,8 @@ DEMOTED = [
     "mm_caption_pairs",
     "sample_split_leakage",
     "tq_token_fertility",
+    "j6_asof_view_purchase",
+    "j7_range_join_nearby",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -9,7 +9,7 @@ no global sorts."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -197,4 +197,162 @@ def salted_skew_join_rollup(events: DataFrame, k: int = SKEW_SALT_K) -> DataFram
     return j.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.round(F.sum(F.col("value") * F.col("weight")), 4).alias("weighted_value"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    order_col: str = "event_id",
+    payload: tuple[str, ...] = ("event_id", "ts", "value"),
+    prefix: str = "matched_",
+) -> DataFrame:
+    """Generic AS-OF join: for every left row, attach the LATEST right
+    row with the same `key` whose `ts` is at-or-before the left row's
+    `ts` (the time-series lookup join — 'state as of this moment' — that
+    equality joins can't express and a naive theta-join turns into a
+    per-key quadratic).
+
+    Tie contract (pinned so a SQL engine can replay it exactly): a right
+    row at the SAME timestamp as the left row matches (<=, not <); among
+    right rows sharing a timestamp the one with the greatest `order_col`
+    wins — i.e. the match is max by (ts, order_col).
+
+    Scale shape — the union-tag trick, NOT a join: both sides are
+    unioned with a side tag (right=0, left=1) into one stream, ONE hash
+    exchange on `key`, and a running last-non-null window over
+    (ts, tag, order_col) carries each right row's payload struct forward
+    to every later left row. Zero join operators in the plan, no
+    per-key quadratic, no range predicate: cost is exactly one shuffle +
+    one sort, both partitioned by `key` (parallel across keys; a skewed
+    key degrades to that key's sort, never a cross product). This is the
+    shape Pandas merge_asof / kdb aj achieve single-node, expressed as a
+    distributed plan. The right payload crosses the exchange as a struct
+    column on right rows only; left rows carry NULL there.
+    """
+    rtypes = dict(right.dtypes)
+    r_struct = F.struct(*[F.col(c).alias(c) for c in payload])
+    # a genuinely NULL struct (NOT a struct of NULL fields — last(...,
+    # ignorenulls) must skip left rows, and a struct-of-nulls is non-NULL)
+    null_struct = F.when(
+        F.lit(False),
+        F.struct(*[F.lit(None).cast(rtypes[c]).alias(c) for c in payload]),
+    )
+    lf = left.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        F.col(order_col).alias("_o"),
+        F.struct(*left.columns).alias("_l"),
+        null_struct.alias("_r"),
+    )
+    rf = right.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        F.col(order_col).alias("_o"),
+        F.lit(None).cast(lf.schema["_l"].dataType).alias("_l"),
+        r_struct.alias("_r"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_tag", "_o")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        lf.unionByName(rf)
+        .select("_tag", "_l", F.last("_r", ignorenulls=True).over(w).alias("_m"))
+        .filter(F.col("_tag") == 1)
+    )
+    out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
+    out_cols += [F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in payload]
+    return matched.select(*out_cols)
+
+
+def asof_view_before_purchase(events: DataFrame) -> DataFrame:
+    """Purchase attribution via as-of join: for each purchase event, the
+    user's most recent 'view' at-or-before it — the 'view that led to
+    the purchase'. Emits the purchase id/user, the matched view id, its
+    round-2 value, and the view->purchase lag in exact integer
+    microseconds (the repo's cross-engine time contract; differences
+    cancel any engine epoch-offset convention). Purchases with no prior
+    view emit NULL match columns (left semantics)."""
+    p = events.filter(F.col("event_type") == "purchase")
+    v = events.filter(F.col("event_type") == "view")
+    j = asof_join(
+        p, v, key="user_id", ts="ts", order_col="event_id",
+        payload=("event_id", "ts", "value"), prefix="view_",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("view_event_id"),
+        F.round("view_value", 2).alias("view_value"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("view_ts").cast("timestamp"))
+        ).alias("lag_us"),
+    )
+
+
+RANGE_WINDOW_US = 60_000_000  # +/- 60 s, exact integer microseconds
+
+
+def range_join_nearby(
+    events: DataFrame, window_us: int = RANGE_WINDOW_US
+) -> DataFrame:
+    """Pure RANGE join (no equi key): for every 'error' event, count and
+    value-sum ALL events (any user) within +/- window_us of it — the
+    burst-correlation question ('what else was happening around each
+    error') whose naive plan is a BroadcastNestedLoopJoin over the full
+    inequality predicate: quadratic, the canonical scale-killer.
+
+    Scale shape — BUCKETIZATION turns the range predicate into an
+    equi-join: every event lands in ONE time bucket of width =
+    window_us; every probe (error) row explodes to THREE buckets
+    (b-1, b, b+1), which provably cover the +/- window; the join is then
+    a plain hash equi-join on bucket with the exact |dt| <= window
+    predicate left as a residual filter. Each qualifying pair is found
+    exactly once (the build row lives in one bucket). Cost: 3x probe
+    replication + one hash exchange on bucket — linear, AQE-splittable
+    if a bucket is hot, and the same plan shape at any scale. The self
+    row is excluded by event_id.
+
+    Errors with no neighbor survive with n_nearby=0 (left semantics via
+    re-join on the probe side)."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = F.floor(us / F.lit(window_us)).cast("long")
+    probes = events.filter(F.col("event_type") == "error").select(
+        "event_id", us.alias("t"), b.alias("_b")
+    )
+    fanned = probes.select(
+        "event_id",
+        "t",
+        F.explode(
+            F.array(F.col("_b") - 1, F.col("_b"), F.col("_b") + 1)
+        ).alias("bucket"),
+    )
+    build = events.select(
+        F.col("event_id").alias("v_id"),
+        us.alias("v_t"),
+        "value",
+        b.alias("bucket"),
+    )
+    # LEFT outer with the range + self-exclusion folded into the join
+    # condition: unmatched fan-out rows emit NULL v_id, so count(v_id)
+    # yields 0 for isolated errors with no second join-back shuffle.
+    cond = (
+        (fanned["bucket"] == build["bucket"])
+        & (F.abs(build["v_t"] - fanned["t"]) <= window_us)
+        & (build["v_id"] != fanned["event_id"])
+    )
+    return (
+        fanned.join(build, cond, "left")
+        .groupBy(fanned["event_id"])
+        .agg(
+            F.count("v_id").cast("long").alias("n_nearby"),
+            F.round(F.sum("value"), 2).alias("nearby_value"),
+        )
     )

@@ -535,3 +535,117 @@ def test_token_fertility_planted(spark):
     # the punctuated doc must push en fertility above 1 token/word
     assert got["en"]["fertility"] > 1.0
     assert got["zz"]["fertility"] is None and got["zz"]["chars_per_token"] is None
+
+
+# --- as-of join / range join ------------------------------------------------
+
+
+def _events(spark, rows):
+    """rows: (event_id, us_offset, user_id, event_type, value); timestamps
+    are built at exact microsecond offsets from a fixed anchor."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 3, 1)
+    return spark.createDataFrame(
+        [
+            (eid, t0 + timedelta(microseconds=us), uid, et, val)
+            for eid, us, uid, et, val in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+def test_asof_join_planted(spark):
+    from docling_nlp_api_spark.operators import relational as R
+
+    M = 1_000_000
+    ev = _events(spark, [
+        # user 1: two earlier views + two views tied AT the purchase ts
+        (10, 1 * M, 1, "view", 1.0),
+        (11, 5 * M, 1, "view", 2.0),
+        (13, 9 * M, 1, "view", 3.0),
+        (14, 9 * M, 1, "view", 4.0),      # same ts as purchase, higher id wins
+        (12, 9 * M, 1, "purchase", 50.0),
+        # user 2: purchase with NO prior view (view comes after)
+        (20, 3 * M, 2, "purchase", 60.0),
+        (21, 4 * M, 2, "view", 5.0),
+        # user 3: only another user's view exists before -> still NULL
+        (30, 8 * M, 3, "purchase", 70.0),
+        # user 2 again: second purchase AFTER its view
+        (22, 7 * M, 2, "purchase", 80.0),
+    ])
+    got = {r["event_id"]: r for r in R.asof_view_before_purchase(ev).collect()}
+    assert set(got) == {12, 20, 30, 22}
+    # equal-ts tie: view 14 (max event_id at ts 9s) matches, lag exactly 0
+    assert got[12]["view_event_id"] == 14
+    assert got[12]["view_value"] == 4.0
+    assert got[12]["lag_us"] == 0
+    # no prior view -> NULL columns (left semantics)
+    assert got[20]["view_event_id"] is None and got[20]["lag_us"] is None
+    assert got[30]["view_event_id"] is None
+    # later purchase of user 2 picks the view between its purchases
+    assert got[22]["view_event_id"] == 21
+    assert got[22]["lag_us"] == 3 * M
+
+
+def test_asof_join_generic_payload_and_keys(spark):
+    from docling_nlp_api_spark.operators import relational as R
+
+    M = 1_000_000
+    left = _events(spark, [(1, 10 * M, 7, "purchase", 0.0)])
+    right = _events(spark, [
+        (2, 10 * M, 7, "view", 1.5),     # equal ts: matches (<= contract)
+        (3, 11 * M, 7, "view", 9.9),     # after: never matches
+    ])
+    out = R.asof_join(left, right, payload=("event_id", "value")).collect()
+    assert len(out) == 1
+    assert out[0]["matched_event_id"] == 2
+    assert out[0]["matched_value"] == 1.5
+    # all left columns survive untouched
+    assert out[0]["event_id"] == 1 and out[0]["event_type"] == "purchase"
+
+
+def test_range_join_planted(spark):
+    from docling_nlp_api_spark.operators import relational as R
+
+    M = 1_000_000
+    W = R.RANGE_WINDOW_US  # 60 s
+    ev = _events(spark, [
+        # error at 100 s; neighbors planted around the +/- 60 s boundary
+        (1, 100 * M, 1, "error", 0.0),
+        (2, 40 * M, 2, "view", 1.25),          # exactly -60 s: included (<=)
+        (3, 160 * M, 3, "click", 2.5),         # exactly +60 s: included
+        (4, 160 * M + 1, 4, "view", 4.0),      # 60 s + 1 us: excluded
+        (5, 39 * M, 5, "view", 8.0),           # -61 s: excluded
+        # a second error inside the first's window: errors are events too
+        (6, 130 * M, 6, "error", 16.0),
+        # isolated error, no neighbor within 60 s
+        (7, 1000 * M, 7, "error", 32.0),
+    ])
+    got = {r["event_id"]: r for r in R.range_join_nearby(ev).collect()}
+    assert set(got) == {1, 6, 7}
+    # error 1 sees 2, 3 and error 6 (self excluded by event_id)
+    assert got[1]["n_nearby"] == 3
+    assert got[1]["nearby_value"] == round(1.25 + 2.5 + 16.0, 2)
+    # error 6 sees error 1 and event 3 (at 160 s, 30 s away) and 4
+    assert got[6]["n_nearby"] == 3
+    assert got[6]["nearby_value"] == round(0.0 + 2.5 + 4.0, 2)
+    # isolated error survives with zero neighbors, NULL sum
+    assert got[7]["n_nearby"] == 0 and got[7]["nearby_value"] is None
+
+
+def test_range_join_bucket_boundary(spark):
+    """A pair whose members sit in ADJACENT buckets but within the window
+    must be found exactly once (the 3-bucket fan-out covers it, and the
+    build row's single bucket prevents double counting)."""
+    from docling_nlp_api_spark.operators import relational as R
+
+    M = 1_000_000
+    # bucket width = 60 s: 59.5 s is bucket 0, 60.5 s is bucket 1; 1 s apart
+    ev = _events(spark, [
+        (1, 59_500_000, 1, "error", 0.0),
+        (2, 60_500_000, 2, "view", 7.0),
+    ])
+    got = R.range_join_nearby(ev).collect()
+    assert len(got) == 1
+    assert got[0]["n_nearby"] == 1 and got[0]["nearby_value"] == 7.0

@@ -236,6 +236,27 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
          r"(regexp_extract_all\(text#\d+, \\S\+[\s\S]*){2,}",
          r"(\[A-Za-z\]\+\|\[0-9\]\+[\s\S]*){2,}"],
     ),
+    # as-of join: the union-tag shape — ONE exchange on the key feeding
+    # a partitioned running-last window; ZERO join operators of any kind
+    # (a naive as-of is a per-key quadratic theta-join), both scans
+    # pruned by pushed event_type filters
+    "j6_asof_view_purchase": (
+        ["Union", "Window",
+         r"hashpartitioning\(_k#\d+L",
+         r"PushedFilters: \[IsNotNull\(event_type\), EqualTo\(event_type,purchase\)\]"],
+        ["Join", "CartesianProduct"],
+    ),
+    # pure range join (no equi key): bucketization must turn the time-
+    # range predicate into a hash EQUI-join on bucket with the exact
+    # |dt| residual attached — never a nested-loop/cartesian evaluation
+    # of the inequality; probe fan-out is the single Generate (explode
+    # to 3 buckets)
+    "j7_range_join_nearby": (
+        ["Generate", "HashJoin",
+         r"Left keys \[1\]: \[bucket#\d+L\]",
+         r"Right keys \[1\]: \[bucket#\d+L\]"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
     # split leakage: hash-only semi-joins (probe hashes / band buckets
     # vs the distinct train sets) + tiny per-split aggregates. The
     # corpus-reading normalize/tokenize passes run INSIDE the two eager
