@@ -640,7 +640,8 @@ _EXACT_DUPS = f"""
 all_docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + {D.EXACT_PLANT_OFFSET} AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+  SELECT doc_id + {D.EXACT_PLANT_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % {D.EXACT_PLANT_EVERY} = 0
 )"""
 
 _SHINGLES = f"""
@@ -665,10 +666,7 @@ _SIG = (
 
 def _exact_docs(s, d):
     base = docs(s, d).select("doc_id", "text")
-    dups = base.filter(F.col("doc_id") % 17 == 0).select(
-        (F.col("doc_id") + D.EXACT_PLANT_OFFSET).alias("doc_id"), "text"
-    )
-    return base.unionByName(dups)
+    return base.unionByName(D.plant_exact_twins(base))
 
 
 q("dedup_exact", f"""
@@ -1372,11 +1370,16 @@ _BKT = (
     "CAST(('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100"
 )
 
+# the ONE SQL mirror of sampling.split_col (used by every split-aware
+# oracle below — split_summary here, split_leakage later — so the
+# threshold/salt recipe cannot drift between queries)
+_SPLIT_CASE = f"""CASE WHEN {_BKT.format(salt=SP.SPLIT_SALT)} < {SP.VAL_PCT} THEN 'val'
+         WHEN {_BKT.format(salt=SP.SPLIT_SALT)} < {SP.VAL_PCT + SP.TEST_PCT} THEN 'test'
+         ELSE 'train' END"""
+
 q("sample_split_summary", f"""
 WITH b AS (
-  SELECT CASE WHEN {_BKT.format(salt=SP.SPLIT_SALT)} < {SP.VAL_PCT} THEN 'val'
-              WHEN {_BKT.format(salt=SP.SPLIT_SALT)} < {SP.VAL_PCT + SP.TEST_PCT} THEN 'test'
-              ELSE 'train' END AS split,
+  SELECT {_SPLIT_CASE} AS split,
          len(regexp_extract_all(text, '\\S+')) AS w
   FROM documents)
 SELECT split, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS n_words
@@ -2997,7 +3000,7 @@ def _caption_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle rebuilds the same arithmetic span sequence row-wise (slot order
 # == the Spark array construction order) and replays the nearest-caption
 # window rule; CAPTION_MAX_DIST = 2 mirrored literally
-q("mm_caption_pairs", """
+q("mm_caption_pairs", f"""
 WITH m AS (SELECT doc_id AS d, unnest(generate_series(0, doc_id % 3)) AS i
            FROM documents),
 sl AS (SELECT d, i, unnest([0, 1, 2, 3]) AS slot FROM m),
@@ -3027,7 +3030,7 @@ ch AS (SELECT d, i, pos, take_next,
               CASE WHEN take_next THEN nxp ELSE pvp END AS cpos,
               CASE WHEN take_next THEN nxp - pos ELSE pos - pvp END AS dist
        FROM med),
-g AS (SELECT *, cpos IS NOT NULL AND dist <= 2 AS good FROM ch)
+g AS (SELECT *, cpos IS NOT NULL AND dist <= {M.CAPTION_MAX_DIST} AS good FROM ch)
 SELECT g.d AS doc_id,
        g.pos AS media_pos,
        'media://' || g.d || '/' || g.i AS media_ref,
@@ -3045,30 +3048,21 @@ FROM g LEFT JOIN (SELECT d, pos, 'cap ' || d || ' ' || i AS txt
 def _leak_docs(s, d):
     """Corpus + BOTH plant families, so cross-split contamination of
     each kind exists whenever a twin's md5 split differs from its
-    source's: exact twins (doc_id % 17, same text — the exact_dedup
-    plant) and truncated near-dup twins (doc_id % PLANT_EVERY, the
-    minhash plant). Twin ids land in disjoint 2^62 blocks."""
+    source's: exact twins (the exact_dedup plant, plant_exact_twins)
+    and truncated near-dup twins (the minhash plant, plant_near_twins).
+    Twin ids land in disjoint 2^62 blocks."""
     base = docs(s, d).select("doc_id", "text")
-    exact = base.filter(F.col("doc_id") % 17 == 0).select(
-        (F.col("doc_id") + D.EXACT_PLANT_OFFSET).alias("doc_id"), "text"
+    return base.unionByName(D.plant_exact_twins(base)).unionByName(
+        D.plant_near_twins(base)
     )
-    near = base.filter(F.col("doc_id") % D.PLANT_EVERY == 0).select(
-        (F.col("doc_id") + D.PLANT_OFFSET).alias("doc_id"),
-        F.expr(f"substr(text, 1, length(text) - {D.PLANT_TRUNC})").alias("text"),
-    )
-    return base.unionByName(exact).unionByName(near)
 
-
-_SPLIT_CASE = f"""CASE WHEN {_BKT.format(salt=SP.SPLIT_SALT)} < {SP.VAL_PCT} THEN 'val'
-         WHEN {_BKT.format(salt=SP.SPLIT_SALT)} < {SP.VAL_PCT + SP.TEST_PCT} THEN 'test'
-         ELSE 'train' END"""
 
 q("sample_split_leakage", f"""
 WITH all_docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + {D.EXACT_PLANT_OFFSET} AS doc_id, text
-  FROM documents WHERE doc_id % 17 = 0
+  FROM documents WHERE doc_id % {D.EXACT_PLANT_EVERY} = 0
   UNION ALL
   SELECT doc_id + {D.PLANT_OFFSET} AS doc_id,
          substr(text, 1, length(text) - {D.PLANT_TRUNC}) AS text

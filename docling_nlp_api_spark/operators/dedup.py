@@ -33,6 +33,7 @@ PLANT_TRUNC = 25       # near-dup = text minus last 25 chars
 # plants (catalog _EXACT_DUPS) get their own disjoint block so a doc
 # planted by both rules cannot alias itself across families.
 PLANT_OFFSET = 1 << 62
+EXACT_PLANT_EVERY = 17  # every 17th doc gets an exact (byte-identical) twin
 EXACT_PLANT_OFFSET = (1 << 62) + (1 << 61)
 
 # Universal-hash minhash family: ONE md5 per shingle (its first 32 bits
@@ -66,17 +67,31 @@ def mh_constants(k: int) -> tuple[list[int], list[int]]:
     return a[:k], b[:k]
 
 
+def plant_near_twins(docs: DataFrame) -> DataFrame:
+    """JUST the near-dup twin frame (doc_id+PLANT_OFFSET, text minus the
+    last PLANT_TRUNC chars, for every doc_id % PLANT_EVERY == 0) — the
+    single Python definition of the minhash plant recipe, shared by
+    with_planted_dups and the catalog fixtures (e.g. the split-leakage
+    corpus) so a recipe change cannot drift between call sites."""
+    return docs.filter(F.col("doc_id") % PLANT_EVERY == 0).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.expr(f"substr(text, 1, length(text) - {PLANT_TRUNC})").alias("text"),
+    )
+
+
+def plant_exact_twins(docs: DataFrame) -> DataFrame:
+    """JUST the exact-twin frame (doc_id+EXACT_PLANT_OFFSET, byte-identical
+    text, for every doc_id % EXACT_PLANT_EVERY == 0) — the exact_dedup
+    plant recipe, single-sourced like plant_near_twins above."""
+    return docs.filter(F.col("doc_id") % EXACT_PLANT_EVERY == 0).select(
+        (F.col("doc_id") + EXACT_PLANT_OFFSET).alias("doc_id"), "text"
+    )
+
+
 def with_planted_dups(docs: DataFrame) -> DataFrame:
     """Append deterministic near-duplicates: doc_id+PLANT_OFFSET, text
     truncated (offset rationale at the constant)."""
-    dups = (
-        docs.filter(F.col("doc_id") % PLANT_EVERY == 0)
-        .select(
-            (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
-            F.expr(f"substr(text, 1, length(text) - {PLANT_TRUNC})").alias("text"),
-        )
-    )
-    return docs.select("doc_id", "text").unionByName(dups)
+    return docs.select("doc_id", "text").unionByName(plant_near_twins(docs))
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:

@@ -231,7 +231,19 @@ def asof_join(
     shape Pandas merge_asof / kdb aj achieve single-node, expressed as a
     distributed plan. The right payload crosses the exchange as a struct
     column on right rows only; left rows carry NULL there.
+
+    NULL contract (SQL semantics, NOT window semantics): an equi-join
+    predicate never matches NULLs, but a window PARTITIONS NULL keys
+    together and sorts NULL ts FIRST — so without a guard a NULL-key or
+    NULL-ts right row would be carried forward as a phantom match. The
+    right side therefore drops NULL key/ts rows up front (they are
+    unmatchable under `r.key = l.key AND r.ts <= l.ts`). Left rows with
+    NULL key/ts need no filter: after the right-side drop their
+    partition position has no preceding right row (NULL ts sorts before
+    every real right ts; a NULL-key partition contains no right rows),
+    so they emit NULL match columns — exactly the SQL left-join result.
     """
+    right = right.filter(F.col(key).isNotNull() & F.col(ts).isNotNull())
     rtypes = dict(right.dtypes)
     r_struct = F.struct(*[F.col(c).alias(c) for c in payload])
     # a genuinely NULL struct (NOT a struct of NULL fields — last(...,

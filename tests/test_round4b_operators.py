@@ -588,6 +588,39 @@ def test_asof_join_planted(spark):
     assert got[22]["lag_us"] == 3 * M
 
 
+def test_asof_join_null_key_and_ts_follow_sql_semantics(spark):
+    """SQL equi-predicates never match NULLs, but a window PARTITIONS
+    NULL keys together and sorts NULL ts first — the exact divergence
+    the right-side NULL drop in asof_join guards against. Plants: a
+    NULL-user view and a NULL-ts view (both must never be a match), a
+    NULL-user purchase and a NULL-ts purchase (both must survive with
+    NULL match columns, left semantics)."""
+    from datetime import datetime, timedelta
+
+    from docling_nlp_api_spark.operators import relational as R
+
+    M = 1_000_000
+    t0 = datetime(2024, 3, 1)
+    ts = lambda us: t0 + timedelta(microseconds=us)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            (40, ts(1 * M), None, "view", 1.0),    # NULL user: unmatchable
+            (41, None, 5, "view", 2.0),            # NULL ts: unmatchable
+            (42, ts(9 * M), None, "purchase", 50.0),   # NULL-user probe
+            (43, None, 5, "purchase", 60.0),           # NULL-ts probe
+            (44, ts(8 * M), 5, "purchase", 70.0),  # real user-5 purchase
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {r["event_id"]: r for r in R.asof_view_before_purchase(ev).collect()}
+    assert set(got) == {42, 43, 44}
+    # without the guard, view 40 would ride the NULL-key partition into
+    # purchase 42, and view 41 (NULL ts sorts FIRST) into 43 and 44
+    assert got[42]["view_event_id"] is None
+    assert got[43]["view_event_id"] is None
+    assert got[44]["view_event_id"] is None
+
+
 def test_asof_join_generic_payload_and_keys(spark):
     from docling_nlp_api_spark.operators import relational as R
 

@@ -247,12 +247,15 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["Join", "CartesianProduct"],
     ),
     # pure range join (no equi key): bucketization must turn the time-
-    # range predicate into a hash EQUI-join on bucket with the exact
-    # |dt| residual attached — never a nested-loop/cartesian evaluation
-    # of the inequality; probe fan-out is the single Generate (explode
-    # to 3 buckets)
+    # range predicate into an EQUI-join on bucket with the exact |dt|
+    # residual attached — never a nested-loop/cartesian evaluation of
+    # the inequality; probe fan-out is the single Generate (explode to
+    # 3 buckets). The join operator may be hash OR sort-merge (above
+    # the broadcast threshold the planner legitimately picks
+    # SortMergeJoin on bucket — still the bucketized equi shape); the
+    # invariant is the bucket equi-keys + no nested loop.
     "j7_range_join_nearby": (
-        ["Generate", "HashJoin",
+        ["Generate", r"HashJoin|SortMergeJoin",
          r"Left keys \[1\]: \[bucket#\d+L\]",
          r"Right keys \[1\]: \[bucket#\d+L\]"],
         ["BroadcastNestedLoopJoin", "CartesianProduct"],
