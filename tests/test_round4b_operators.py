@@ -682,3 +682,101 @@ def test_range_join_bucket_boundary(spark):
     got = R.range_join_nearby(ev).collect()
     assert len(got) == 1
     assert got[0]["n_nearby"] == 1 and got[0]["nearby_value"] == 7.0
+
+
+# --- randomized equivalence vs independent brute-force oracles --------------
+# The planted tests above pin the tricky cases by hand; these fuzz the SAME
+# operators against O(n^2)/per-row pure-Python oracles over seeded random
+# data dense in ties (tiny user set, coarse timestamp grid, duplicate ts)
+# and NULLs — the regimes where a window-based rewrite of a join is most
+# likely to diverge from the join semantics it claims to replay.
+
+
+def _random_events(seed, n=250, with_nulls=True):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for eid in range(n):
+        uid = rng.choice([1, 2, 3, None] if with_nulls else [1, 2, 3])
+        # coarse 10 s grid over ~5 min -> many exact ts collisions
+        us = rng.randrange(0, 30) * 10_000_000
+        if with_nulls and rng.random() < 0.05:
+            us = None
+        et = rng.choice(["view", "purchase", "error", "click"])
+        rows.append((eid, us, uid, et, round(rng.uniform(0, 10), 2)))
+    return rows
+
+
+def _events_nullable(spark, rows):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 3, 1)
+    return spark.createDataFrame(
+        [
+            (eid, None if us is None else t0 + timedelta(microseconds=us), uid, et, val)
+            for eid, us, uid, et, val in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+def test_asof_join_random_vs_bruteforce(spark):
+    """asof_view_before_purchase == per-purchase brute-force max-by-(ts,id)
+    scan over the same rows, on 3 seeds x 250 events with NULL users/ts
+    and heavy ts ties. SQL NULL contract: a NULL never matches; a
+    purchase with NULL ts has no prior view by definition."""
+    from docling_nlp_api_spark.operators import relational as R
+
+    for seed in (11, 12, 13):
+        rows = _random_events(seed)
+        got = {
+            r["event_id"]: (r["view_event_id"], r["lag_us"])
+            for r in R.asof_view_before_purchase(
+                _events_nullable(spark, rows)
+            ).collect()
+        }
+        purchases = [r for r in rows if r[3] == "purchase"]
+        assert set(got) == {p[0] for p in purchases}
+        for eid, us, uid, _, _ in purchases:
+            if uid is None or us is None:
+                best = None
+            else:
+                cands = [
+                    (v_us, v_eid)
+                    for v_eid, v_us, v_uid, v_et, _ in rows
+                    if v_et == "view" and v_uid == uid
+                    and v_us is not None and v_us <= us
+                ]
+                best = max(cands) if cands else None  # max by (ts, event_id)
+            if best is None:
+                assert got[eid] == (None, None), (seed, eid)
+            else:
+                assert got[eid] == (best[1], us - best[0]), (seed, eid)
+
+
+def test_range_join_random_vs_bruteforce(spark):
+    """range_join_nearby == O(n^2) scan, 3 seeds x 250 events on a grid
+    chosen so neighbors land in same AND adjacent buckets and exactly AT
+    the +/- 60 s boundary (<= contract). No NULLs: ts is the probe key.
+    Sum comparison uses round-2 on both sides (values are round-2 so the
+    sum is exact in binary at this magnitude)."""
+    from docling_nlp_api_spark.operators import relational as R
+
+    for seed in (21, 22, 23):
+        rows = _random_events(seed, with_nulls=False)
+        got = {
+            r["event_id"]: (r["n_nearby"], r["nearby_value"])
+            for r in R.range_join_nearby(_events_nullable(spark, rows)).collect()
+        }
+        errors = [r for r in rows if r[3] == "error"]
+        assert set(got) == {e[0] for e in errors}
+        for eid, us, _, _, _ in errors:
+            near = [
+                v for v_eid, v_us, _, _, v in rows
+                if v_eid != eid and abs(v_us - us) <= R.RANGE_WINDOW_US
+            ]
+            want = (len(near), round(sum(near), 2) if near else None)
+            have = (got[eid][0],
+                    None if got[eid][1] is None else round(got[eid][1], 2))
+            assert have == want, (seed, eid, have, want)
