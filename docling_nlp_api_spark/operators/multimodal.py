@@ -159,7 +159,9 @@ def sniff_jpeg_dims(b: bytes) -> tuple[int, int] | None:
     if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
         return None
     i = 2
-    while i + 9 < len(b):
+    # reading h/w needs bytes b[i+5 : i+9], so i + 9 <= len(b) suffices —
+    # a strict < would drop an SOF whose dims end exactly at the buffer end
+    while i + 9 <= len(b):
         if b[i] != 0xFF:
             return None
         marker = b[i + 1]
@@ -194,9 +196,18 @@ def sniff_image_dims(payloads) -> tuple[np.ndarray, np.ndarray]:
         b"".join(b[:_HEAD].ljust(_HEAD, b"\0") for b in blobs), dtype=np.uint8
     ).reshape(n, _HEAD)
     sig = np.frombuffer(PNG_SIG + b"\0\0\0\rIHDR", dtype=np.uint8)  # sig + IHDR len/tag
-    is_png = (heads[:, :16] == sig).all(axis=1)
+    lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=n)
+    # a blob shorter than the 24-byte header was zero-PADDED above — its
+    # dim columns are padding, not data, so it can never count as PNG
+    is_png = (heads[:, :16] == sig).all(axis=1) & (lens >= _HEAD)
     w = np.where(is_png, _be32(heads, 16), -1)
     h = np.where(is_png, _be32(heads, 20), -1)
+    # PNG spec bounds dims to [1, 2^31 - 1]; a corrupt header outside that
+    # must degrade to unknown (-1), not overflow the Int32 output or emit
+    # a zero-area image downstream
+    bad = (w < 1) | (h < 1) | (w >= 1 << 31) | (h >= 1 << 31)
+    w = np.where(bad, -1, w)
+    h = np.where(bad, -1, h)
     for i in np.nonzero(~is_png)[0]:  # rare fallback path
         dims = sniff_jpeg_dims(blobs[i])
         if dims is not None:
@@ -228,6 +239,8 @@ def decode_png(b: bytes) -> np.ndarray:
             w, h, depth, ctype, comp, filt, ilace = struct.unpack(">IIBBBBB", data)
             if (depth, ctype, comp, filt, ilace) != (8, 0, 0, 0, 0):
                 raise ValueError("decode_png: only 8-bit grayscale non-interlaced")
+            if w == 0 or h == 0 or w >= 1 << 31 or h >= 1 << 31:
+                raise ValueError("decode_png: dims out of spec range")
         elif tag == b"IDAT":
             idat.append(data)
         elif tag == b"IEND":
@@ -271,6 +284,31 @@ def decode_png(b: bytes) -> np.ndarray:
         out[r] = rec
         prev = rec
     return out.astype(np.uint8)
+
+
+# the full set of exceptions a corrupt-but-PNG-signed payload can raise
+# inside decode_png: ValueError (explicit guards, reshape mismatch),
+# zlib.error (truncated/garbage IDAT), struct.error (short IHDR). The
+# degrade-to-NULL contract must catch ALL of them — zlib.error and
+# struct.error are NOT ValueError subclasses, and an uncaught one fails
+# the task (and with it the job) on a single bad row.
+_DECODE_ERRORS = (ValueError, zlib.error, struct.error)
+
+
+def try_decode_png(b: bytes) -> np.ndarray | None:
+    """decode_png with the row-local degradation contract: any decode
+    failure — wrong container, unsupported shape, truncated or corrupt
+    bytes — returns None instead of raising."""
+    try:
+        return decode_png(b)
+    except _DECODE_ERRORS:
+        return None
+
+
+def _payload_bytes(payloads: pd.Series) -> list[bytes]:
+    """Per-row payload bytes with NULL degraded to b'' — a NULL payload
+    row must parse to 'unknown everything', not TypeError the task."""
+    return [b"" if p is None else bytes(p) for p in payloads]
 
 
 def sniff_wav_duration_ms(b: bytes) -> int | None:
@@ -359,14 +397,16 @@ MEDIA_META_SCHEMA = T.StructType(
 
 
 @F.pandas_udf(T.BinaryType())
-def _media_payload(doc_id: pd.Series, media_type: pd.Series, text: pd.Series) -> pd.Series:
+def _media_payload(doc_id: pd.Series, media_type: pd.Series) -> pd.Series:
     """Fixture payload builder: every media type gets a REAL container —
     image: PNG with planted gradient (IMG_W/IMG_H/IMG_FILL closed forms),
     audio: RIFF/WAVE with planted data size (WAV_DATA_BYTES closed form),
     video: ISO-BMFF with planted mvhd duration (MP4_DUR_UNITS closed form)
-    and demuxable mdat frame records."""
+    and demuxable mdat frame records. Takes only (doc_id, media_type) —
+    shipping the corpus text column through the Arrow pipe for a payload
+    that never reads it would be pure transfer cost."""
     out = []
-    for d, m, _t in zip(doc_id, media_type, text):
+    for d, m in zip(doc_id, media_type):
         d = int(d)
         if m == "image":
             out.append(png_bytes(64 + d % 192, 64 + (d * 7) % 192, d % 251))
@@ -384,7 +424,7 @@ def as_media_table(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         mt.alias("media_type"),
-        _media_payload(F.col("doc_id"), mt, F.col("text")).alias("payload"),
+        _media_payload(F.col("doc_id"), mt).alias("payload"),
     )
 
 
@@ -404,34 +444,36 @@ def extract_media_metadata(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
+            blobs = _payload_bytes(pdf["payload"])
             is_img = (pdf["media_type"] == "image").to_numpy()
             w = np.full(n, -1, dtype=np.int64)
             h = np.full(n, -1, dtype=np.int64)
             if is_img.any():
-                w[is_img], h[is_img] = sniff_image_dims(pdf["payload"].to_numpy()[is_img])
+                w[is_img], h[is_img] = sniff_image_dims(
+                    [blobs[i] for i in np.nonzero(is_img)[0]]
+                )
             dur = []
-            for im, mt, p in zip(is_img, pdf["media_type"], pdf["payload"]):
+            for im, mt, b in zip(is_img, pdf["media_type"], blobs):
                 if im:
                     dur.append(None)
                 elif mt == "audio":
-                    dur.append(sniff_wav_duration_ms(bytes(p)))
+                    dur.append(sniff_wav_duration_ms(b))
                 else:
-                    dur.append(sniff_mp4_duration_ms(bytes(p)))
+                    dur.append(sniff_mp4_duration_ms(b))
             # decode each image at most ONCE per row even when both the
             # pixel mean and the band features consume it — the inflate +
             # filter inversion is the dominant cost of this path at scale
             px_cache: dict[int, np.ndarray] = {}
             if decode_pixels or with_features:
                 for i in np.nonzero(is_img)[0]:
-                    try:
-                        px_cache[int(i)] = decode_png(bytes(pdf["payload"].iloc[i]))
-                    except ValueError:
-                        # undecodable image (JPEG — dims still real via the
-                        # SOF sniffer above — odd bit depth, truncated
-                        # bytes): degrade THIS row's pixel-derived fields
-                        # to NULL instead of failing the task; mirrors the
-                        # dims sniffer's -1 -> NULL rule
-                        pass
+                    # undecodable image (JPEG — dims still real via the
+                    # SOF sniffer above — odd bit depth, truncated or
+                    # corrupt bytes): degrade THIS row's pixel-derived
+                    # fields to NULL instead of failing the task; mirrors
+                    # the dims sniffer's -1 -> NULL rule
+                    px = try_decode_png(blobs[int(i)])
+                    if px is not None:
+                        px_cache[int(i)] = px
             mean_px = [None] * n
             if decode_pixels:
                 for i, px in px_cache.items():
@@ -444,7 +486,7 @@ def extract_media_metadata(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "media_type": pdf["media_type"],
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "n_bytes": pd.array([len(b) for b in blobs], dtype="int64"),
                     "width": pd.array([int(x) if x >= 0 else None for x in w], dtype="Int32"),
                     "height": pd.array([int(x) if x >= 0 else None for x in h], dtype="Int32"),
                     "duration_ms": pd.array(dur, dtype="Int64"),
@@ -534,18 +576,25 @@ def resize_images(media: DataFrame, target_w: int = 64) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ws, hs = sniff_image_dims(pdf["payload"].to_numpy())
+            blobs = _payload_bytes(pdf["payload"])
+            ws, hs = sniff_image_dims(blobs)
             w_l, h_l, ow_l, oh_l, ob_l, tm_l, th_l = [], [], [], [], [], [], []
-            for p, w, h in zip(pdf["payload"], ws, hs):
-                w, h = int(w), int(h)
-                try:
-                    px = decode_png(bytes(p))
-                except ValueError:
-                    w_l.append(w if w >= 0 else None)
-                    h_l.append(h if h >= 0 else None)
+            for b, sw, sh in zip(blobs, ws, hs):
+                px = try_decode_png(b)
+                if px is None:
+                    # sniffed dims may still be real (e.g. JPEG via the
+                    # SOF walk) even when the PNG decoder can't help
+                    sw, sh = int(sw), int(sh)
+                    w_l.append(sw if sw >= 0 else None)
+                    h_l.append(sh if sh >= 0 else None)
                     ow_l.append(None); oh_l.append(None); ob_l.append(None)
                     tm_l.append(None); th_l.append(None)
                     continue
+                # dims come from the DECODED matrix, not the sniffer: for
+                # a non-spec PNG (e.g. IHDR not first) the decoder can
+                # succeed where the header sniff fails, and the resample
+                # must follow the pixels actually decoded
+                h, w = (int(d) for d in px.shape)
                 ow = min(target_w, w)
                 oh = max(1, h * ow // w)
                 iy = (np.arange(oh, dtype=np.int64) * h) // oh
@@ -575,9 +624,13 @@ def resize_images(media: DataFrame, target_w: int = 64) -> DataFrame:
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
-        T.StructField("frame_idx", T.IntegerType(), False),
-        T.StructField("ts_ms", T.LongType(), False),
-        T.StructField("frame", T.BinaryType(), False),
+        # nullable: a video whose moov/mvhd cannot be parsed emits ONE
+        # row with NULL frame fields — the doc must stay visible to
+        # downstream joins/reconciliation, not silently vanish (the same
+        # degradation rule as the image operators' NULL rows)
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("frame", T.BinaryType(), True),
     ]
 )
 
@@ -590,17 +643,23 @@ def sample_video_frames(media: DataFrame, every_ms: int = FRAME_CADENCE_MS) -> D
     FRAME_CADENCE_MS record by computed offset (mp4_mdat_records), the
     offset walk a production stbl demux does. The 1->N fan-out INSIDE
     mapInPandas (output batches larger than input batches) is the engine
-    concern."""
+    concern. A video whose duration cannot be parsed emits one row with
+    NULL frame_idx/ts_ms/frame (see FRAME_SCHEMA note)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, tss, frames = [], [], [], []
-            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(p)
-                dur = sniff_mp4_duration_ms(b)
+            for doc_id, p in zip(pdf["doc_id"], _payload_bytes(pdf["payload"])):
+                dur = sniff_mp4_duration_ms(p)
                 if dur is None:
+                    # unparseable moov/mvhd: ONE NULL-frame row, so the doc
+                    # stays countable downstream instead of vanishing
+                    ids.append(int(doc_id))
+                    idxs.append(None)
+                    tss.append(None)
+                    frames.append(None)
                     continue
-                records = mp4_mdat_records(b)
+                records = mp4_mdat_records(p)
                 n = dur // every_ms + 1
                 for i in range(n):
                     ts = i * every_ms
@@ -612,8 +671,8 @@ def sample_video_frames(media: DataFrame, every_ms: int = FRAME_CADENCE_MS) -> D
             yield pd.DataFrame(
                 {
                     "doc_id": pd.array(ids, dtype="int64"),
-                    "frame_idx": pd.array(idxs, dtype="int32"),
-                    "ts_ms": pd.array(tss, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "ts_ms": pd.array(tss, dtype="Int64"),
                     "frame": frames,
                 }
             )
@@ -653,12 +712,15 @@ def caption_pairs(
     computing the last/first caption struct around each span; nearest /
     tie / distance-gate arithmetic is row-local and media rows stream out
     as a filter. ONE hash exchange on doc_id total; non-caption span text
-    is projected away before the exchange, so only (doc_id, pos,
-    media_ref, caption struct) rows cross it."""
+    is projected away before the exchange, so only (doc_id, pos, idx,
+    media_ref, caption struct) rows cross it. Offset ties are broken by
+    array position (idx) so the pairing is deterministic for any input
+    (see the window comment below)."""
     ex = (
-        spans_table.select("doc_id", F.explode("spans").alias("s"))
+        spans_table.select("doc_id", F.posexplode("spans").alias("idx", "s"))
         .select(
             "doc_id",
+            "idx",
             F.col("s.kind").alias("kind"),
             # only caption text survives the projection; everything else
             # crosses the exchange as NULL
@@ -671,14 +733,19 @@ def caption_pairs(
         F.col("kind") == "caption",
         F.struct(F.col("pos").alias("p"), F.col("cap_text").alias("t")),
     )
+    # order by (pos, idx): offset is the reading-order key; the ARRAY
+    # POSITION breaks offset ties deterministically — with pos alone, a
+    # caption sharing an offset with a media span would land inside or
+    # outside the preceding/following frame depending on physical shuffle
+    # order, making the output nondeterministic across runs
     w_prev = (
         Window.partitionBy("doc_id")
-        .orderBy("pos")
+        .orderBy("pos", "idx")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     w_next = (
         Window.partitionBy("doc_id")
-        .orderBy("pos")
+        .orderBy("pos", "idx")
         .rowsBetween(1, Window.unboundedFollowing)
     )
     enriched = ex.select(

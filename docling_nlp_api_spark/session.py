@@ -60,3 +60,19 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def write_text_file(spark: SparkSession, path: str, content: str) -> None:
+    """Write a small driver-side text file (job metrics, manifests)
+    THROUGH the JVM Hadoop FileSystem, so `path` may live on any scheme
+    the cluster supports (file:, hdfs:, s3a:, ...). Builtin open() only
+    resolves local paths — with an object-store --output root it would
+    raise AFTER the job's expensive work succeeded, failing the run on
+    its very last (and cheapest) step."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()

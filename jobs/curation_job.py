@@ -131,10 +131,10 @@ def run_curation(spark, docs, output: str, shards: int = 8,
         "gates": list(gates),
     }
     assert metrics["n_docs_out"] == n_gated - dd["n_dropped_neardup"], metrics
-    # driver-local write (like dedup_job): for object-store --output roots
-    # the authoritative copy is the printed JSON line
-    with open(os.path.join(output, "metrics.json"), "w") as f:
-        json.dump(metrics, f)
+    from docling_nlp_api_spark.session import write_text_file
+
+    # through the Hadoop FS so an hdfs://s3a:// --output root works
+    write_text_file(spark, os.path.join(output, "metrics.json"), json.dumps(metrics))
     docs.unpersist()
     return metrics
 

@@ -110,8 +110,10 @@ def run_dedup(
         "rows": rows,
     }
     assert metrics["n_kept"] + metrics["n_dropped_neardup"] == n_in, metrics
-    with open(os.path.join(output, "metrics.json"), "w") as f:
-        json.dump(metrics, f)
+    from docling_nlp_api_spark.session import write_text_file
+
+    # through the Hadoop FS so an hdfs://s3a:// --output root works
+    write_text_file(spark, os.path.join(output, "metrics.json"), json.dumps(metrics))
     return metrics
 
 

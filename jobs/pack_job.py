@@ -265,8 +265,10 @@ def run_pack(
             assert metrics["sequences"]["n_seqs"] == sum(
                 v["n_seqs"] for v in per_split.values()
             ), metrics
-        with open(os.path.join(output, "metrics.json"), "w") as f:
-            json.dump(metrics, f)
+        from docling_nlp_api_spark.session import write_text_file
+
+        # through the Hadoop FS so an hdfs://s3a:// --output root works
+        write_text_file(spark, os.path.join(output, "metrics.json"), json.dumps(metrics))
         return metrics
     finally:
         docs.unpersist()

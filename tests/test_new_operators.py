@@ -2107,3 +2107,87 @@ def test_undecodable_image_degrades_to_null_not_job_failure(spark):
     assert (meta[2]["width"], meta[2]["height"]) == (640, 480)
     assert meta[2]["mean_pixel"] is None and meta[2]["feature"] is None
     assert meta[3]["mean_pixel"] is None and meta[3]["feature"] is None
+
+
+def test_corrupt_media_degrades_to_null_rows(spark):
+    """The row-local degradation contract under ADVERSARIAL payloads — the
+    classes that raise non-ValueError exceptions a narrow handler would
+    miss: truncated IDAT (zlib.error), short IHDR (struct.error),
+    out-of-spec 2^31 dims (Int32 overflow), NULL payloads (TypeError on
+    len), and corrupt moov (video row vanishing). One bad row must cost
+    one NULL-field row, never the task."""
+    import struct
+    import zlib
+
+    from docling_nlp_api_spark.operators.multimodal import (
+        PNG_SIG,
+        extract_media_metadata,
+        png_bytes,
+        resize_images,
+        sample_video_frames,
+        try_decode_png,
+    )
+
+    good = png_bytes(16, 8, 5)
+    idat_at = good.index(b"IDAT")
+    # valid signature + IHDR, IDAT body chopped mid-stream -> zlib.error
+    trunc_idat = good[: idat_at + 10]
+    # IHDR declaring 13 bytes but carrying 4 -> struct.error
+    short_ihdr = PNG_SIG + b"\x00\x00\x00\rIHDR" + b"\x00\x00\x00\x10"
+    # dims >= 2^31: must not overflow the Int32 output column
+    big_dims = (
+        PNG_SIG + b"\x00\x00\x00\rIHDR"
+        + struct.pack(">II", 1 << 31, 4) + b"\x08\x00\x00\x00\x00"
+    )
+    assert try_decode_png(trunc_idat) is None
+    assert try_decode_png(short_ihdr) is None
+    assert try_decode_png(big_dims) is None
+    assert try_decode_png(good) is not None
+
+    rows = [
+        (0, "image", good),
+        (1, "image", trunc_idat),
+        (2, "image", short_ihdr),
+        (3, "image", big_dims),
+        (4, "image", None),
+        (5, "audio", None),
+        (6, "video", b"\x00\x00\x00\x08free"),  # no moov/mvhd
+        (7, "video", None),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    )
+    meta = {r["doc_id"]: r for r in
+            extract_media_metadata(media, decode_pixels=True).collect()}
+    assert len(meta) == len(rows)  # nothing vanished, nothing crashed
+    assert meta[0]["width"] == 16 and meta[0]["mean_pixel"] is not None
+    # headers parse, pixels don't -> dims real, mean NULL
+    assert meta[1]["width"] == 16 and meta[1]["mean_pixel"] is None
+    for d in (2, 3, 4):
+        assert meta[d]["width"] is None and meta[d]["mean_pixel"] is None
+    assert meta[4]["n_bytes"] == 0
+    assert meta[5]["duration_ms"] is None
+    assert meta[6]["duration_ms"] is None and meta[7]["duration_ms"] is None
+
+    rz = {r["doc_id"]: r for r in resize_images(media).collect()}
+    assert len(rz) == 5  # every image row survives as a row
+    assert rz[0]["out_width"] == 16 and rz[0]["thumb_mean"] is not None
+    for d in (1, 2, 3, 4):
+        assert rz[d]["out_width"] is None and rz[d]["thumbnail"] is None
+    assert rz[1]["width"] == 16  # sniffed dims still reported
+
+    fr = {r["doc_id"]: r for r in sample_video_frames(media).collect()}
+    # unparseable videos stay visible as ONE NULL-frame row each
+    assert set(fr) == {6, 7}
+    assert fr[6]["frame_idx"] is None and fr[7]["ts_ms"] is None
+
+
+def test_jpeg_sof_at_exact_buffer_end():
+    """A truncated JPEG whose SOF dims END exactly at the last byte is
+    still recoverable (the <= loop bound; a strict < dropped it)."""
+    import struct
+
+    from docling_nlp_api_spark.operators.multimodal import sniff_jpeg_dims
+
+    sof = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 480, 640)
+    assert sniff_jpeg_dims(b"\xff\xd8" + sof) == (640, 480)
