@@ -25,9 +25,15 @@ ROWS_PER_BAND = 2
 PLANT_EVERY = 10       # every 10th doc gets a planted near-dup
 PLANT_TRUNC = 25       # near-dup = text minus last 25 chars
 # Plant ids live in the top eighth of the signed-64 space so they can
-# never collide with a raw id at ANY realizable corpus size (raw ids
-# must stay below 2^61 ~= 2.3e18 — six decades above the 10^12-doc
-# design point). The original +1e6 offset silently collided at the 2M-
+# never collide with a raw id at ANY realizable corpus size. The five
+# plant families tile that eighth at distinct offsets
+#   near-dup 2^62 | mix 2^62+2^58 | norm 2^62+2^59
+#   contain 2^62+2^60 | exact 2^62+2^61
+# whose pairwise gaps are all >= 2^58, so the family blocks
+# [offset, offset + 2^58) are pairwise disjoint PROVIDED raw ids stay
+# below 2^58 ~= 2.9e17 — five decades above the 10^12-doc design point
+# (tests/test_vecmath_parity.py::test_plant_offset_blocks_are_disjoint
+# pins the block-disjointness arithmetic). The original +1e6 offset silently collided at the 2M-
 # vector bench tier: 40k plants aliased raw vec_ids, deflating the
 # fused cluster count (BENCH/neardup_scaling.json, round 4). Exact-dup
 # plants (catalog _EXACT_DUPS) get their own disjoint block so a doc
@@ -1766,8 +1772,9 @@ CONTAIN_MAX_DF = 5                            # candidate shingles must be this 
 CONTAIN_THRESHOLD = 0.8                       # gate on max-side containment
 CONTAIN_PLANT_EVERY = 10                      # every 10th doc plants an extract
 CONTAIN_PLANT_CHARS = 240                     # extract = first 240 chars
-CONTAIN_PLANT_OFFSET = (1 << 62) + (1 << 60)  # id block disjoint from the
-                                              # near-dup and exact-dup plants
+CONTAIN_PLANT_OFFSET = (1 << 62) + (1 << 60)  # own block in the family tiling
+                                              # (see PLANT_OFFSET contract:
+                                              # disjoint for raw ids < 2^58)
 
 
 def with_planted_contained(docs: DataFrame) -> DataFrame:

@@ -321,7 +321,7 @@ def sniff_wav_duration_ms(b: bytes) -> int | None:
     while i + 8 <= len(b):
         tag = b[i : i + 4]
         ln = int.from_bytes(b[i + 4 : i + 8], "little")
-        if tag == b"fmt " and ln >= 16:
+        if tag == b"fmt " and ln >= 16 and i + 20 <= len(b):
             byte_rate = int.from_bytes(b[i + 16 : i + 20], "little")
         elif tag == b"data":
             data_size = ln
@@ -348,14 +348,20 @@ def sniff_mp4_duration_ms(b: bytes) -> int | None:
     for tag, lo, hi in walk(0, len(b)):
         if tag != b"moov":
             continue
-        for t2, l2, _h2 in walk(lo, hi):
-            if t2 != b"mvhd":
+        for t2, l2, h2 in walk(lo, hi):
+            # length guards: a truncated mvhd (body shorter than the
+            # version's fixed layout) degrades to None like every other
+            # corrupt-container shape — never an IndexError / short-slice
+            # misread that would fail the task on one bad row
+            if t2 != b"mvhd" or h2 - l2 < 20:
                 continue
             ver = b[l2]
             if ver == 0:
                 ts = int.from_bytes(b[l2 + 12 : l2 + 16], "big")
                 dur = int.from_bytes(b[l2 + 16 : l2 + 20], "big")
             else:
+                if h2 - l2 < 32:
+                    continue
                 ts = int.from_bytes(b[l2 + 20 : l2 + 24], "big")
                 dur = int.from_bytes(b[l2 + 24 : l2 + 32], "big")
             return dur * 1000 // ts if ts else None

@@ -117,7 +117,15 @@ def _collect_query_matrix(
     pair/sql tiers impose via F.broadcast(q) (shard queries externally if
     it doesn't). |queries| = |corpus| / query_mod by construction."""
     cols = ["vec_id", "embedding"] + (["label"] if with_label else [])
-    pdf = emb.filter(F.col("vec_id") % query_mod == 0).select(*cols).toPandas()
+    pdf = (
+        emb.filter(F.col("vec_id") % query_mod == 0)
+        # a NULL/ragged query vector matches nothing in any tier (its SQL
+        # cosine is NULL, which never passes a rank filter); dropping it
+        # here keeps the driver-side np.stack from aborting on one bad row
+        .filter(F.col("embedding").isNotNull() & (F.size("embedding") == DIM))
+        .select(*cols)
+        .toPandas()
+    )
     qids = pdf["vec_id"].to_numpy().astype(np.int64)
     if len(pdf) == 0:
         Q = np.zeros((0, DIM), dtype=np.float64)
@@ -295,7 +303,13 @@ def kmeans_fit(emb: DataFrame, n_clusters: int = 8, iters: int = 2) -> list[list
     the quantizer bit-reproducible in the DuckDB oracle (averaging order
     differs between engines; 1e-13 float drift would otherwise cascade
     through assignments)."""
-    first = emb.orderBy("vec_id").limit(n_clusters).select("vec_id", "embedding").collect()
+    first = (
+        emb.filter(F.col("embedding").isNotNull() & (F.size("embedding") == DIM))
+        .orderBy("vec_id")
+        .limit(n_clusters)
+        .select("vec_id", "embedding")
+        .collect()
+    )
     cents = [[round(float(x), 6) for x in r["embedding"]] for r in first]
     for _ in range(iters):
         assigned = emb.select(_assign(cents).alias("cl"), "embedding")

@@ -652,8 +652,9 @@ NORM_DST = "'''\"\"\"--- "
 NORM_ELLIPSIS = "…"
 
 NORM_PLANT_EVERY = 10
-NORM_PLANT_OFFSET = (1 << 62) + (1 << 59)  # id block disjoint from the
-                                           # dedup/containment plants
+NORM_PLANT_OFFSET = (1 << 62) + (1 << 59)  # own block in the family tiling
+                                           # (dedup.PLANT_OFFSET contract:
+                                           # disjoint for raw ids < 2^58)
 
 
 def with_planted_unicode(docs: DataFrame) -> DataFrame:
@@ -701,8 +702,9 @@ def normalize_text(docs: DataFrame) -> DataFrame:
 
 
 MIX_PLANT_EVERY = 10
-MIX_PLANT_OFFSET = (1 << 62) + (1 << 58)  # own id block, disjoint from
-                                          # the other plant families
+MIX_PLANT_OFFSET = (1 << 62) + (1 << 58)  # own block in the family tiling
+                                          # (dedup.PLANT_OFFSET contract:
+                                          # disjoint for raw ids < 2^58)
 
 
 MIX_DE_SENT = "der und das ist die"  # 5 German markers, 0 others

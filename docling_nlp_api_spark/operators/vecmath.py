@@ -35,29 +35,84 @@ from pyspark.sql import types as T
 def _mat(s: pd.Series) -> np.ndarray:
     """Stack an Arrow batch of array<float> into an (n, dim) float64
     matrix. float32 -> float64 widening matches the SQL path's
-    CAST(x AS DOUBLE) before any arithmetic."""
+    CAST(x AS DOUBLE) before any arithmetic. Strict: assumes every row
+    is a non-NULL fixed-dim vector (use _mat_masked when the input may
+    carry NULL or ragged rows)."""
     if len(s) == 0:
         return np.zeros((0, 1), dtype=np.float64)
     return np.stack(s.to_numpy()).astype(np.float64, copy=False)
 
 
+def _mat_masked(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(M, valid): stack with a per-row validity mask. A NULL row or a
+    row whose length differs from the batch's modal dim is invalid and
+    zero-filled; callers emit NULL for (or drop) those rows — the SQL
+    scorer tier's NULL-propagation semantics, where a bare np.stack
+    would instead abort the whole task on one corrupt row. NULL
+    *elements* inside a vector arrive as NaN from Arrow and stay NaN
+    (same contaminate-the-result behavior as the SQL fold). The
+    all-valid fast path is the plain _mat stack — zero overhead for
+    clean batches."""
+    n = len(s)
+    if n == 0:
+        return np.zeros((0, 1), dtype=np.float64), np.zeros(0, dtype=bool)
+    arr = s.to_numpy()
+    try:
+        return (
+            np.stack(arr).astype(np.float64, copy=False),
+            np.ones(n, dtype=bool),
+        )
+    except (ValueError, TypeError):
+        pass  # NULL row or ragged dims: guarded slow path below
+    lens = np.array([-1 if v is None else len(v) for v in arr], dtype=np.int64)
+    pos = lens[lens > 0]
+    if pos.size == 0:
+        return np.zeros((n, 1), dtype=np.float64), np.zeros(n, dtype=bool)
+    dim = int(np.bincount(pos).argmax())
+    valid = lens == dim
+    M = np.zeros((n, dim), dtype=np.float64)
+    idx = np.flatnonzero(valid)
+    if idx.size:
+        M[idx] = np.stack(arr[idx]).astype(np.float64, copy=False)
+    return M, valid
+
+
+def _nan_where_invalid(vals: np.ndarray, valid: np.ndarray) -> pd.Series:
+    """float64 result series with NaN on invalid rows. Spark's Arrow
+    serializer (pa.Array.from_pandas) treats float NaN as the null
+    sentinel, so these rows arrive as SQL NULL — including through the
+    safe cast when the UDF's declared type is integral."""
+    out = vals.astype(np.float64, copy=False)
+    if not valid.all():
+        out = out.copy()
+        out[~valid] = np.nan
+    return pd.Series(out)
+
+
 @F.pandas_udf(T.DoubleType())
 def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
     """Row-wise dot product of two array<float> columns (one einsum per
-    Arrow batch). The per-pair hot loop of every ANN / near-dup verify."""
+    Arrow batch). The per-pair hot loop of every ANN / near-dup verify.
+    NULL/ragged rows on either side emit NULL (SQL-tier parity), never a
+    task abort."""
     if len(a) == 0:
         return pd.Series([], dtype="float64")
-    return pd.Series(np.einsum("ij,ij->i", _mat(a), _mat(b)))
+    Ma, va = _mat_masked(a)
+    Mb, vb = _mat_masked(b)
+    if Ma.shape[1] != Mb.shape[1]:  # batch dims disagree: nothing matches
+        return pd.Series(np.full(len(a), np.nan))
+    return _nan_where_invalid(np.einsum("ij,ij->i", Ma, Mb), va & vb)
 
 
 @F.pandas_udf(T.DoubleType())
 def vec_norm(a: pd.Series) -> pd.Series:
     """Row-wise L2 norm of an array<float> column. Computed once per
-    SIDE before the candidate join (n rows), never per pair."""
+    SIDE before the candidate join (n rows), never per pair. NULL/ragged
+    rows emit NULL (SQL-tier parity)."""
     if len(a) == 0:
         return pd.Series([], dtype="float64")
-    M = _mat(a)
-    return pd.Series(np.sqrt(np.einsum("ij,ij->i", M, M)))
+    M, valid = _mat_masked(a)
+    return _nan_where_invalid(np.sqrt(np.einsum("ij,ij->i", M, M)), valid)
 
 
 def plane_bits_udf(planes: list[list[float]]) -> "F.pandas_udf":
@@ -73,8 +128,14 @@ def plane_bits_udf(planes: list[list[float]]) -> "F.pandas_udf":
     def bits(col: pd.Series) -> pd.Series:
         if len(col) == 0:
             return pd.Series([], dtype="int32")
-        signs = _mat(col) @ P > 0  # (n, k) bool
-        return pd.Series((signs * weights).sum(axis=1).astype(np.int32))
+        M, valid = _mat_masked(col)
+        if M.shape[1] != P.shape[0]:  # foreign dim: no bucket for anyone
+            return pd.Series(np.full(len(col), np.nan))
+        signs = M @ P > 0  # (n, k) bool
+        vals = (signs * weights).sum(axis=1).astype(np.int32)
+        if valid.all():
+            return pd.Series(vals)
+        return _nan_where_invalid(vals, valid)  # NaN -> SQL NULL via safe cast
 
     return bits
 
@@ -97,7 +158,13 @@ def assign_udf(centroids: list[list[float]]) -> "F.pandas_udf":
     def assign(col: pd.Series) -> pd.Series:
         if len(col) == 0:
             return pd.Series([], dtype="int32")
-        return pd.Series(np.argmin(_dists_to(C, _mat(col)), axis=1).astype(np.int32))
+        M, valid = _mat_masked(col)
+        if M.shape[1] != C.shape[1]:
+            return pd.Series(np.full(len(col), np.nan))
+        vals = np.argmin(_dists_to(C, M), axis=1).astype(np.int32)
+        if valid.all():
+            return pd.Series(vals)
+        return _nan_where_invalid(vals, valid)
 
     return assign
 
@@ -112,8 +179,16 @@ def probe_list_udf(centroids: list[list[float]], nprobe: int) -> "F.pandas_udf":
     def probes(col: pd.Series) -> pd.Series:
         if len(col) == 0:
             return pd.Series([], dtype="object")
-        order = np.argsort(_dists_to(C, _mat(col)), axis=1, kind="stable")
-        return pd.Series(list(order[:, :nprobe].astype(np.int32)))
+        M, valid = _mat_masked(col)
+        if M.shape[1] != C.shape[1]:
+            return pd.Series([None] * len(col), dtype="object")
+        order = np.argsort(_dists_to(C, M), axis=1, kind="stable")
+        lists = list(order[:, :nprobe].astype(np.int32))
+        if valid.all():
+            return pd.Series(lists)
+        return pd.Series(
+            [v if ok else None for v, ok in zip(lists, valid)], dtype="object"
+        )
 
     return probes
 
@@ -220,7 +295,12 @@ def group_topk_kernel(groups, k: int, key_fn=None):
             if len(pdf) == 0:
                 continue
             cids = pdf["cand_id"].to_numpy().astype(np.int64, copy=False)
-            C = _mat(pdf["embedding"])
+            C, cvalid = _mat_masked(pdf["embedding"])
+            if not cvalid.all():  # NULL/ragged corpus rows can never rank
+                cids, C = cids[cvalid], C[cvalid]
+                pdf = pdf.iloc[np.flatnonzero(cvalid)]
+                if cids.shape[0] == 0:
+                    continue
             cn = np.sqrt(np.einsum("ij,ij->i", C, C))
             keys = (
                 key_fn(C, pdf)
@@ -283,7 +363,17 @@ def gram_pairs_kernel(threshold: float, margin: float = 1e-4):
                     "cos": np.array([], dtype=np.float64),
                 }
             )
-        V = _mat(pdf["embedding"])
+        V, gvalid = _mat_masked(pdf["embedding"])
+        if not gvalid.all():  # NULL/ragged rows pair with nothing (SQL parity)
+            ids, V = ids[gvalid], V[gvalid]
+            if ids.shape[0] < 2:
+                return pd.DataFrame(
+                    {
+                        "id_a": np.array([], dtype=np.int64),
+                        "id_b": np.array([], dtype=np.int64),
+                        "cos": np.array([], dtype=np.float64),
+                    }
+                )
         nn = np.sqrt(np.einsum("ij,ij->i", V, V))
         G = (V @ V.T) / np.outer(nn, nn)
         i, j = np.triu_indices(ids.shape[0], k=1)
@@ -357,7 +447,12 @@ def gram_star_kernel(threshold: float, margin: float = 1e-4):
         n = ids.shape[0]
         if n < 2:
             return empty
-        V = _mat(pdf["embedding"])
+        V, svalid = _mat_masked(pdf["embedding"])
+        if not svalid.all():  # NULL/ragged rows pair with nothing (SQL parity)
+            ids, V = ids[svalid], V[svalid]
+            n = ids.shape[0]
+            if n < 2:
+                return empty
         nn = np.sqrt(np.einsum("ij,ij->i", V, V))
         G = (V @ V.T) / np.outer(nn, nn)
         iu, ju = np.triu_indices(n, k=1)

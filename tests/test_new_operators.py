@@ -246,6 +246,15 @@ def test_wav_mp4_duration_and_demux():
     moov = struct.pack(">I", 8 + len(mvhd1)) + b"moov" + mvhd1
     assert sniff_mp4_duration_ms(moov) == 90000
     assert sniff_mp4_duration_ms(b"\x00\x00\x00\x08free") is None
+    # truncated mvhd bodies degrade to None, never IndexError: an 8-byte
+    # mvhd header ending exactly at the buffer edge, and a version-1 box
+    # whose body stops short of the 64-bit layout
+    empty_mvhd = b"\x00\x00\x00\x10moov" + b"\x00\x00\x00\x08mvhd"
+    assert sniff_mp4_duration_ms(empty_mvhd) is None
+    short_v1 = struct.pack(">I", 28) + b"mvhd" + b"\x01\x00\x00\x00" + b"\x00" * 16
+    assert sniff_mp4_duration_ms(
+        struct.pack(">I", 8 + len(short_v1)) + b"moov" + short_v1
+    ) is None
 
 
 def test_frame_bytes_are_demuxed_mdat_records(spark, sf_dir):

@@ -204,3 +204,121 @@ def test_assign_and_probe_tie_rule(spark, monkeypatch):
         ).first()
         assert r["cl"] == 0, scorer
         assert list(r["probes"]) == [0, 1], scorer
+
+
+def test_null_and_ragged_rows_degrade_to_null(spark):
+    """A NULL embedding row (or one with a foreign dim) must emit NULL
+    from every Arrow-kernel vector op — the SQL tier's NULL-propagation
+    semantics — never abort the Python worker. Valid neighbors in the
+    same Arrow batch keep their exact values (the guarded slow path
+    zero-fills invalid rows without disturbing the rest)."""
+    from pyspark.sql import functions as F
+
+    from docling_nlp_api_spark.operators import vecmath
+
+    rows = [
+        (0, [3.0, 4.0]),
+        (1, None),                    # NULL row
+        (2, [1.0, 0.0, 0.0]),         # ragged: dim 3 in a dim-2 batch
+        (3, [0.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<float>").coalesce(1)
+    got = {
+        r["vec_id"]: (r["n"], r["d"], r["b"])
+        for r in df.select(
+            "vec_id",
+            vecmath.vec_norm(F.col("v")).alias("n"),
+            vecmath.pair_dot(F.col("v"), F.col("v")).alias("d"),
+            vecmath.plane_bits_udf([[1.0, 0.0], [0.0, -1.0]])(F.col("v")).alias("b"),
+        ).collect()
+    }
+    assert got[0] == (pytest.approx(5.0), pytest.approx(25.0), 1)
+    assert got[1] == (None, None, None)
+    assert got[2] == (None, None, None)
+    assert got[3] == (pytest.approx(2.0), pytest.approx(4.0), 0)
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    got2 = {
+        r["vec_id"]: (r["cl"], r["pr"])
+        for r in df.select(
+            "vec_id",
+            vecmath.assign_udf(cents)(F.col("v")).alias("cl"),
+            vecmath.probe_list_udf(cents, 2)(F.col("v")).alias("pr"),
+        ).collect()
+    }
+    assert got2[0] == (1, [1, 0])
+    assert got2[1] == (None, None)
+    assert got2[2] == (None, None)
+    assert got2[3] == (1, [1, 0])
+
+
+def test_kernel_tiers_skip_invalid_rows_end_to_end(spark, monkeypatch):
+    """The mapInPandas/applyInPandas kernels (group top-k, gram pairs)
+    must DROP NULL/ragged corpus rows — they can never rank or pair —
+    and still emit the exact results for the valid rows. Before the
+    round-4 guard this aborted the whole task on one corrupt row."""
+    import numpy as np
+    import pandas as pd
+
+    from docling_nlp_api_spark.operators import vecmath
+
+    # gram kernel: 2 valid near-identical vectors + 1 NULL + 1 ragged
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.array([1, 2, 3, 4], dtype=np.int64),
+            "embedding": [
+                np.array([1.0, 0.0]),
+                np.array([1.0, 1e-5]),
+                None,
+                np.array([1.0, 0.0, 0.0]),
+            ],
+        }
+    )
+    out = vecmath.gram_pairs_kernel(0.9)(pdf)
+    assert list(out["id_a"]) == [1] and list(out["id_b"]) == [2]
+
+    # group top-k kernel: NULL corpus row inside the only batch
+    qids = np.array([100], dtype=np.int64)
+    Q = np.array([[1.0, 0.0]])
+    qn = np.array([1.0])
+    cdf = pd.DataFrame(
+        {
+            "cand_id": np.array([1, 2, 3], dtype=np.int64),
+            "embedding": [np.array([1.0, 0.0]), None, np.array([0.0, 1.0])],
+        }
+    )
+    gen = vecmath.group_topk_kernel({0: (qids, Q, qn)}, k=5)
+    frames = list(gen(iter([cdf])))
+    assert len(frames) == 1
+    got = sorted(zip(frames[0]["cand_id"], frames[0]["cos"]))
+    assert [c for c, _ in got] == [1, 3]  # NULL cand 2 dropped, not fatal
+    assert got[0][1] == pytest.approx(1.0)
+
+
+def test_plant_offset_blocks_are_disjoint():
+    """The five plant-id families tile [2^62, 2^63): each family block
+    [offset, offset + 2^58) must be pairwise disjoint and collision-free
+    against raw ids < 2^58 (the documented corpus-id bound — five
+    decades above the 10^12-doc design point). Guards the exact aliasing
+    class the round-4 2^62 migration eliminated."""
+    from docling_nlp_api_spark.operators import dedup as D
+    from docling_nlp_api_spark.operators import textquality as TQ
+
+    bound = 1 << 58
+    offsets = {
+        "neardup": D.PLANT_OFFSET,
+        "exact": D.EXACT_PLANT_OFFSET,
+        "contain": D.CONTAIN_PLANT_OFFSET,
+        "norm": TQ.NORM_PLANT_OFFSET,
+        "mix": TQ.MIX_PLANT_OFFSET,
+    }
+    blocks = {k: (v, v + bound) for k, v in offsets.items()}
+    names = list(blocks)
+    for a in range(len(names)):
+        for b in range(a + 1, len(names)):
+            lo_a, hi_a = blocks[names[a]]
+            lo_b, hi_b = blocks[names[b]]
+            assert hi_a <= lo_b or hi_b <= lo_a, (names[a], names[b])
+    for lo, hi in blocks.values():
+        assert lo >= bound  # never collides with a raw id
+        assert hi <= (1 << 63) - 1  # stays inside signed int64
