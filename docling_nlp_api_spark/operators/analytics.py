@@ -109,7 +109,8 @@ def dense_date_trend(spark: SparkSession, events: DataFrame,
                      start: str = SPINE_START, end: str = SPINE_END) -> DataFrame:
     """J1: dense date spine LEFT JOIN daily counts with zero-fill — replaces
     the reference's 2-RPC-per-day loop (analytics_service.py:421-444).
-    The spine is tiny -> broadcast to avoid shuffling the fact side."""
+    The aggregated daily frame is date-cardinality -> broadcast it so the
+    join never shuffles (the spine, the preserved side, streams)."""
     spine = spark.range(1).select(
         F.explode(
             F.sequence(F.lit(start).cast("date"), F.lit(end).cast("date"))
@@ -120,9 +121,15 @@ def dense_date_trend(spark: SparkSession, events: DataFrame,
         .groupBy("date")
         .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
     )
+    # broadcast the BUILD side: for a LEFT OUTER join the preserved side
+    # (spine) is streamed and only the right side can back a
+    # BroadcastHashJoin — a hint on spine is unusable and the join would
+    # silently fall back to a shuffle. daily is date-cardinality rows
+    # after its aggregation (bounded by the spine range), so it is the
+    # tiny side regardless of fact-table size.
     return (
-        F.broadcast(spine)
-        .join(daily, "date", "left")
+        spine
+        .join(F.broadcast(daily), "date", "left")
         .select(
             "date",
             F.coalesce("cnt", F.lit(0)).alias("cnt"),

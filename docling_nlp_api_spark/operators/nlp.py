@@ -62,8 +62,16 @@ def corpus_keywords(docs: DataFrame, k: int = TOP_K_KEYWORDS) -> DataFrame:
 def per_doc_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
     """W2: top-k keywords per doc with frequency score (score = cnt/total
     pre-stopword tokens, like the reference's freq/len(words))."""
-    base = docs.select("doc_id", F.explode(tokens_col()).alias("word"),
-                       F.size(tokens_col()).alias("total"))
+    # tokenize ONCE behind a Generate barrier: explode(tokens) and
+    # size(tokens) in one projection would each re-run the regex
+    # tokenizer per row (CollapseProject inlines sibling expressions) —
+    # the same staging every other corpus-pass operator here uses
+    toks = tokens_col()
+    staged = docs.select(
+        "doc_id", F.inline(F.array(F.struct(toks.alias("toks"))))
+    )
+    base = staged.select("doc_id", F.explode("toks").alias("word"),
+                         F.size("toks").alias("total"))
     counts = (
         base.filter(~F.col("word").isin(*STOPWORDS_40))
         .groupBy("doc_id", "word", "total")

@@ -173,11 +173,18 @@ def aes_roundtrip(docs: DataFrame) -> DataFrame:
     - aes_decrypt reads the prepended IV and must roundtrip exactly."""
     key = f"unhex('{_derived_key_hex()}')"
     ct_sql = f"aes_encrypt(text, {key}, 'CBC', 'PKCS', unhex(md5(text)))"
-    ct = F.expr(ct_sql)
-    pt = F.expr(f"cast(aes_decrypt({ct_sql}, {key}, 'CBC', 'PKCS') as string)")
-    return docs.select(
+    # encrypt ONCE behind a Generate barrier: inlining ct_sql into the
+    # three consumers below would run the CBC encryption 3x per row
+    # (Catalyst has no CSE across sibling scalar expressions) — AES is
+    # the most expensive expression in this operator
+    staged = docs.select(
+        "doc_id", "text",
+        F.inline(F.array(F.struct(F.expr(ct_sql).alias("ct")))),
+    )
+    pt = F.expr(f"cast(aes_decrypt(ct, {key}, 'CBC', 'PKCS') as string)")
+    return staged.select(
         "doc_id",
-        F.length(ct).alias("ct_len"),
-        F.lower(F.hex(F.expr(f"substring({ct_sql}, 1, 16)"))).alias("iv_hex"),
+        F.length("ct").alias("ct_len"),
+        F.lower(F.hex(F.expr("substring(ct, 1, 16)"))).alias("iv_hex"),
         (pt == F.col("text")).alias("roundtrip_ok"),
     )

@@ -303,9 +303,21 @@ def kmeans_fit(emb: DataFrame, n_clusters: int = 8, iters: int = 2) -> list[list
     the quantizer bit-reproducible in the DuckDB oracle (averaging order
     differs between engines; 1e-13 float drift would otherwise cascade
     through assignments)."""
+    # one shared validity gate for init AND every assignment pass: a
+    # NULL/ragged vector would assign to a NULL cluster whose posexplode
+    # rows still emit, and the driver-side new[cl] would TypeError on the
+    # None key — one corrupt row must never kill the fit (row-local
+    # degradation contract; see _mat_masked). The corpus dim is not
+    # assumed (callers fit on arbitrary-dim fixtures): it is read from
+    # the first non-empty vector by vec_id order, the same determinism
+    # rule as the init seeding.
+    emb = emb.filter(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
+    probe = emb.orderBy("vec_id").select(F.size("embedding").alias("d")).limit(1).collect()
+    if not probe:
+        return []
+    emb = emb.filter(F.size("embedding") == probe[0]["d"])
     first = (
-        emb.filter(F.col("embedding").isNotNull() & (F.size("embedding") == DIM))
-        .orderBy("vec_id")
+        emb.orderBy("vec_id")
         .limit(n_clusters)
         .select("vec_id", "embedding")
         .collect()

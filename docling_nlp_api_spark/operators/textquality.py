@@ -31,19 +31,36 @@ def _marker_count(lang: str, text: F.Column | None = None):
     )
 
 
+def _pred_from_scores(
+    s_en: F.Column, s_de: F.Column, s_fr: F.Column, s_es: F.Column,
+    has_cjk: F.Column,
+) -> F.Column:
+    """THE language-decision rule (CJK short-circuit -> zero-marker
+    unknown -> argmax with lexicographic tiebreak de < en < es < fr),
+    defined exactly once. Both lang_pred_col (exports' detect_language
+    path) and lang_id build on this, so the rule cannot drift between
+    the two surfaces."""
+    best = F.greatest(s_en, s_de, s_fr, s_es)
+    return (
+        F.when(has_cjk, "zh")
+        .when(best == 0, "unknown")
+        .when(s_de == best, "de")
+        .when(s_en == best, "en")
+        .when(s_es == best, "es")
+        .otherwise("fr")
+    )
+
+
 def lang_pred_col(text: F.Column) -> F.Column:
     """Predicted language for a text COLUMN — the marker-count argmax of
     lang_id as a reusable expression (shared with the NLP JSON's
     detect_language mode in exports.nlp_json_col)."""
-    best = F.greatest(*[_marker_count(lg, text) for lg in ("en", "de", "fr", "es")])
-    has_cjk = F.size(F.regexp_extract_all(text, F.lit(r"[一-鿿]"), 0)) > 0
-    return (
-        F.when(has_cjk, "zh")
-        .when(best == 0, "unknown")
-        .when(_marker_count("de", text) == best, "de")  # lexicographic: de < en < es < fr
-        .when(_marker_count("en", text) == best, "en")
-        .when(_marker_count("es", text) == best, "es")
-        .otherwise("fr")
+    return _pred_from_scores(
+        _marker_count("en", text),
+        _marker_count("de", text),
+        _marker_count("fr", text),
+        _marker_count("es", text),
+        F.size(F.regexp_extract_all(text, F.lit(r"[一-鿿]"), 0)) > 0,
     )
 
 
@@ -59,14 +76,9 @@ def lang_id(docs: DataFrame) -> DataFrame:
         _marker_count("es").alias("s_es"),
         (F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[一-鿿]"), 0)) > 0).alias("has_cjk"),
     )
-    best = F.greatest("s_en", "s_de", "s_fr", "s_es")
-    pred = (
-        F.when(F.col("has_cjk"), "zh")
-        .when(best == 0, "unknown")
-        .when(F.col("s_de") == best, "de")  # lexicographic: de < en < es < fr
-        .when(F.col("s_en") == best, "en")
-        .when(F.col("s_es") == best, "es")
-        .otherwise("fr")
+    pred = _pred_from_scores(
+        F.col("s_en"), F.col("s_de"), F.col("s_fr"), F.col("s_es"),
+        F.col("has_cjk"),
     )
     return scored.select("doc_id", "lang", pred.alias("pred_lang"), "s_en", "s_de", "s_fr", "s_es")
 

@@ -322,3 +322,23 @@ def test_plant_offset_blocks_are_disjoint():
     for lo, hi in blocks.values():
         assert lo >= bound  # never collides with a raw id
         assert hi <= (1 << 63) - 1  # stays inside signed int64
+
+
+def test_kmeans_fit_survives_ragged_row(spark, monkeypatch):
+    """kmeans_fit's assignment pass must apply the same validity gate as
+    its init: a ragged (wrong-dim) vector previously assigned to a NULL
+    cluster whose posexplode rows survived to the driver, and new[cl]
+    raised TypeError on the None key — one corrupt row killed the fit
+    and everything built on it (ivf_kmeans_topk, semdedup)."""
+    from docling_nlp_api_spark.operators import similarity as S
+
+    for tier in ("kernel", "sql"):
+        monkeypatch.setenv("SPARK_GRAFT_ANN_SCORER", tier)
+        rows = [(i, [float(i), float(i % 3)] + [0.0] * (S.DIM - 2))
+                for i in range(12)]
+        rows.append((90, None))
+        rows.append((91, [1.0, 2.0, 3.0]))  # ragged: dim 3, not DIM
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cents = S.kmeans_fit(emb, n_clusters=2, iters=2)
+        clean = spark.createDataFrame(rows[:12], "vec_id long, embedding array<float>")
+        assert cents == S.kmeans_fit(clean, n_clusters=2, iters=2), tier
