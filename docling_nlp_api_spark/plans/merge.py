@@ -53,13 +53,69 @@ def ttl_delete_sql(target: str = "analytics.sessions", now_ts: str = "2024-01-30
     return f"DELETE FROM {target} WHERE expires_at < TIMESTAMP '{now_ts}'"
 
 
+def _recover_state(state_dir: str) -> None:
+    """Crash recovery for the swap protocol below. Two windows exist:
+    (a) died between rename(cur -> _old) and rename(_staged -> cur):
+    current/ is missing and _old/ holds the ONLY copy of the state —
+    restore it, else the next merge would treat state as empty and the
+    final rmtree would destroy all accumulated data; (b) died after the
+    swap but before rmtree(_old): _old/ is a stale backup beside a live
+    current/ — clear it so the next rename(cur, _old) cannot fail
+    ENOTEMPTY. Called at the top of every state operation."""
+    cur = os.path.join(state_dir, "current")
+    old = os.path.join(state_dir, "_old")
+    if os.path.isdir(old):
+        if not os.path.isdir(cur):
+            os.rename(old, cur)
+        else:
+            shutil.rmtree(old, ignore_errors=True)
+
+
+def _commit_swap(state_dir: str) -> str:
+    """Swap _staged into current/ (backup-then-rename, backup removed on
+    success). Paired with _recover_state, a crash at ANY point leaves a
+    recoverable state: before the first rename nothing changed; between
+    the renames _old/ holds the data; after, _old/ is garbage."""
+    cur = os.path.join(state_dir, "current")
+    old = os.path.join(state_dir, "_old")
+    tmp = os.path.join(state_dir, "_staged")
+    if os.path.isdir(cur):
+        os.rename(cur, old)
+    os.rename(tmp, cur)
+    shutil.rmtree(old, ignore_errors=True)
+    return cur
+
+
+def last_committed_batch(state_dir: str) -> int | None:
+    """The streaming batch_id whose merge is durably inside current/, or
+    None. The marker is staged into _staged/ BEFORE the swap, so it
+    commits atomically with the data in the same rename — there is no
+    window where state is updated but the marker is not (or vice versa)."""
+    _recover_state(state_dir)
+    marker = os.path.join(state_dir, "current", "_BATCH")
+    if not os.path.isfile(marker):
+        return None
+    with open(marker) as f:
+        return int(f.read().strip())
+
+
 def apply_merge_to_state(
-    spark: SparkSession, state_dir: str, batch: DataFrame, keys: tuple[str, ...] = ("user_id", "event_type")
+    spark: SparkSession,
+    state_dir: str,
+    batch: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    batch_marker: int | None = None,
 ) -> DataFrame:
     """Sandbox-executable MERGE: full-outer join state with batch on the
     keys, sum the measures, commit by write-new-then-atomic-swap (the same
     idempotent protocol as the pipeline's partition overwrite). Returns the
-    new state DataFrame (re-read from the committed files)."""
+    new state DataFrame (re-read from the committed files).
+
+    batch_marker: streaming callers pass their micro-batch id; it is
+    staged next to the data (underscore-prefixed, so parquet readers
+    ignore it) and swaps in atomically, making an at-least-once
+    foreachBatch replay detectable via last_committed_batch."""
+    _recover_state(state_dir)
     measures = [c for c in batch.columns if c not in keys]
     if os.path.isdir(os.path.join(state_dir, "current")):
         state = spark.read.parquet(os.path.join(state_dir, "current"))
@@ -77,25 +133,32 @@ def apply_merge_to_state(
     )
     tmp = os.path.join(state_dir, "_staged")
     merged.write.mode("overwrite").parquet(tmp)
-    cur = os.path.join(state_dir, "current")
-    old = os.path.join(state_dir, "_old")
-    if os.path.isdir(cur):
-        os.rename(cur, old)
-    os.rename(tmp, cur)
-    shutil.rmtree(old, ignore_errors=True)
-    return spark.read.parquet(cur)
+    if batch_marker is not None:
+        with open(os.path.join(tmp, "_BATCH"), "w") as f:
+            f.write(str(batch_marker))
+    return spark.read.parquet(_commit_swap(state_dir))
 
 
 def apply_ttl_delete_to_state(spark: SparkSession, state_dir: str, now_ts: str) -> DataFrame:
     """Sandbox-executable DELETE FROM ... WHERE expires_at < now: rewrite
-    the surviving rows with the same swap commit."""
+    the surviving rows with the same swap commit.
+
+    Delete semantics are SQL three-valued: DELETE removes only rows whose
+    predicate is TRUE, so a NULL expires_at (never-expiring row) is KEPT
+    — `~(a < b)` alone would silently delete it (NULL negated is NULL,
+    and filter drops NULL). now_ts is validated driver-side: a malformed
+    timestamp must raise here, not cast to NULL and turn the predicate
+    NULL for every row (which would wipe the whole table)."""
+    from datetime import datetime
+
+    datetime.fromisoformat(now_ts)  # raises ValueError on garbage input
+    _recover_state(state_dir)
     cur = os.path.join(state_dir, "current")
     state = spark.read.parquet(cur)
-    kept = state.filter(~(F.col("expires_at") < F.lit(now_ts).cast("timestamp")))
+    expired = F.coalesce(
+        F.col("expires_at") < F.lit(now_ts).cast("timestamp"), F.lit(False)
+    )
+    kept = state.filter(~expired)
     tmp = os.path.join(state_dir, "_staged")
     kept.write.mode("overwrite").parquet(tmp)
-    old = os.path.join(state_dir, "_old")
-    os.rename(cur, old)
-    os.rename(tmp, cur)
-    shutil.rmtree(old, ignore_errors=True)
-    return spark.read.parquet(cur)
+    return spark.read.parquet(_commit_swap(state_dir))

@@ -38,7 +38,6 @@ does the same at partition granularity and never fails the job for a doc.
 from __future__ import annotations
 
 import os
-import shutil
 import time
 import uuid
 from datetime import datetime, timezone
@@ -75,7 +74,14 @@ class ExtractionPipeline:
 
     # -- checkpoint table ---------------------------------------------------
     def committed_partitions(self) -> set[int]:
-        if not os.path.isdir(self.ckpt_dir):
+        # Hadoop-FS existence check, NOT os.path.isdir: with an
+        # hdfs://s3a:// out_dir (the documented cluster invocation) the
+        # local check is always False, which would silently disable
+        # exactly-once resume — every re-run would reprocess ALL
+        # partitions and append duplicate checkpoint + metrics rows.
+        from ..session import fs_exists
+
+        if not fs_exists(self.spark, self.ckpt_dir):
             return set()
         df = self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(self.ckpt_dir)
         rows = (
@@ -278,11 +284,17 @@ class ExtractionPipeline:
             # would need a to_json pre-hash; the pipeline's input
             # contract is (doc_id, spans), which xxhash64 supports.)
             src_key = self._content_key(input_df, input_df.columns)
+        # marker + wipe go through the Hadoop FS so staging works under
+        # any --output scheme (open()/shutil only resolve local paths;
+        # on hdfs://s3a:// they would either fail or silently restage)
+        from ..session import fs_delete, read_text_file, write_text_file
+
         layout = f"{self.n_partitions} {src_key}"
-        if not os.path.exists(marker):
+        staged_layout = read_text_file(self.spark, marker)
+        if staged_layout is None:
             # no marker = no committed staging: clear any half-written
             # attempt so dynamic partition overwrite cannot leave orphans
-            shutil.rmtree(self.staged_dir, ignore_errors=True)
+            fs_delete(self.spark, self.staged_dir)
             (
                 input_df.withColumn(
                     "part_id",
@@ -292,10 +304,9 @@ class ExtractionPipeline:
                 .partitionBy("part_id")
                 .parquet(self.staged_dir)
             )
-            with open(marker, "w") as f:
-                f.write(layout)
-        with open(marker) as f:
-            staged_layout = f.read().strip()
+            write_text_file(self.spark, marker, layout)
+            staged_layout = layout
+        staged_layout = staged_layout.strip()
         if (
             staged_layout != layout
             and staged_layout.startswith(f"{self.n_partitions} plan:")
@@ -315,8 +326,7 @@ class ExtractionPipeline:
                 self.staged_dir
             )
             if self._content_key(staged_df, input_df.columns) == src_key:
-                with open(marker, "w") as f:
-                    f.write(layout)
+                write_text_file(self.spark, marker, layout)
                 staged_layout = layout
         if staged_layout != layout:
             raise ValueError(

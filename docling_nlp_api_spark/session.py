@@ -76,3 +76,54 @@ def write_text_file(spark: SparkSession, path: str, content: str) -> None:
         out.write(bytearray(content.encode("utf-8")))
     finally:
         out.close()
+
+
+def read_text_file(spark: SparkSession, path: str) -> str | None:
+    """Read a small driver-side text file through the Hadoop FileSystem
+    (any scheme); None if it does not exist. Counterpart of
+    write_text_file for markers the pipeline must re-read on resume."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    # checksum verification off: a marker legitimately rewritten by a
+    # non-Hadoop writer (plain open(), older runs) leaves a stale .crc
+    # sidecar on the local FS, and a verified read would throw
+    # ChecksumException on content that is perfectly valid
+    fs.setVerifyChecksum(False)
+    # line-reader, NOT stream.read(bytearray): py4j COPIES a Python
+    # bytearray into the JVM, so bytes written by read() never propagate
+    # back — strings returned by readLine() do
+    reader = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(fs.open(jpath), "UTF-8")
+    )
+    try:
+        lines = []
+        while True:
+            line = reader.readLine()
+            if line is None:
+                break
+            lines.append(line)
+        return "\n".join(lines)
+    finally:
+        reader.close()
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence check (any scheme) — the portable form of
+    os.path.isdir for checkpoint/staging roots that may be hdfs://s3a://
+    on a real cluster (os.path is always False there, which would
+    silently disable exactly-once resume)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
+def fs_delete(spark: SparkSession, path: str) -> None:
+    """Recursive Hadoop-FS delete (any scheme); no-op if absent. The
+    portable shutil.rmtree(..., ignore_errors=True)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        fs.delete(jpath, True)

@@ -49,9 +49,16 @@ def stage_event_chunks(
     flush_horizon_days: int | None = None,
 ) -> str:
     """Split the batch events table into n_chunks FLAT parquet files under
-    out_dir in event_id order — a deterministic simulated arrival stream
-    (event_id is assigned in ts order by the generator, so chunk k+1 is
-    strictly later than chunk k). Flat files, not chunk=k subdirs: the
+    out_dir in EVENT-TIME order — a deterministic simulated arrival
+    stream where chunk k+1 is never earlier than chunk k. Chunks are cut
+    on a (ts, event_id) row-number rank, NOT raw event_id ranges: the sf
+    generator happens to assign event_id in ts order, but other event
+    tables (e.g. tools/make_star_tier.py hashes ts from event_id) do not,
+    and id-range chunks over such input would interleave event time
+    across micro-batches — downstream watermarks would then silently
+    drop the out-of-order rows and diverge from the batch oracle. The
+    global sort is test-harness staging cost, not an engine plan.
+    Flat files, not chunk=k subdirs: the
     file source would otherwise partition-infer a `chunk` column that
     clashes with the explicit schema; staging order also fixes the
     source's (mtime, path) processing order.
@@ -63,14 +70,19 @@ def stage_event_chunks(
     import glob
     import shutil
 
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).withColumn(
+        "_rn", F.row_number().over(Window.orderBy("ts", "event_id")) - 1
+    )
     n = ev.count()
     per = (n + n_chunks - 1) // n_chunks
     os.makedirs(out_dir, exist_ok=True)
     for k in range(n_chunks):
         tmp = os.path.join(out_dir, "_stage_tmp")
         (
-            ev.filter((F.col("event_id") >= k * per) & (F.col("event_id") < (k + 1) * per))
+            ev.filter((F.col("_rn") >= k * per) & (F.col("_rn") < (k + 1) * per))
+            .drop("_rn")
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(tmp)
@@ -248,10 +260,23 @@ def upsert_stream_foreach_batch(
     each micro-batch MERGEs its per-(user, date) counts into the parquet
     state table through plans/merge.apply_merge_to_state (the sandbox
     MERGE INTO with the atomic-swap commit; reference read-modify-write
-    analytics_service.py:140-174). Returns the started StreamingQuery."""
-    from ..plans.merge import apply_merge_to_state
+    analytics_service.py:140-174). Returns the started StreamingQuery.
+
+    Replay safety: foreachBatch is at-least-once — after a crash between
+    the state commit and the engine's WAL commit, the SAME batch_id is
+    redelivered on restart. The merge is additive, so blindly re-applying
+    would double-count; the batch id therefore commits atomically WITH
+    the state (apply_merge_to_state's batch_marker rides the same swap
+    rename) and a redelivered id is skipped — exactly-once for this
+    sink. state_dir pairs with checkpoint_dir for a stream's lifetime
+    (batch ids are checkpoint-scoped; pointing a FRESH checkpoint at an
+    old state dir restarts ids at 0 and is not a supported resume)."""
+    from ..plans.merge import apply_merge_to_state, last_committed_batch
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_committed_batch(state_dir)
+        if last is not None and batch_id <= last:
+            return  # redelivered micro-batch: its delta is already in state
         delta = (
             batch_df.groupBy(
                 "user_id", F.date_format("ts", "yyyy-MM-dd").alias("date")
@@ -259,7 +284,8 @@ def upsert_stream_foreach_batch(
             .agg(F.count("*").alias("api_calls"))
         )
         apply_merge_to_state(
-            batch_df.sparkSession, state_dir, delta, keys=("user_id", "date")
+            batch_df.sparkSession, state_dir, delta,
+            keys=("user_id", "date"), batch_marker=batch_id,
         )
 
     return (

@@ -82,60 +82,66 @@ def run_curation(spark, docs, output: str, shards: int = 8,
     if "c4" in gates and "c4_page" in gates:
         raise ValueError("pick one of c4 / c4_page, not both")
 
-    # the gate/dedup stages each re-scan the corpus; pin it once
+    # the gate/dedup stages each re-scan the corpus; pin it once. The
+    # body runs under try/finally so a failed write or a tripped
+    # invariant assert cannot leave the corpus pinned in executor
+    # storage for the session lifetime (same guard as pack_job.run_pack).
     docs = docs.persist()
-    n_in = docs.count()
+    try:
+        n_in = docs.count()
 
-    # --- stage 1: map-only quality gates (one audit row per input doc)
-    funnel = filter_funnel(docs).select("doc_id", "verdict")
-    gopher = gopher_quality_rules(docs).select(
-        "doc_id", F.col("verdict").alias("gopher_verdict")
-    )
-    c4 = c4_line_filters(docs).select("doc_id", F.col("verdict").alias("c4_verdict"))
-    audit = funnel.join(gopher, "doc_id").join(c4, "doc_id")
-    audit.write.mode("overwrite").parquet(os.path.join(output, "funnel"))
-    audit = spark.read.parquet(os.path.join(output, "funnel"))
+        # --- stage 1: map-only quality gates (one audit row per input doc)
+        funnel = filter_funnel(docs).select("doc_id", "verdict")
+        gopher = gopher_quality_rules(docs).select(
+            "doc_id", F.col("verdict").alias("gopher_verdict")
+        )
+        c4 = c4_line_filters(docs).select("doc_id", F.col("verdict").alias("c4_verdict"))
+        audit = funnel.join(gopher, "doc_id").join(c4, "doc_id")
+        audit.write.mode("overwrite").parquet(os.path.join(output, "funnel"))
+        audit = spark.read.parquet(os.path.join(output, "funnel"))
 
-    pred = F.lit(True)
-    if "funnel" in gates:
-        pred = pred & (F.col("verdict") == "keep")
-    if "gopher" in gates:
-        pred = pred & (F.col("gopher_verdict") == "keep")
-    if "c4" in gates:
-        pred = pred & (F.col("c4_verdict") == "keep")
-    if "c4_page" in gates:
-        pred = pred & ~F.col("c4_verdict").isin("brace", "lorem_ipsum")
-    kept_ids = audit.filter(pred).select("doc_id")
-    n_gated = kept_ids.count()  # doc_id is unique, so |gated| == |kept_ids|
-    gated = docs.join(kept_ids, "doc_id")
+        pred = F.lit(True)
+        if "funnel" in gates:
+            pred = pred & (F.col("verdict") == "keep")
+        if "gopher" in gates:
+            pred = pred & (F.col("gopher_verdict") == "keep")
+        if "c4" in gates:
+            pred = pred & (F.col("c4_verdict") == "keep")
+        if "c4_page" in gates:
+            pred = pred & ~F.col("c4_verdict").isin("brace", "lorem_ipsum")
+        kept_ids = audit.filter(pred).select("doc_id")
+        n_gated = kept_ids.count()  # doc_id is unique, so |gated| == |kept_ids|
+        gated = docs.join(kept_ids, "doc_id")
 
-    # --- stage 2: near-dup dedup over the gated survivors
-    dd = run_dedup(spark, gated, os.path.join(output, "dedup"), threshold)
-    keep_ids = spark.read.parquet(os.path.join(output, "dedup", "keep")).select("doc_id")
+        # --- stage 2: near-dup dedup over the gated survivors
+        dd = run_dedup(spark, gated, os.path.join(output, "dedup"), threshold)
+        keep_ids = spark.read.parquet(os.path.join(output, "dedup", "keep")).select("doc_id")
 
-    # --- stage 3: shard write (the one corpus-wide exchange)
-    shard = F.pmod(F.xxhash64("doc_id"), F.lit(shards)).cast("int").alias("shard")
-    curated = gated.join(keep_ids, "doc_id").select("doc_id", "text", shard)
-    (curated.repartition(shards, "shard")
-        .write.mode("overwrite").parquet(os.path.join(output, "corpus")))
+        # --- stage 3: shard write (the one corpus-wide exchange)
+        shard = F.pmod(F.xxhash64("doc_id"), F.lit(shards)).cast("int").alias("shard")
+        curated = gated.join(keep_ids, "doc_id").select("doc_id", "text", shard)
+        (curated.repartition(shards, "shard")
+            .write.mode("overwrite").parquet(os.path.join(output, "corpus")))
 
-    n_out = spark.read.parquet(os.path.join(output, "corpus")).count()
-    metrics = {
-        "n_docs_in": n_in,
-        "n_after_gates": n_gated,
-        "n_dropped_gates": n_in - n_gated,
-        "n_dropped_neardup": dd["n_dropped_neardup"],
-        "n_docs_out": n_out,
-        "shards": shards,
-        "threshold": threshold,
-        "gates": list(gates),
-    }
-    assert metrics["n_docs_out"] == n_gated - dd["n_dropped_neardup"], metrics
-    from docling_nlp_api_spark.session import write_text_file
+        n_out = spark.read.parquet(os.path.join(output, "corpus")).count()
+        metrics = {
+            "n_docs_in": n_in,
+            "n_after_gates": n_gated,
+            "n_dropped_gates": n_in - n_gated,
+            "n_dropped_neardup": dd["n_dropped_neardup"],
+            "n_dropped_dedup_total": dd["n_dropped_total"],
+            "n_docs_out": n_out,
+            "shards": shards,
+            "threshold": threshold,
+            "gates": list(gates),
+        }
+        assert metrics["n_docs_out"] == n_gated - dd["n_dropped_total"], metrics
+        from docling_nlp_api_spark.session import write_text_file
 
-    # through the Hadoop FS so an hdfs://s3a:// --output root works
-    write_text_file(spark, os.path.join(output, "metrics.json"), json.dumps(metrics))
-    docs.unpersist()
+        # through the Hadoop FS so an hdfs://s3a:// --output root works
+        write_text_file(spark, os.path.join(output, "metrics.json"), json.dumps(metrics))
+    finally:
+        docs.unpersist()
     return metrics
 
 

@@ -28,10 +28,11 @@ Outputs under --output:
 
 Scale notes: every stage is the already-audited operator — candidate
 generation is a bucket equi-join, verification touches LSH candidates
-only, components run on the verified EDGE set, and the keep-set is a
-broadcast anti-join of the (tiny) drop list against the corpus. The only
-corpus-wide exchanges are the shingle->signature aggregation and the
-final anti-join; text never shuffles.
+only, components run on the verified EDGE set, and the keep-set is an
+anti-join of the drop list against the corpus (un-hinted: the drop list
+scales with the corpus dup mass, so AQE chooses broadcast vs shuffle).
+The only corpus-wide exchanges are the shingle->signature aggregation,
+the exact-hash join, and the final anti-join; text never shuffles.
 """
 
 from __future__ import annotations
@@ -84,11 +85,35 @@ def run_dedup(
     resolved.write.mode("overwrite").parquet(os.path.join(output, "clusters"))
     resolved = spark.read.parquet(os.path.join(output, "clusters"))
 
-    drop = resolved.filter(~F.col("is_canonical")).select("doc_id")
-    keep = docs.join(F.broadcast(drop), "doc_id", "left_anti").select(
+    drop_near = resolved.filter(~F.col("is_canonical")).select("doc_id")
+    # exact duplicates the LSH plane cannot see: a doc with < 3 tokens
+    # emits no shingles, so byte-identical copies of it never become
+    # candidates — without this leg BOTH copies would land in keep/.
+    # Every non-representative member of an exact group is dropped; for
+    # >= 3-token docs this overlaps the near-dup drop list (Jaccard 1.0
+    # clusters them too), hence the distinct union.
+    hashed = docs.select("doc_id", F.md5("text").alias("content_hash"))
+    exact_groups = (
+        spark.read.parquet(os.path.join(output, "exact"))
+        .filter(F.col("n_docs") > 1)
+        .select("content_hash", "representative")
+    )
+    drop_exact = (
+        hashed.join(exact_groups, "content_hash")
+        .filter(F.col("doc_id") != F.col("representative"))
+        .select("doc_id")
+    )
+    drop = drop_near.unionByName(drop_exact).distinct()
+    # NO broadcast hint on the drop list: it is one row per duplicate doc
+    # — proportional to the corpus dup mass (tens of percent of a web
+    # corpus), not a constant. Forcing a broadcast would collect billions
+    # of rows to the driver at the advertised scale; a plain anti-join
+    # lets AQE pick broadcast when the list happens to be small.
+    keep = docs.join(drop, "doc_id", "left_anti").select(
         "doc_id", F.md5("text").alias("text_md5")
     )
     keep.write.mode("overwrite").parquet(os.path.join(output, "keep"))
+    n_dropped_total = drop.count()
 
     cl = resolved.agg(
         F.count("*").alias("docs"),
@@ -104,12 +129,16 @@ def run_dedup(
         "n_clustered_docs": cl["docs"],
         "n_clusters": cl["clusters"],
         "n_dropped_neardup": int(cl["dropped"] or 0),
+        "n_dropped_total": n_dropped_total,
         "n_kept": n_kept,
         "threshold": threshold,
         "bands": bands,
         "rows": rows,
     }
-    assert metrics["n_kept"] + metrics["n_dropped_neardup"] == n_in, metrics
+    # exact accounting: every input doc is either kept or in the distinct
+    # drop list (near-dup non-canonicals U exact-group non-representatives)
+    assert metrics["n_kept"] + metrics["n_dropped_total"] == n_in, metrics
+    assert metrics["n_dropped_total"] >= metrics["n_dropped_neardup"], metrics
     from docling_nlp_api_spark.session import write_text_file
 
     # through the Hadoop FS so an hdfs://s3a:// --output root works

@@ -60,7 +60,14 @@ def main(argv: list[str] | None = None) -> int:
         src, out, ck = args.source, args.output, args.checkpoint
 
     n_batches = run_extract_stream(spark, src, out, ck)
-    n_rows = spark.read.parquet(out).count() if os.path.isdir(out) else 0
+    # count through Spark, not os.path: --output may be hdfs://s3a://,
+    # where an isdir gate is always False and would report sink_rows=0
+    # after a successful run. The except covers the one legitimate
+    # zero case: the sink path was never created (no input files).
+    try:
+        n_rows = spark.read.parquet(out).count()
+    except Exception:
+        n_rows = 0
     print(json.dumps({"data_batches": n_batches, "sink_rows": n_rows}))
     return 0
 

@@ -37,7 +37,9 @@ def test_dedup_job_end_to_end(spark, sf_dir):
         assert disk == m
 
         # arithmetic: every input doc is kept or dropped, exactly once
-        assert m["n_kept"] + m["n_dropped_neardup"] == m["n_docs_in"] == docs.count()
+        # (total = near-dup non-canonicals U exact-group non-representatives)
+        assert m["n_kept"] + m["n_dropped_total"] == m["n_docs_in"] == docs.count()
+        assert m["n_dropped_total"] >= m["n_dropped_neardup"]
         assert keep.count() == m["n_kept"]
         assert keep.select("doc_id").distinct().count() == m["n_kept"]
 
@@ -97,3 +99,32 @@ def test_multiband_candidates_beat_single_band_recall(spark, sf_dir):
     multi = verified(8, 4)
     assert len(planted & multi) > len(planted & one_band)
     assert len(planted & multi) >= int(0.9 * len(planted))
+
+
+def test_exact_dups_below_shingle_floor_are_dropped(spark, sf_dir):
+    """The LSH plane cannot see docs with < 3 tokens (zero shingles, so
+    no signature, no candidates). Byte-identical copies of such a doc
+    must STILL deduplicate via the exact leg of the drop list — before
+    the fix both copies landed in keep/."""
+    docs = _docs(spark, sf_dir).unionByName(
+        spark.createDataFrame(
+            [
+                (900_000_001, "ok go"),   # 2 tokens: invisible to LSH
+                (900_000_002, "ok go"),   # byte-identical twin
+                (900_000_003, "lone"),    # 1 token, unique: must be kept
+            ],
+            "doc_id long, text string",
+        )
+    )
+    out = tempfile.mkdtemp(prefix="dedup_job_floor_")
+    try:
+        m = run_dedup(spark, docs, out)
+        kept = {r.doc_id for r in
+                spark.read.parquet(os.path.join(out, "keep")).select("doc_id").collect()}
+        assert 900_000_001 in kept       # representative (min doc_id)
+        assert 900_000_002 not in kept   # exact twin dropped despite no shingles
+        assert 900_000_003 in kept       # unique short doc survives
+        assert m["n_kept"] + m["n_dropped_total"] == m["n_docs_in"]
+        assert m["n_dropped_total"] > m["n_dropped_neardup"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

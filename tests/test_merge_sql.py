@@ -88,3 +88,82 @@ def test_ttl_delete_semantics(spark, tmp_path):
     out = apply_ttl_delete_to_state(spark, state_dir, "2024-01-30 00:00:00")
     # strict '<': the row expiring exactly at now survives (F5 semantics)
     assert sorted(r["id"] for r in out.collect()) == [2, 3]
+
+
+def test_ttl_delete_keeps_null_expiry_and_rejects_bad_now(spark, tmp_path):
+    """SQL three-valued DELETE semantics: WHERE expires_at < now removes
+    only rows whose predicate is TRUE, so NULL expires_at (never-expiring
+    rows) must SURVIVE — a bare ~(a < b) filter silently deleted them.
+    And a malformed now_ts must raise driver-side instead of casting to
+    NULL and wiping the entire table."""
+    import os
+
+    import pytest as _pytest
+
+    state_dir = str(tmp_path / "state")
+    rows = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, None), (3, "2024-02-01 00:00:00")],
+        "id int, expires_at string",
+    ).select("id", F.col("expires_at").cast("timestamp").alias("expires_at"))
+    os.makedirs(state_dir, exist_ok=True)
+    rows.write.parquet(os.path.join(state_dir, "current"))
+    out = apply_ttl_delete_to_state(spark, state_dir, "2024-01-30 00:00:00")
+    assert sorted(r["id"] for r in out.collect()) == [2, 3]
+    with _pytest.raises(ValueError):
+        apply_ttl_delete_to_state(spark, state_dir, "not-a-timestamp")
+    # the failed call must not have touched state
+    cur = spark.read.parquet(os.path.join(state_dir, "current"))
+    assert sorted(r["id"] for r in cur.collect()) == [2, 3]
+
+
+def test_merge_state_recovers_from_crash_between_renames(spark, tmp_path):
+    """The swap protocol's worst crash window: current/ already moved to
+    _old/, replacement not yet in place. The next operation must restore
+    the backup instead of treating state as empty (which would merge
+    against nothing and then DELETE the only surviving copy)."""
+    import os
+    import shutil
+
+    state_dir = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [(1, "click", 2, 10.0)],
+        "user_id int, event_type string, calls int, total_value double",
+    )
+    apply_merge_to_state(spark, state_dir, b1)
+    # simulate the crash: rename current -> _old, leave no current/
+    os.rename(os.path.join(state_dir, "current"), os.path.join(state_dir, "_old"))
+    b2 = spark.createDataFrame(
+        [(1, "click", 3, 7.5)],
+        "user_id int, event_type string, calls int, total_value double",
+    )
+    out = apply_merge_to_state(spark, state_dir, b2)
+    got = {(r["user_id"], r["event_type"]): (r["calls"], r["total_value"]) for r in out.collect()}
+    assert got == {(1, "click"): (5, 17.5)}  # b1 survived the crash
+
+    # stale _old beside a live current (crash after swap, before cleanup)
+    shutil.copytree(os.path.join(state_dir, "current"), os.path.join(state_dir, "_old"))
+    out2 = apply_merge_to_state(spark, state_dir, b2)
+    got2 = {(r["user_id"], r["event_type"]): (r["calls"], r["total_value"]) for r in out2.collect()}
+    assert got2 == {(1, "click"): (8, 25.0)}
+    assert not os.path.isdir(os.path.join(state_dir, "_old"))
+
+
+def test_merge_batch_marker_commits_atomically_with_state(spark, tmp_path):
+    """The streaming batch id rides the same rename as the data (staged
+    as an underscore file parquet readers ignore), so a foreachBatch
+    replay is detectable via last_committed_batch and the additive merge
+    becomes exactly-once."""
+    from docling_nlp_api_spark.plans.merge import last_committed_batch
+
+    state_dir = str(tmp_path / "state")
+    b = spark.createDataFrame(
+        [(1, "click", 2, 10.0)],
+        "user_id int, event_type string, calls int, total_value double",
+    )
+    assert last_committed_batch(state_dir) is None
+    out = apply_merge_to_state(spark, state_dir, b, batch_marker=0)
+    assert last_committed_batch(state_dir) == 0
+    # the marker file must be invisible to the parquet read
+    assert out.count() == 1
+    apply_merge_to_state(spark, state_dir, b, batch_marker=1)
+    assert last_committed_batch(state_dir) == 1

@@ -362,3 +362,41 @@ def test_first_seen_stream_dedup_and_restart(spark, tmp_path):
     _stage_flat(c2, drop, "chunk_002")
     got2 = run_to_parquet()
     assert got2 == {1, 3, 5, 7}  # ww emitted; xx stays suppressed, nothing re-emits
+
+
+def test_stage_event_chunks_are_event_time_ordered(spark, tmp_path):
+    """stage_event_chunks must cut chunks on EVENT TIME, not raw
+    event_id ranges: for an events table whose ids are not ts-ordered
+    (tools/make_star_tier.py hashes ts from event_id), id-range chunks
+    interleave event time across micro-batches and watermarked streams
+    silently drop the out-of-order rows. Chunk k's max ts must never
+    exceed chunk k+1's min ts."""
+    import glob
+    import os
+
+    from docling_nlp_api_spark.streaming.events import stage_event_chunks
+
+    # ids deliberately anti-correlated with time
+    rows = [
+        (i, f"2024-01-{(28 - (i % 28)):02d} 12:00:00", i % 7, "view", 1.0, "{}")
+        for i in range(200)
+    ]
+    src = str(tmp_path / "src")
+    (
+        spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+        )
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                "user_id", "event_type", "value", "props")
+        .write.parquet(os.path.join(src, "events.parquet"))
+    )
+    out = stage_event_chunks(spark, src, str(tmp_path / "drop"), n_chunks=4)
+    bounds = []
+    for f in sorted(glob.glob(os.path.join(out, "chunk_*.parquet"))):
+        r = spark.read.parquet(f).agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count("*").alias("n")
+        ).first()
+        assert r["n"] > 0
+        bounds.append((r["lo"], r["hi"]))
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(bounds, bounds[1:]):
+        assert hi_a <= lo_b, bounds
