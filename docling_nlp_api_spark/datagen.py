@@ -236,8 +236,11 @@ def _gen_media_only(rs: np.random.RandomState, spans: list) -> None:
 # ---------------------------------------------------------------------------
 # Spark materializer
 
-def spans_df(spark, n_docs: int, partitions: int | None = None):
-    """Distributed deterministic generation: mapInPandas over a doc range."""
+def spans_df(spark, n_docs: int, partitions: int | None = None, start: int = 0):
+    """Distributed deterministic generation: mapInPandas over the doc
+    range [start, start + n_docs) — `start` lets callers generate a LATER
+    window without generating-and-discarding everything before it (the
+    streaming drop-zone staging was O(chunks x total) before)."""
     from .schema import DOCUMENTS_SPANS_SCHEMA
 
     partitions = partitions or min(64, max(8, n_docs // 256))
@@ -252,7 +255,7 @@ def spans_df(spark, n_docs: int, partitions: int | None = None):
             )
 
     return (
-        spark.range(0, n_docs, 1, partitions)
+        spark.range(start, start + n_docs, 1, partitions)
         .mapInPandas(gen, schema=DOCUMENTS_SPANS_SCHEMA)
     )
 

@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_MEDIA = ("image", "table")
+from ..spec import MEDIA_KINDS
+
+# single-sourced from spec so the render plane cannot drift from the
+# kernels' media vocabulary
+_MEDIA = tuple(sorted(MEDIA_KINDS))
 
 
 def _is_text(x: Column) -> Column:
@@ -73,7 +77,17 @@ def doctags_col(spans: Column) -> Column:
     return F.array_join(F.transform(spans, render), "\n")
 
 
-_WS = " \t\n\r\v\f"  # python str.strip()'s ASCII whitespace set
+# Python str.strip()/str.split() whitespace as a Java regex class: ASCII
+# \s plus FS/GS/RS/US (\x1c-\x1f — Python-space, but outside EVERY
+# engine's \s) and the Unicode White_Space set (NEL, NBSP, U+1680,
+# U+2000-200A, LS, PS, NNBSP, MMSP, ideographic space). The S8 JSON
+# plane is pinned against the PYTHON oracle (oracle/exports.py), whose
+# .strip()/.split() use exactly this set — an ASCII-only btrim/\s+ left
+# NBSP-prefixed paragraphs and their word counts divergent.
+_PYWS = (
+    "[\\s\\u001C-\\u001F\\u0085\\u00A0\\u1680\\u2000-\\u200A"
+    "\\u2028\\u2029\\u202F\\u205F\\u3000]"
+)
 
 
 def _strip(c: Column) -> Column:
@@ -81,7 +95,9 @@ def _strip(c: Column) -> Column:
     reference strips all whitespace (docling_service.py:286,301) — a
     sentence that starts at a span boundary would otherwise keep its
     leading newline."""
-    return F.btrim(c, F.lit(_WS))
+    return F.regexp_replace(
+        F.regexp_replace(c, f"^{_PYWS}+", ""), f"{_PYWS}+$", ""
+    )
 
 
 def paragraphs_col(full_text: Column) -> Column:
@@ -108,14 +124,14 @@ def sentences_col(paragraphs: Column) -> Column:
 def _counted(arr: Column) -> Column:
     """[{id, text, word_count, char_count}] objects from a string array —
     the reference's paragraph/sentence objects (docling_service.py:285-308).
-    Elements are trimmed and non-empty, so split on whitespace runs counts
-    words exactly like Python's str.split()."""
+    Elements are _strip-ed (Python-space) and non-empty, so splitting on
+    Python-space runs counts words exactly like Python's str.split()."""
     return F.transform(
         arr,
         lambda p, i: F.struct(
             i.alias("id"),
             p.alias("text"),
-            F.size(F.split(p, r"\s+")).alias("word_count"),
+            F.size(F.split(p, _PYWS + "+")).alias("word_count"),
             F.length(p).alias("char_count"),
         ),
     )

@@ -42,15 +42,20 @@ def _count_words(values) -> np.ndarray:
     measure ~320ms/100k spans; instead, count word *starts* directly on
     the Arrow UTF-8 byte buffer with numpy (~10ms): a word start is a
     non-space byte at a string start or after a space byte. Byte-level is
-    exact for ASCII whitespace (SPEC pins the fixture alphabet); UTF-8
-    continuation bytes are never space bytes, so multi-byte chars count
-    as non-space exactly like Python's \\S. Accepts an object ndarray or
-    a pyarrow StringArray (zero-copy for the Arrow-native kernel)."""
+    exact for ASCII whitespace; UTF-8 continuation bytes are never space
+    bytes, so multi-byte chars count as non-space — and rows that might
+    contain PYTHON whitespace beyond ASCII (\\x1c-\\x1f, Unicode spaces)
+    are recounted on a str.split() slow path below, so the result is
+    exactly the oracle's len(text.split()) for EVERY input, not just the
+    ASCII fixture alphabet. Accepts an object ndarray or a pyarrow
+    StringArray (zero-copy for the Arrow-native kernel)."""
     n = len(values)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
     if pa is None:
-        return pd.Series(values).str.count(r"\S+").to_numpy()
+        return np.array(
+            [0 if v is None else len(str(v).split()) for v in values], dtype=np.int64
+        )
     arr = values if isinstance(values, pa.Array) else pa.array(values, type=pa.string())
     offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
         arr.offset : arr.offset + n + 1
@@ -80,7 +85,33 @@ def _count_words(values) -> np.ndarray:
     # histogram the start positions into the per-string offset bins;
     # ~5x cheaper than a cumsum over the whole byte buffer
     sidx = np.nonzero(starts)[0]
-    return np.diff(np.searchsorted(sidx, offsets))
+    counts = np.diff(np.searchsorted(sidx, offsets))
+
+    # Unicode parity slow path (SPEC: Python str.split() semantics). The
+    # byte test above is exact only for ASCII whitespace; Python also
+    # splits on \x1c-\x1f (FS/GS/RS/US) and the Unicode space characters,
+    # whose UTF-8 lead bytes are 0xC2 (NBSP/NEL), 0xE1 (U+1680), 0xE2
+    # (U+2000-200A/2028/2029/202F/205F) and 0xE3 (U+3000). Rows
+    # containing any trigger byte are recounted exactly with str.split()
+    # — the oracle's rule — so the kernel cannot misclassify a span (or
+    # drift word_count) on non-ASCII whitespace. The trigger over-matches
+    # (any C2/E1/E2/E3-lead char flags its row), but the fixture alphabet
+    # is ASCII, so the slow path prices only genuinely exotic rows.
+    trig = ((chunk >= 0x1C) & (chunk <= 0x1F)) | (chunk == 0xC2)
+    trig |= (chunk >= 0xE1) & (chunk <= 0xE3)
+    if trig.any():
+        rows = np.unique(
+            np.searchsorted(offsets, np.nonzero(trig)[0], side="right") - 1
+        )
+        if isinstance(values, pa.Array):
+            for r in rows:
+                v = values[int(r)].as_py()
+                counts[r] = 0 if v is None else len(v.split())
+        else:
+            for r in rows:
+                v = values[int(r)]
+                counts[r] = 0 if v is None else len(str(v).split())
+    return counts
 
 
 def _str_len(obj_values) -> np.ndarray:
@@ -108,6 +139,7 @@ from ..spec import (
     ALL_KINDS,
     HTML_BOILER_KINDS,
     HTML_CANDIDATE_KINDS,
+    HTML_CONTENT_KINDS,
     HTML_KINDS,
     MEDIA_KINDS,
     MIN_CONTENT_WORDS,
@@ -236,10 +268,15 @@ def extract_batch(
         lab = np.full(total, -1, dtype=np.int8)
         lab[mh & is_media] = 3
         lab[mh & kk.isin(HTML_BOILER_KINDS).to_numpy()] = 0
-        lab[mh & kk.isin({"h1", "h2", "h3", "caption"}).to_numpy()] = 1
+        lab[mh & kk.isin(HTML_CONTENT_KINDS).to_numpy()] = 1
         cand = mh & kk.isin(HTML_CANDIDATE_KINDS).to_numpy()
         lab[cand & (words >= MIN_CONTENT_WORDS)] = 1
         lab[cand & (words < MIN_CONTENT_WORDS)] = 2
+        # mixed-flavor rows: PDF kinds inside an HTML-flavor doc carry no
+        # HTML prior — the oracle's else-branch labels them CONTENT
+        # (oracle/extract.py::_classify_html); leaving them at -1 both
+        # dropped them and removed them from smoothing neighborhoods
+        lab[mh & (lab == -1)] = 1
 
         # neighborhood smoothing over decided non-media labels
         dec = pd.Series(np.where((lab == 0) | (lab == 1), lab, np.nan), index=f.index)

@@ -196,13 +196,28 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     karr = struct.field("kind")
     tarr = struct.field("text")
     rarr = struct.field("media_ref")
+    # Null sanitization: the streaming drop zone reads EXTERNAL parquet
+    # with a user-supplied schema, and Spark does not enforce its
+    # non-null flags on file sources — a producer-written null kind/text/
+    # offset would otherwise turn into NaN->int64 garbage dictionary
+    # indices (silent corruption) or an IndexError that kills the whole
+    # micro-batch. A null kind becomes "unknown", which routes the DOC
+    # through the normal failure semantics (flavor=_FAILED, one failure
+    # row) — the same absorb-into-data contract as every other bad doc.
+    if karr.null_count:
+        karr = karr.fill_null("unknown")
+    if tarr.null_count:
+        tarr = tarr.fill_null("")
+    off_arr = struct.field("offset")
+    if off_arr.null_count:
+        off_arr = off_arr.fill_null(0)
     try:  # optional layout geometry; inputs without it get all-null boxes
         barr = struct.field("bbox")
         if barr.type != _BBOX_T:
             barr = barr.cast(_BBOX_T)
     except KeyError:
         barr = pa.nulls(total, type=_BBOX_T)
-    o = np.asarray(struct.field("offset"), dtype=np.int64)
+    o = np.asarray(off_arr, dtype=np.int64)
     d = np.repeat(np.arange(n, dtype=np.int64), lens)
 
     # sort by (doc, offset) — stored order is untrusted, but usually
@@ -284,6 +299,9 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
         cand = mh & (hl == 2)
         lab[cand & (words >= MIN_CONTENT_WORDS)] = 1
         lab[cand & (words < MIN_CONTENT_WORDS)] = 2
+        # mixed-flavor rows: PDF kinds in an HTML-flavor doc have no HTML
+        # prior (hl == -1) — oracle else-branch labels them CONTENT
+        lab[mh & (lab == -1)] = 1
 
         decided = (lab == 0) | (lab == 1)
         prev_dec, next_dec = _nearest_decided(lab, decided, d)

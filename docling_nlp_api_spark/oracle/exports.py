@@ -8,16 +8,28 @@ Deltas vs the reference, both deliberate and mirrored by the engine:
   declares the keys but never fills them — :246,249);
 - keyword ties are pinned by (frequency desc, word asc): the reference's
   Counter.most_common insertion order is not reproducible across engines;
-- tables carry media_ref as the raw anchor instead of docling's table dict.
+- tables carry media_ref as the raw anchor instead of docling's table dict;
+- the keyword score is quantized HALF_UP (the reference emits the RAW
+  float, :348 — round-6 is this repo's cross-engine convention, and both
+  engines round half away from zero: Spark F.round and DuckDB ROUND).
+  CPython's round() is banker's and would diverge on exact decimal ties
+  (e.g. 5/128 = 0.0390625 -> 0.039062, engines 0.039063).
 """
 
 from __future__ import annotations
 
 import re
 from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
 
 from ..spec import MEDIA_KINDS, STOPWORDS_40, TOKEN_RE
 from .extract import ExtractResult
+
+
+def _round_half_up(x: float, nd: int) -> float:
+    """Spark F.round parity: BigDecimal.valueOf(double) quantized HALF_UP
+    — Decimal(repr(x)) is the same shortest-roundtrip decimal form."""
+    return float(Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"), rounding=ROUND_HALF_UP))
 
 _HEAD_LEVEL = {"h1": 1, "title": 1, "h2": 2, "heading": 2, "h3": 3}
 
@@ -65,7 +77,7 @@ def nlp_json(res: ExtractResult, k: int = 20, detect_language: bool = False) -> 
     counts = Counter(w for w in toks if w not in STOPWORDS_40)
     top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     keywords = [
-        {"word": w, "frequency": c, "score": round(c / total, 6)} for w, c in top
+        {"word": w, "frequency": c, "score": _round_half_up(c / total, 6)} for w, c in top
     ]
 
     heads = [s for s in res.spans if s.kind in _HEAD_LEVEL]

@@ -59,9 +59,9 @@ def stage_span_chunks(
         if lo >= hi:
             break
         tmp = os.path.join(out_dir, "_stage_tmp")
-        # spans_df numbers docs from 0; shift the range by generating
-        # [lo, hi) via its partition-parallel generator
-        df = spans_df(spark, hi).filter(f"CAST(substr(doc_id, 2) AS LONG) >= {lo}")
+        # generate exactly [lo, hi) — the previous generate-[0, hi)-then-
+        # filter made staging O(chunks x total_docs)
+        df = spans_df(spark, hi - lo, start=lo)
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
         dst = os.path.join(out_dir, f"docs_{lo:09d}_{hi:09d}.parquet")

@@ -127,3 +127,75 @@ def test_no_bbox_input_shape():
     assert_parity(ids, rows, span_t=SPAN_T_NOBB, with_bbox=False)
     got = extract_record_batch(to_batch(ids, rows, SPAN_T_NOBB)).to_pydict()
     assert all(bb is None for doc in got["bboxes"] for bb in doc)
+
+
+def _span(kind, text, off, ref=None):
+    return {"kind": kind, "text": text, "media_ref": ref, "offset": off, "bbox": None}
+
+
+def test_unicode_whitespace_word_counts_match_oracle():
+    """SPEC pins Python str.split() word semantics. NBSP/ideographic-space
+    separated candidate text must classify identically in the oracle and
+    BOTH kernels (the byte-level fast path only covered ASCII whitespace
+    before the slow-path fix — an NBSP paragraph was miscounted as one
+    word, labelled UNDECIDED, and dropped)."""
+    from docling_nlp_api_spark.oracle.extract import extract_doc
+
+    nbsp_words = " ".join("abcdefgh")          # 8 Python words
+    ideo = "x　y　z w v u t s"               # 8 words, U+3000
+    fs = "a\x1cb\x1cc d e f g h"                     # \x1c is Python-space
+    docs = {
+        "d1": [_span("h1", "T", 0), _span("p", nbsp_words, 1)],
+        "d2": [_span("h1", "T", 0), _span("p", ideo, 1)],
+        "d3": [_span("h1", "T", 0), _span("p", fs, 1)],
+    }
+    for did, spans in docs.items():
+        exp = extract_doc(did, spans)
+        got = extract_record_batch(to_batch([did], [spans])).to_pydict()
+        assert got["status"][0] == exp.status, did
+        assert list(got["kinds"][0]) == [s.kind for s in exp.spans], did
+        assert got["word_count"][0] == int(exp.metadata["word_count"]), did
+        ref = pandas_ref([spans])
+        assert list(ref["kinds"][0]) == [s.kind for s in exp.spans], did
+        # the p span survives as content (>= MIN_CONTENT_WORDS words)
+        assert "p" in got["kinds"][0], did
+
+
+def test_mixed_flavor_pdf_kinds_in_html_doc_match_oracle():
+    """FIXTURES declares mixed docs invalid, but both the oracle and the
+    kernels ACCEPT them — so they must agree: a PDF kind inside an
+    HTML-flavor doc takes the oracle's else-branch (content) instead of
+    being silently dropped."""
+    from docling_nlp_api_spark.oracle.extract import extract_doc
+
+    spans = [
+        _span("p", "one two three four five six seven eight", 0),
+        _span("body", "pdf body text here", 1),
+        _span("li", "tiny", 2),  # undecided -> smoothing between content
+        _span("heading", "section", 3),
+    ]
+    exp = extract_doc("dm", spans)
+    exp_seq = [(s.kind, s.text) for s in exp.spans]
+    got = extract_record_batch(to_batch(["dm"], [spans])).to_pydict()
+    assert list(zip(got["kinds"][0], got["texts"][0])) == exp_seq
+    ref = pandas_ref([spans])
+    assert list(zip(ref["kinds"][0], ref["texts"][0])) == exp_seq
+    assert ("body", "pdf body text here") in exp_seq  # oracle keeps it
+
+
+def test_null_span_fields_degrade_to_doc_failure_not_crash():
+    """External drop-zone parquet can carry null kind/text/offset (Spark
+    does not enforce schema non-null flags on file sources). A null kind
+    must produce ONE failed doc row via the normal unknown-kind path —
+    not NaN-index garbage or an IndexError that kills the micro-batch."""
+    ok = [_span("p", "regular doc with enough words here", 0)]
+    null_kind = [_span(None, "x", 0), _span("p", "y z", 1)]
+    null_text = [_span("p", None, 0), _span("h1", "t", 1)]
+    null_off = [_span("h1", "a", None), _span("p", "b c d e f g h i", 1)]
+    got = extract_record_batch(
+        to_batch(["g1", "b1", "b2", "b3"], [ok, null_kind, null_text, null_off])
+    ).to_pydict()
+    assert got["status"] == ["completed", "failed", "completed", "completed"]
+    assert "unknown" in (got["error"][1] or "")
+    # null text folded to "" (0 words), null offset to 0 (sorts first)
+    assert got["status"][2] == "completed"
