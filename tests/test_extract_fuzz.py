@@ -36,7 +36,12 @@ WORDS = (
     "mañana naïve Ω mixedCASE x yz longerwordhere punctuation, trailing. "
     "the a of and to in is it"  # stopword-heavy tail
 ).split()
-WS = [" ", "  ", "\t", " \t ", "\n", " \n "]
+# joiners include PYTHON whitespace beyond ASCII (NBSP, ideographic
+# space, NEL, FS) — str.split() treats them as separators and the kernel
+# must agree (the round-4 slow-path fix); and non-space confusables that
+# share UTF-8 lead bytes with Unicode spaces (en dash, CJK) so the
+# slow-path trigger's over-match cannot corrupt counts either
+WS = [" ", "  ", "\t", " \t ", "\n", " \n ", "\xa0", "　", "\x85", "\x1c", " \xa0 "]
 UNKNOWN_KINDS = ["blink", "marquee", "weird"]
 
 
@@ -77,6 +82,13 @@ def _gen_doc(rng: random.Random, doc_id: str) -> list[dict]:
             kind = rng.choice(sorted(SHARED_KINDS))
         elif r < 0.16:
             kind = rng.choice(UNKNOWN_KINDS)
+        elif r < 0.19:
+            # cross-flavor contamination: FIXTURES calls mixed docs
+            # invalid, but both engine and oracle ACCEPT them, so their
+            # agreement (PDF kind in an HTML doc -> oracle else-branch
+            # content) is part of the pinned surface
+            other = PDF_KINDS if flavor_kinds == sorted(HTML_KINDS) else HTML_KINDS
+            kind = rng.choice(sorted(other))
         else:
             kind = rng.choice(flavor_kinds)
         text = repeat_text if rng.random() < 0.12 else _text(rng)
