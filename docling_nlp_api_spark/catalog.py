@@ -521,7 +521,10 @@ FROM t
 q("x15_page_concat", """
 WITH r AS (
   SELECT doc_id,
-         array_to_string(regexp_extract_all(text, '\\S+'), ' ') || ' ' AS page_text
+         -- COALESCE: DuckDB array_to_string([]) is NULL where Spark
+         -- array_join is '' — a zero-token doc must yield ' ', not NULL
+         COALESCE(array_to_string(regexp_extract_all(text, '\\S+'), ' '), '')
+           || ' ' AS page_text
   FROM documents
 )
 SELECT doc_id, length(page_text) AS page_text_len, md5(page_text) AS page_text_md5
@@ -588,8 +591,12 @@ SELECT lang, pred_lang, COUNT(*) AS n_docs,
 FROM li GROUP BY lang, pred_lang
 """)(lambda s, d: Q.lang_confusion(docs(s, d)))
 
-q("tq_quality_score", f"""
-WITH raw AS (
+# the quality-score recipe, single-sourced across its three consumers
+# (tq_quality_score, tq_filter_funnel's formula, sample_token_budget):
+# the weights/caps mirror textquality.quality_score — one SQL copy so a
+# formula tweak cannot silently desynchronize the oracles
+_QUALITY_RAW_CTES = f"""\
+raw AS (
   SELECT doc_id,
          len(regexp_extract_all(text, '\\S+')) AS words,
          len({TOKS}) AS n_toks,
@@ -602,10 +609,14 @@ WITH raw AS (
          CASE WHEN n_toks > 0 THEN n_stop * 1.0 / n_toks ELSE 0.0 END AS sr,
          CASE WHEN chars > 0 THEN punct * 1.0 / chars ELSE 0.0 END AS pr
   FROM raw
-)
+)"""
+_QUALITY_FORMULA = """ROUND(0.5 * least(words / 100.0, 1.0) + 0.3 * (1.0 - sr)
+             + 0.2 * (1.0 - least(pr * 10, 1.0)), 4)"""
+
+q("tq_quality_score", f"""
+WITH {_QUALITY_RAW_CTES}
 SELECT doc_id, words, ROUND(sr, 4) AS stop_ratio, ROUND(pr, 4) AS punct_ratio,
-       ROUND(0.5 * least(words / 100.0, 1.0) + 0.3 * (1.0 - sr)
-             + 0.2 * (1.0 - least(pr * 10, 1.0)), 4) AS quality
+       {_QUALITY_FORMULA} AS quality
 FROM ratios
 """)(lambda s, d: Q.quality_score(docs(s, d)))
 
@@ -628,20 +639,27 @@ FROM n
 # ---------------------------------------------------------------------------
 # dedup plane
 
+# plant union ARMS, single-sourced (SQL side of dedup.plant_near_twins /
+# plant_exact_twins): consumed by _NEAR_DUPS, _EXACT_DUPS and the
+# split-leakage oracle, so a change to the twin recipe cannot leave one
+# oracle planting a different twin than the engine does
+_NEAR_TWIN_ARM = f"""SELECT doc_id + {D.PLANT_OFFSET} AS doc_id, substr(text, 1, length(text) - {D.PLANT_TRUNC}) AS text
+  FROM documents WHERE doc_id % {D.PLANT_EVERY} = 0"""
+_EXACT_TWIN_ARM = f"""SELECT doc_id + {D.EXACT_PLANT_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % {D.EXACT_PLANT_EVERY} = 0"""
+
 _NEAR_DUPS = f"""
 all_docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + {D.PLANT_OFFSET} AS doc_id, substr(text, 1, length(text) - {D.PLANT_TRUNC}) AS text
-  FROM documents WHERE doc_id % {D.PLANT_EVERY} = 0
+  {_NEAR_TWIN_ARM}
 )"""
 
 _EXACT_DUPS = f"""
 all_docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + {D.EXACT_PLANT_OFFSET} AS doc_id, text FROM documents
-  WHERE doc_id % {D.EXACT_PLANT_EVERY} = 0
+  {_EXACT_TWIN_ARM}
 )"""
 
 _SHINGLES = f"""
@@ -1035,14 +1053,27 @@ FROM geo LEFT JOIN mp ON geo.doc_id = mp.doc_id
 # extraction plane (non-SQL-expressible: rows-only driver check; exactness
 # is guaranteed by the pytest span-equality suite vs the single-node oracle)
 
-_TIER_BY_SF = {"sf0.001": 500, "sf0.01": 5000, "sf0.1": 50000}
-
-
 def _n_docs_for(sf_dir: str) -> int:
-    for tier, n in _TIER_BY_SF.items():
-        if sf_dir.rstrip("/").endswith(tier):
-            return n
-    return 500
+    """Doc count for a tier path — single-sourced from datagen.TIER_DOCS
+    (which also knows the bench tiers sf0.5/sf5/sf10). An unknown tier
+    RAISES instead of silently running the 500-doc smallest fixture and
+    reporting extraction results for 1/500th of the intended corpus."""
+    from .datagen import TIER_DOCS
+
+    name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    if name in TIER_DOCS:
+        return TIER_DOCS[name]
+    if name.startswith("star_sf"):
+        # tools/make_star_tier.py names its output star_sf{mult/10:g}
+        # relative to sf0.1 (50k spans docs): star_sf10 == 100x == 5M.
+        # The old silent 500-doc fallback made the sf10 sweep's extract
+        # entries run 1/10000th of the intended corpus (ratio 0.1 in
+        # BENCH/sf10.json — faster than sf0.1 — was the giveaway).
+        return int(float(name[len("star_sf"):]) * 500_000)
+    raise ValueError(
+        f"unknown tier dir {sf_dir!r}: basename must be one of "
+        f"{sorted(TIER_DOCS)} or star_sf<m>"
+    )
 
 
 def extract_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1644,8 +1675,7 @@ m AS (
   FROM raw r LEFT JOIN tw ON r.doc_id = tw.doc_id),
 f AS (
   SELECT doc_id, words, n_ctrl, n_repl, twf AS top_word_frac,
-         ROUND(0.5 * least(words / 100.0, 1.0) + 0.3 * (1.0 - sr)
-               + 0.2 * (1.0 - least(pr * 10, 1.0)), 4) AS quality
+         {_QUALITY_FORMULA} AS quality
   FROM m)
 SELECT doc_id, words, top_word_frac, quality,
        CASE WHEN n_ctrl > 0 OR n_repl > 0 THEN 'charset'
@@ -2104,10 +2134,14 @@ _SEARCH_TF = ", ".join(
 _SEARCH_PRED = " AND ".join(f"tf_{t} > 0" for t in N.SEARCH_TERMS)
 _SEARCH_SUM = " + ".join(f"tf_{t}" for t in N.SEARCH_TERMS)
 
-q("a18_first_touch", """
+def _touch_sql(fn: str) -> str:
+    """Shared attribution oracle (a18 FIRST_VALUE / a17 LAST_VALUE): the
+    window frame, purchase filter, and 'none' fallback exist exactly once
+    so the two attribution rules cannot drift apart."""
+    return f"""
 WITH seq AS (
   SELECT user_id, ts, event_id, event_type,
-         FIRST_VALUE(CASE WHEN event_type != 'purchase' THEN event_type END
+         {fn}(CASE WHEN event_type != 'purchase' THEN event_type END
                      IGNORE NULLS)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t
@@ -2118,23 +2152,16 @@ g AS (SELECT channel, COUNT(*) AS n_purchases FROM credited GROUP BY channel)
 SELECT channel, n_purchases,
        ROUND(n_purchases * 1.0 / SUM(n_purchases) OVER (), 4) AS share
 FROM g
-""")(lambda s, d: A.first_touch_attribution(events(s, d)))
+"""
 
-q("a17_last_touch", """
-WITH seq AS (
-  SELECT user_id, ts, event_id, event_type,
-         LAST_VALUE(CASE WHEN event_type != 'purchase' THEN event_type END
-                    IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t
-  FROM events),
-credited AS (SELECT COALESCE(t, 'none') AS channel FROM seq
-             WHERE event_type = 'purchase'),
-g AS (SELECT channel, COUNT(*) AS n_purchases FROM credited GROUP BY channel)
-SELECT channel, n_purchases,
-       ROUND(n_purchases * 1.0 / SUM(n_purchases) OVER (), 4) AS share
-FROM g
-""")(lambda s, d: A.last_touch_attribution(events(s, d)))
+
+q("a18_first_touch", _touch_sql("FIRST_VALUE"))(
+    lambda s, d: A.first_touch_attribution(events(s, d))
+)
+
+q("a17_last_touch", _touch_sql("LAST_VALUE"))(
+    lambda s, d: A.last_touch_attribution(events(s, d))
+)
 
 q("sk_rolling_wau", f"""
 WITH src AS (SELECT CAST(ts AS DATE) AS grp,
@@ -2455,14 +2482,20 @@ FROM zf JOIN lab USING (doc_id)"""
     return sql
 
 
-q("t6_stream_sessions", f"""
+# shared sessionization CTE chain (t6 streaming + a13 batch oracles):
+# the LAG gap-split on SESSION_GAP_US with the (us, event_id) tiebreak,
+# single-sourced so the two session-boundary rules cannot drift
+_SESSIONIZE_CTES = f"""\
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
 l AS (SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
 s AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > {A.SESSION_GAP_US} THEN 1 ELSE 0 END AS is_new
       FROM l),
 c AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
                                   ROWS UNBOUNDED PRECEDING) AS sno
-      FROM s)
+      FROM s)"""
+
+q("t6_stream_sessions", f"""
+{_SESSIONIZE_CTES}
 SELECT user_id, MIN(us) AS start_us, MAX(us) + {A.SESSION_GAP_US} AS end_us,
        COUNT(*) AS n_events
 FROM c GROUP BY user_id, sno
@@ -2525,14 +2558,8 @@ FROM sc GROUP BY doc_id
 """)(lambda s, d: SP.trigram_backoff_logprob(docs(s, d)))
 
 q("a13_sessionize", f"""
-WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
-l AS (SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
-s AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > {A.SESSION_GAP_US} THEN 1 ELSE 0 END AS is_new
-      FROM l),
-c AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_no
-      FROM s)
-SELECT user_id, CAST(session_no AS INT) AS session_no, COUNT(*) AS n_events,
+{_SESSIONIZE_CTES}
+SELECT user_id, CAST(sno AS INT) AS session_no, COUNT(*) AS n_events,
        MIN(us) AS start_us, MAX(us) AS end_us,
        MAX(us) - MIN(us) AS duration_us
 FROM c GROUP BY 1, 2
@@ -2747,11 +2774,20 @@ def t5_streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.filter(~F.col("expired")).drop("expired")
 
 
-# oracle note: chunk boundary 3334 = ceil(10000/3) matches
-# stage_event_chunks(n_chunks=3) at the driver's sf0.01 tier (the
-# correctness gate's fixed scale, like the fixed dates in other oracles)
+# oracle note: the chunk id replays stage_event_chunks(n_chunks=3)
+# exactly — a (ts, event_id) row-number rank cut into ceil(n/3)-sized
+# blocks — so the oracle is valid at ANY tier and for event tables whose
+# ids are not time-ordered (the previous FLOOR(event_id/3334) hard-coded
+# the sf0.01 row count and id ordering)
 q("t5_stream_user_state", """
-WITH ev AS (SELECT user_id, value, CAST(FLOOR(event_id / 3334) AS INT) AS chunk FROM events),
+WITH r AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS rn,
+         COUNT(*) OVER () AS n
+  FROM events
+),
+ev AS (SELECT user_id, value,
+              CAST(FLOOR(rn / CEIL(n / 3.0)) AS INT) AS chunk FROM r),
 pc AS (SELECT user_id, chunk, COUNT(*) AS c, SUM(value) AS v FROM ev GROUP BY 1, 2)
 SELECT user_id,
        CAST(SUM(c) OVER w AS BIGINT) AS events,
@@ -2904,23 +2940,9 @@ FROM n
 # engine deliberately avoids (bounded-histogram prefix location instead);
 # agreement proves the histogram path reproduces the total-order rule
 q("sample_token_budget", f"""
-WITH raw AS (
+WITH {_QUALITY_RAW_CTES}, s AS (
   SELECT doc_id,
-         len(regexp_extract_all(text, '\\S+')) AS words,
-         len({TOKS}) AS n_toks,
-         len(list_filter({TOKS}, w -> w IN ({STOP_SQL}))) AS n_stop,
-         len(regexp_extract_all(text, '[.!?,;:]')) AS punct,
-         length(text) AS chars
-  FROM documents
-), ratios AS (
-  SELECT doc_id, words,
-         CASE WHEN n_toks > 0 THEN n_stop * 1.0 / n_toks ELSE 0.0 END AS sr,
-         CASE WHEN chars > 0 THEN punct * 1.0 / chars ELSE 0.0 END AS pr
-  FROM raw
-), s AS (
-  SELECT doc_id,
-         ROUND(0.5 * least(words / 100.0, 1.0) + 0.3 * (1.0 - sr)
-               + 0.2 * (1.0 - least(pr * 10, 1.0)), 4) AS quality,
+         {_QUALITY_FORMULA} AS quality,
          words AS n_tokens
   FROM ratios
 ), c AS (
@@ -3061,12 +3083,9 @@ q("sample_split_leakage", f"""
 WITH all_docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + {D.EXACT_PLANT_OFFSET} AS doc_id, text
-  FROM documents WHERE doc_id % {D.EXACT_PLANT_EVERY} = 0
+  {_EXACT_TWIN_ARM}
   UNION ALL
-  SELECT doc_id + {D.PLANT_OFFSET} AS doc_id,
-         substr(text, 1, length(text) - {D.PLANT_TRUNC}) AS text
-  FROM documents WHERE doc_id % {D.PLANT_EVERY} = 0
+  {_NEAR_TWIN_ARM}
 ),
 spl AS (SELECT doc_id, text, {_SPLIT_CASE} AS split FROM all_docs),
 nh AS (SELECT split, doc_id, md5({_NORM_SQL}) AS h FROM spl),
