@@ -3218,6 +3218,46 @@ def span_boilerplate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["u1_span_boilerplate"] = span_boilerplate_summary
 
+q("tq_winnowing", f"""
+WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+           FROM documents),
+g AS (SELECT doc_id,
+        CASE WHEN length(nt) >= {Q.WINNOW_K}
+             THEN list_transform(generate_series(1, length(nt) - {Q.WINNOW_K - 1}),
+                                 i -> md5(substr(nt, i, {Q.WINNOW_K})))
+             ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM n),
+s AS (SELECT doc_id, len(grams) AS n_grams,
+        CASE WHEN len(grams) > 0 THEN
+          list_sort(list_distinct(list_transform(
+            generate_series(1, greatest(len(grams) - {Q.WINNOW_W - 1}, 1)),
+            j -> CAST(j + list_position(grams[j:j + {Q.WINNOW_W - 1}],
+                          list_aggregate(grams[j:j + {Q.WINNOW_W - 1}], 'min')) - 2 AS VARCHAR)
+                 || ':' || list_aggregate(grams[j:j + {Q.WINNOW_W - 1}], 'min'))))
+        ELSE CAST([] AS VARCHAR[]) END AS fps
+      FROM g)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       md5(COALESCE(array_to_string(fps, '|'), '')) AS fp_digest
+FROM s
+""")(lambda s, d: Q.winnowing_fingerprints(docs(s, d)))
+
+q("tq_zipf_fit", f"""
+WITH c AS (SELECT w AS word, COUNT(*) AS cnt
+           FROM (SELECT unnest({TOKS}) AS w FROM documents) GROUP BY 1),
+t AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT {Q.ZIPF_TOP_N}),
+r AS (SELECT ln(ROW_NUMBER() OVER (ORDER BY cnt DESC, word)) AS x,
+             ln(cnt) AS y
+      FROM t)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_ranked,
+       ROUND(covar_pop(x, y) / var_pop(x), 4) AS slope,
+       ROUND(AVG(y) - covar_pop(x, y) / var_pop(x) * AVG(x), 4) AS intercept,
+       ROUND(corr(x, y), 4) AS pearson_r
+FROM r
+""")(lambda s, d: Q.zipf_fit(docs(s, d)))
+
+
+
 # ---------------------------------------------------------------------------
 # driver-window ordering — ROUND-4 ROTATION
 #
@@ -3345,6 +3385,8 @@ DEMOTED = [
     "sample_split_leakage",
     "tq_token_fertility",
     "j6_asof_view_purchase",
+    "tq_winnowing",
+    "tq_zipf_fit",
     "j7_range_join_nearby",
 ]
 

@@ -853,3 +853,124 @@ def token_fertility(docs: DataFrame) -> DataFrame:
             F.when(F.col("n_tokens") > 0, F.col("n_chars") / F.col("n_tokens")), 4
         ).alias("chars_per_token"),
     )
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# local fingerprinting algorithm) and a Zipf rank-frequency fit: two
+# corpus-QA instruments over the documents table.
+
+WINNOW_K = 8   # gram length in chars (same gram size as fingerprint())
+WINNOW_W = 4   # window width: any substring match of length >= W+K-1
+               # (11 normalized chars) is guaranteed to share a fingerprint
+
+
+def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, §4): slide
+    a W-window over the K-gram hash sequence of the normalized text and
+    select each window's MINIMUM hash (ties -> leftmost position; any
+    content-determined rule matches as long as both engines pin the same
+    one); the DISTINCT selected (position, hash) pairs are the doc's
+    fingerprints. Guarantee: two docs sharing a normalized substring of
+    length >= W + K - 1 chars share at least one fingerprint hash
+    (pinned by a planted-extract pytest).
+
+    Scale shape: one row-local HOF pass — normalize ONCE behind a
+    Generate barrier, gram hashes via one transform, window minima via a
+    second transform over window starts. Zero Exchange, zero Join; the
+    fingerprint SET leaves the row as (digest, counts), so nothing
+    doc-sized survives the projection. The O(n_grams x W) interpreted
+    window scan is the right trade at W=4; a deque O(n) rolling minimum
+    in the Arrow kernel is the documented upgrade path for large W.
+
+    Docs shorter than K normalized chars have zero grams: n_fps = 0 and
+    fp_digest = md5('') (the DuckDB mirror COALESCEs its NULL empty-list
+    join to '' — the array_to_string([]) trap)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    base = docs.select("doc_id", F.inline(F.array(F.struct(norm.alias("nt")))))
+    nt = F.col("nt")
+    n_grams = F.greatest(F.length(nt) - F.lit(WINNOW_K - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: F.md5(nt.substr(i, F.lit(WINNOW_K))),
+    )
+    staged = base.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        F.inline(F.array(F.struct(
+            F.when(n_grams > 0, grams).otherwise(F.array().cast("array<string>"))
+             .alias("grams")
+        ))),
+    )
+    g = F.col("grams")
+    # window starts: 1 .. max(n_grams - W + 1, 1); short docs (< W grams)
+    # get ONE window spanning all grams
+    n_win = F.greatest(F.size(g) - F.lit(WINNOW_W - 1), F.lit(1))
+    win = lambda j: F.slice(g, j, F.lit(WINNOW_W))  # noqa: E731 (clipped at end)
+    selected = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda j: F.concat_ws(
+            ":",
+            (j + F.array_position(win(j), F.array_min(win(j))) - F.lit(2)).cast("string"),
+            F.array_min(win(j)),
+        ),
+    )
+    fps = F.when(F.size(g) > 0, F.array_sort(F.array_distinct(selected))).otherwise(
+        F.array().cast("array<string>")
+    )
+    return staged.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        F.md5(F.concat_ws("|", fps)).alias("fp_digest"),
+    )
+
+
+ZIPF_TOP_N = 1000  # rank-frequency fit over the top-N corpus words
+
+
+def zipf_fit(docs: DataFrame) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: least-squares
+    slope of ln(freq) on ln(rank) for the top-N words (Zipf's law
+    predicts slope ~= -1 for natural text; strong deviation flags
+    boilerplate-dominated or synthetic corpora — a one-row corpus QA
+    gauge alongside the per-doc quality gates).
+
+    Scale shape: tokenize -> hash-agg word counts (the one corpus-wide
+    exchange, shared shape with corpus_keywords) -> top-N via
+    TakeOrderedAndProject (never a global sort) -> the regression runs
+    over N=1000 rows: rank window + covar_pop/var_pop/corr aggregates,
+    all bounded by N regardless of corpus size.
+
+    Cross-engine contract: ranks pinned by (cnt DESC, word ASC); slope/
+    intercept/pearson_r rounded to 4 (stable: the regression inputs are
+    integer counts and exact ranks, so engine summation-order drift is
+    ~1e-12 against round-4 quantization)."""
+    from pyspark.sql import Window
+
+    from .nlp import tokens_col
+
+    counts = (
+        docs.select(F.explode(tokens_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    topn = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(ZIPF_TOP_N)
+    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    ranked = topn.withColumn("rank", F.row_number().over(w)).select(
+        F.log("rank").alias("x"), F.log("cnt").alias("y")
+    )
+    # try_divide + explicit corr: under ANSI, F.corr THROWS on a
+    # zero-variance side (a uniform corpus has constant ln(cnt)) where
+    # DuckDB's corr returns NULL — the manual covar/sqrt(var*var) form
+    # with try_divide reproduces DuckDB's NULL exactly and is identical
+    # elsewhere
+    slope = F.try_divide(F.covar_pop("x", "y"), F.var_pop("x"))
+    pearson = F.try_divide(
+        F.covar_pop("x", "y"), F.sqrt(F.var_pop("x") * F.var_pop("y"))
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_ranked"),
+        F.round(slope, 4).alias("slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 4).alias("intercept"),
+        F.round(pearson, 4).alias("pearson_r"),
+    )

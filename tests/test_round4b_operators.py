@@ -780,3 +780,74 @@ def test_range_join_random_vs_bruteforce(spark):
             have = (got[eid][0],
                     None if got[eid][1] is None else round(got[eid][1], 2))
             assert have == want, (seed, eid, have, want)
+
+
+def test_winnowing_shared_extract_guarantee(spark):
+    """Schleimer et al. 2003's matching guarantee, on planted ground
+    truth: two docs sharing a normalized substring of length
+    >= W + K - 1 must share at least one selected fingerprint HASH,
+    while hash-disjoint docs (no common 8-gram) share none. Checked via
+    the digest inputs: recompute fingerprints with a tiny reference
+    implementation and compare sets — this guards the engine against
+    shared-wrong-logic with its DuckDB mirror."""
+    import hashlib
+
+    from docling_nlp_api_spark.operators.textquality import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+
+    shared = "the common stolen paragraph lives here unchanged"
+    docs = [
+        (1, f"intro words first. {shared} trailing remark one"),
+        (2, f"a wholly different opening, {shared} and another end"),
+        (3, "zzz qqq completely disjoint content xxyyzz"),
+    ]
+
+    def ref_fps(text: str) -> set[str]:
+        import re
+        nt = re.sub(r"\s+", " ", text.lower()).strip()
+        grams = [hashlib.md5(nt[i:i + WINNOW_K].encode()).hexdigest()
+                 for i in range(len(nt) - WINNOW_K + 1)]
+        if not grams:
+            return set()
+        out = set()
+        for j in range(max(len(grams) - WINNOW_W + 1, 1)):
+            winw = grams[j:j + WINNOW_W]
+            m = min(winw)
+            out.add(f"{j + winw.index(m)}:{m}")
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in winnowing_fingerprints(df).collect()}
+    for did, text in docs:
+        fps = ref_fps(text)
+        assert got[did]["n_fingerprints"] == len(fps), did
+        digest = hashlib.md5("|".join(sorted(fps)).encode()).hexdigest()
+        assert got[did]["fp_digest"] == digest, did
+    h = lambda t: {fp.split(":", 1)[1] for fp in ref_fps(t)}  # noqa: E731
+    assert h(docs[0][1]) & h(docs[1][1]), "shared extract must share a hash"
+    assert not (h(docs[0][1]) & h(docs[2][1])), "disjoint docs must not"
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    """A corpus built with EXACT Zipf frequencies (word r appears
+    round(C/r) times) must fit slope ~= -1 with near-perfect
+    correlation; a uniform corpus (all words equal count) must fit
+    slope = 0. Guards the regression algebra end-to-end."""
+    from docling_nlp_api_spark.operators.textquality import zipf_fit
+
+    words = [f"word{chr(97 + i // 26)}{chr(97 + i % 26)}" for i in range(40)]
+    zipf_text, uni_text = [], []
+    for r, w in enumerate(words, start=1):
+        zipf_text += [w] * max(round(1200 / r), 1)
+        uni_text += [w] * 30
+    z = spark.createDataFrame([(1, " ".join(zipf_text))], "doc_id long, text string")
+    u = spark.createDataFrame([(1, " ".join(uni_text))], "doc_id long, text string")
+    rz = zipf_fit(z).first()
+    ru = zipf_fit(u).first()
+    assert rz["n_ranked"] == 40 and ru["n_ranked"] == 40
+    assert -1.1 < rz["slope"] < -0.9, rz
+    assert rz["pearson_r"] < -0.99, rz
+    assert abs(ru["slope"]) < 1e-9, ru
