@@ -46,15 +46,24 @@ BENCH_QUERIES = [
 ]
 
 
-def sf_of(path: str) -> float:
-    for tier, v in (("sf0.001", 0.001), ("sf0.01", 0.01), ("sf0.1", 0.1)):
-        if path.rstrip("/").endswith(tier):
-            return v
-    return 0.1
-
-
 def tier_of(path: str) -> str:
-    return "sf" + str(sf_of(path))
+    """Tier basename of the bench dir — must be a datagen.TIER_DOCS tier.
+    A silent sf0.1 fallback here once risked a mixed-tier benchmark
+    (extraction measured at sf0.1 while catalog queries ran elsewhere,
+    labeled as if one tier) — unknown tiers now fail fast instead."""
+    from docling_nlp_api_spark.datagen import TIER_DOCS
+
+    name = path.rstrip("/").rsplit("/", 1)[-1]
+    if name not in TIER_DOCS:
+        raise SystemExit(
+            f"bench.py: SPARK_GRAFT_SF_DIR basename {name!r} is not a known "
+            f"tier ({sorted(TIER_DOCS)})"
+        )
+    return name
+
+
+def sf_of(path: str) -> float:
+    return float(tier_of(path)[2:])
 
 
 def run_noop(df) -> None:
@@ -95,11 +104,15 @@ def main() -> None:
     errors: dict[str, str] = {}
     for _ in range(3):
         for name in BENCH_QUERIES:
-            fn = QUERIES[name]
             try:
+                # lookup inside the try: a renamed catalog entry must cost
+                # one failed query in the JSON, not a KeyError that loses
+                # the whole bench line
+                fn = QUERIES[name]
                 qtimes[name] = round(
                     min(qtimes[name], _timed(lambda: run_noop(fn(spark, SF_DIR)))), 3
                 )
+                errors.pop(name, None)  # an earlier-round flake that now passed
             except Exception as exc:  # one broken query must not lose the JSON line
                 errors[name] = str(exc).splitlines()[0][:200]
         ex_sec = min(ex_sec, _timed(lambda: run_noop(extract(spans))))

@@ -68,46 +68,56 @@ def write_text_file(spark: SparkSession, path: str, content: str) -> None:
     the cluster supports (file:, hdfs:, s3a:, ...). Builtin open() only
     resolves local paths — with an object-store --output root it would
     raise AFTER the job's expensive work succeeded, failing the run on
-    its very last (and cheapest) step."""
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(jpath, True)
+    its very last (and cheapest) step.
+
+    ATOMIC for marker semantics: content lands in a sibling temp file
+    that is renamed over the destination, so a crash mid-write leaves
+    either the old marker or none — never an empty/truncated one that
+    would strand a fully-committed staging behind a layout-check error."""
+    P = spark._jvm.org.apache.hadoop.fs.Path
+    dst = P(path)
+    tmp = P(path + "._tmp")
+    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(content.encode("utf-8")))
     finally:
         out.close()
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    fs.rename(tmp, dst)
 
 
 def read_text_file(spark: SparkSession, path: str) -> str | None:
     """Read a small driver-side text file through the Hadoop FileSystem
     (any scheme); None if it does not exist. Counterpart of
-    write_text_file for markers the pipeline must re-read on resume."""
+    write_text_file for markers the pipeline must re-read on resume.
+
+    Reads bytes via commons-io (faithful to content, trailing newlines
+    included); checksum verification is disabled on a PRIVATE
+    FileSystem.newInstance — never on the process-wide cached instance,
+    which every executor read shares in local mode — because a marker
+    legitimately rewritten by a non-Hadoop writer (plain open(), older
+    runs) leaves a stale .crc sidecar that a verified read would refuse."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
-        return None
-    # checksum verification off: a marker legitimately rewritten by a
-    # non-Hadoop writer (plain open(), older runs) leaves a stale .crc
-    # sidecar on the local FS, and a verified read would throw
-    # ChecksumException on content that is perfectly valid
-    fs.setVerifyChecksum(False)
-    # line-reader, NOT stream.read(bytearray): py4j COPIES a Python
-    # bytearray into the JVM, so bytes written by read() never propagate
-    # back — strings returned by readLine() do
-    reader = jvm.java.io.BufferedReader(
-        jvm.java.io.InputStreamReader(fs.open(jpath), "UTF-8")
-    )
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.newInstance(jpath.toUri(), conf)
     try:
-        lines = []
-        while True:
-            line = reader.readLine()
-            if line is None:
-                break
-            lines.append(line)
-        return "\n".join(lines)
+        if not fs.exists(jpath):
+            return None
+        fs.setVerifyChecksum(False)  # scoped to this private instance
+        stream = fs.open(jpath)
+        try:
+            # commons-io ships on Spark's classpath; returns a JVM string
+            # (py4j copies strings faithfully, unlike byte arrays)
+            return jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
     finally:
-        reader.close()
+        fs.close()
 
 
 def fs_exists(spark: SparkSession, path: str) -> bool:

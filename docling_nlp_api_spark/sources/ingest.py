@@ -34,7 +34,10 @@ def binaryfile_ingest(spark: SparkSession, glob_path: str) -> DataFrame:
     return raw.select(
         name.alias("name"),
         stored.alias("stored_name"),
-        F.length("content").alias("n_bytes"),
+        # binaryFile's `length` metadata column — free from the file
+        # listing; F.length(content) would re-scan up to MAX_FILE_BYTES
+        # of payload per row to recompute a number the source provides
+        F.col("length").alias("n_bytes"),
         ext.alias("ext"),
         (ext.isin(*ALLOWED_EXTS) & (F.col("length") <= MAX_FILE_BYTES)).alias("accepted"),
         F.md5("content").alias("content_md5"),

@@ -53,7 +53,7 @@ def test_tail_oracle_exact(name, spark, sf_dir, duck):
 
     assert len(srows) == len(orows), f"rowcount spark={len(srows)} duckdb={len(orows)}"
     assert sorted(sdf.columns) == sorted(ocols)
-    tp = _cc.type_problems(sdf.columns, sdf.dtypes, ocols, otypes)
+    tp = _cc.type_problems(sdf.dtypes, ocols, otypes)
     assert not tp, tp
     cs = _cc.canon(srows, sdf.columns)
     co = _cc.canon(orows, ocols)

@@ -68,12 +68,13 @@ def _spark_class(t: str) -> str:
     return t
 
 
-def type_problems(scols, sdtypes, ocols, otypes) -> list[str]:
+def type_problems(sdtypes, ocols, otypes) -> list[str]:
     """Per-column type-class comparison (exact, like the driver's hash)."""
     out = []
     omap = {c: _duck_class(t) for c, t in zip(ocols, otypes)}
+    oraw = {c: str(t).upper() for c, t in zip(ocols, otypes)}
     for c, t in sdtypes:
-        ot = str(dict(zip(ocols, otypes)).get(c, "")).upper()
+        ot = oraw.get(c, "")
         if any(b in ot for b in _BAD_ORACLE_TYPES):
             out.append(f"oracle col '{c}' is {ot} (pandas-renders != spark int; CAST it)")
         elif c in omap and omap[c] != _spark_class(t):
@@ -94,6 +95,12 @@ def main() -> int:
 
     only = set(sys.argv[1:])
     spark = get_spark("check_correctness", cores=16, shuffle_partitions=16)
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        # a typo'd filter must not produce a green "0 pass, 0 fail" run
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+        spark.stop()
+        return 2
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
@@ -132,7 +139,7 @@ def main() -> int:
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} duckdb={sorted(ocols)}")
         else:
-            problems.extend(type_problems(scols, sdf.dtypes, ocols, otypes))
+            problems.extend(type_problems(sdf.dtypes, ocols, otypes))
         if not problems:
             cs, co = canon(srows, scols), canon(orows, ocols)
             if cs != co:
