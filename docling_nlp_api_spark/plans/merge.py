@@ -75,10 +75,20 @@ def _commit_swap(state_dir: str) -> str:
     """Swap _staged into current/ (backup-then-rename, backup removed on
     success). Paired with _recover_state, a crash at ANY point leaves a
     recoverable state: before the first rename nothing changed; between
-    the renames _old/ holds the data; after, _old/ is garbage."""
+    the renames _old/ holds the data; after, _old/ is garbage.
+
+    The streaming _BATCH marker is carried forward when the staged dir
+    lacks one: a non-streaming rewrite of the same state (TTL delete, a
+    batch merge without a marker) must not erase the sink's replay
+    protection — otherwise a redelivered micro-batch after the rewrite
+    would look fresh and double-apply."""
     cur = os.path.join(state_dir, "current")
     old = os.path.join(state_dir, "_old")
     tmp = os.path.join(state_dir, "_staged")
+    cur_marker = os.path.join(cur, "_BATCH")
+    tmp_marker = os.path.join(tmp, "_BATCH")
+    if os.path.isfile(cur_marker) and not os.path.isfile(tmp_marker):
+        shutil.copyfile(cur_marker, tmp_marker)
     if os.path.isdir(cur):
         os.rename(cur, old)
     os.rename(tmp, cur)

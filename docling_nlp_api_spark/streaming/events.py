@@ -72,9 +72,13 @@ def stage_event_chunks(
 
     from pyspark.sql import Window
 
+    # persist: the ranked frame is re-read once per chunk below; without
+    # the pin each filter+write job re-runs the global (ts, event_id)
+    # sort — n_chunks full sorts instead of one (harness staging, but no
+    # reason to pay it)
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).withColumn(
         "_rn", F.row_number().over(Window.orderBy("ts", "event_id")) - 1
-    )
+    ).persist()
     n = ev.count()
     per = (n + n_chunks - 1) // n_chunks
     os.makedirs(out_dir, exist_ok=True)
@@ -109,6 +113,7 @@ def stage_event_chunks(
         (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
         shutil.move(part, os.path.join(out_dir, f"chunk_{n_chunks:03d}.parquet"))
         shutil.rmtree(tmp)
+    ev.unpersist()
     return out_dir
 
 

@@ -93,9 +93,10 @@ def run_dedup(
     # >= 3-token docs this overlaps the near-dup drop list (Jaccard 1.0
     # clusters them too), hence the distinct union.
     hashed = docs.select("doc_id", F.md5("text").alias("content_hash"))
+    # exact/ holds only n_docs > 1 groups by exact_dedup's contract
+    # (operators/dedup.py) — no re-filter here, one source of truth
     exact_groups = (
         spark.read.parquet(os.path.join(output, "exact"))
-        .filter(F.col("n_docs") > 1)
         .select("content_hash", "representative")
     )
     drop_exact = (
@@ -103,17 +104,25 @@ def run_dedup(
         .filter(F.col("doc_id") != F.col("representative"))
         .select("doc_id")
     )
-    drop = drop_near.unionByName(drop_exact).distinct()
-    # NO broadcast hint on the drop list: it is one row per duplicate doc
-    # — proportional to the corpus dup mass (tens of percent of a web
-    # corpus), not a constant. Forcing a broadcast would collect billions
-    # of rows to the driver at the advertised scale; a plain anti-join
-    # lets AQE pick broadcast when the list happens to be small.
-    keep = docs.join(drop, "doc_id", "left_anti").select(
-        "doc_id", F.md5("text").alias("text_md5")
-    )
-    keep.write.mode("overwrite").parquet(os.path.join(output, "keep"))
-    n_dropped_total = drop.count()
+    # persist: the drop list feeds BOTH the keep anti-join and the
+    # accounting count below — without the pin its lineage (full-corpus
+    # md5 scan + exact-groups join) runs twice
+    drop = drop_near.unionByName(drop_exact).distinct().persist()
+    try:
+        # NO broadcast hint on the drop list: it is one row per duplicate
+        # doc — proportional to the corpus dup mass (tens of percent of a
+        # web corpus), not a constant. Forcing a broadcast would collect
+        # billions of rows to the driver at the advertised scale; a plain
+        # anti-join lets AQE pick broadcast when the list is small.
+        # text_md5 comes from the single `hashed` frame, not a second
+        # md5(text) pass over the corpus.
+        keep = hashed.join(drop, "doc_id", "left_anti").select(
+            "doc_id", F.col("content_hash").alias("text_md5")
+        )
+        keep.write.mode("overwrite").parquet(os.path.join(output, "keep"))
+        n_dropped_total = drop.count()
+    finally:
+        drop.unpersist()
 
     cl = resolved.agg(
         F.count("*").alias("docs"),

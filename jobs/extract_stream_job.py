@@ -60,14 +60,14 @@ def main(argv: list[str] | None = None) -> int:
         src, out, ck = args.source, args.output, args.checkpoint
 
     n_batches = run_extract_stream(spark, src, out, ck)
-    # count through Spark, not os.path: --output may be hdfs://s3a://,
-    # where an isdir gate is always False and would report sink_rows=0
-    # after a successful run. The except covers the one legitimate
-    # zero case: the sink path was never created (no input files).
-    try:
-        n_rows = spark.read.parquet(out).count()
-    except Exception:
-        n_rows = 0
+    # existence via the Hadoop FS, not os.path: --output may be
+    # hdfs://s3a://, where an isdir gate is always False and would report
+    # sink_rows=0 after a successful run. The one legitimate zero is a
+    # never-created sink (no input files); a CORRUPT or unreadable sink
+    # must raise, not masquerade as empty.
+    from docling_nlp_api_spark.session import fs_exists
+
+    n_rows = spark.read.parquet(out).count() if fs_exists(spark, out) else 0
     print(json.dumps({"data_batches": n_batches, "sink_rows": n_rows}))
     return 0
 

@@ -167,3 +167,39 @@ def test_merge_batch_marker_commits_atomically_with_state(spark, tmp_path):
     assert out.count() == 1
     apply_merge_to_state(spark, state_dir, b, batch_marker=1)
     assert last_committed_batch(state_dir) == 1
+
+
+def test_ttl_rewrite_preserves_stream_batch_marker(spark, tmp_path):
+    """A non-streaming rewrite of the same state dir (TTL delete, an
+    unmarked batch merge) must carry the streaming _BATCH marker forward
+    through its swap — dropping it would make a post-rewrite replay of
+    the last micro-batch look fresh and double-apply the additive merge."""
+    import os
+
+    from docling_nlp_api_spark.plans.merge import last_committed_batch
+
+    state_dir = str(tmp_path / "state")
+    b = spark.createDataFrame(
+        [(1, "click", 2, 10.0)],
+        "user_id int, event_type string, calls int, total_value double",
+    )
+    apply_merge_to_state(spark, state_dir, b, batch_marker=7)
+    assert last_committed_batch(state_dir) == 7
+
+    # state rows need an expires_at column for the TTL op: rebuild state
+    rows = spark.createDataFrame(
+        [(1, "2024-02-01 00:00:00")], "id int, expires_at string"
+    ).select("id", F.col("expires_at").cast("timestamp").alias("expires_at"))
+    cur = os.path.join(state_dir, "current")
+    import shutil as _sh
+    marker = open(os.path.join(cur, "_BATCH")).read()
+    _sh.rmtree(cur)
+    rows.write.parquet(cur)
+    with open(os.path.join(cur, "_BATCH"), "w") as f:
+        f.write(marker)
+
+    apply_ttl_delete_to_state(spark, state_dir, "2024-01-30 00:00:00")
+    assert last_committed_batch(state_dir) == 7  # marker survived the swap
+    # a second unmarked rewrite keeps carrying it
+    apply_ttl_delete_to_state(spark, state_dir, "2024-01-31 00:00:00")
+    assert last_committed_batch(state_dir) == 7
