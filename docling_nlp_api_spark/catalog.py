@@ -1255,9 +1255,10 @@ def _kmeans_prefix_parts(n_clusters: int = 8, iters: int = 2):
     """Shared Lloyd-unroll CTE prefix: DuckDB mirror of
     similarity.kmeans_fit as CTE pairs, ending in `af` = the final
     (vec_id, v, cl) assignment. The cross-engine contract is the
-    ROUND(centroid, 6) after init and after every mean update — it
-    absorbs the ~1e-13 summation-order drift that would otherwise cascade
-    through assignments. Distances: expanded dot-product form (|v|^2 -
+    ROUND(centroid, 6) after init and after every mean update, with the
+    mean itself an order-free pico-unit fixed-point sum (round-5 FXP
+    hardening, mirroring similarity.kmeans_fit) so no summation-order
+    drift can cascade through assignments. Distances: expanded dot-product form (|v|^2 -
     2<v,c> + |c|^2), ties pinned by (distance, cluster id). Returns
     (parts, prev_centroid_cte_name, sq_dist_template) so callers can add
     their own consumers of `af`/`{prev}`."""
@@ -1279,7 +1280,10 @@ a{i} AS (SELECT vec_id, v, cl FROM (
 x{i} AS (SELECT cl, unnest(list_transform(v, (x, ix) -> struct_pack(val := x, pos := ix))) AS u
          FROM a{i}),
 m{i} AS (SELECT cl, list(m ORDER BY pos) AS cv FROM (
-  SELECT cl, u.pos AS pos, ROUND(AVG(u.val), 6) AS m FROM x{i} GROUP BY cl, u.pos) GROUP BY cl),
+  SELECT cl, u.pos AS pos,
+         ROUND(CAST(SUM(CAST(ROUND(u.val * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * 1000000000000.0), 6) AS m
+  FROM x{i} GROUP BY cl, u.pos) GROUP BY cl),
 c{i} AS (SELECT {prev}.cl, COALESCE(m{i}.cv, {prev}.cv) AS cv
          FROM {prev} LEFT JOIN m{i} ON {prev}.cl = m{i}.cl)""")
         prev = f"c{i}"
@@ -1436,11 +1440,13 @@ WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
   FROM documents),
 freqs AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word),
-tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM freqs)
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM freqs),
+sc AS (SELECT doc_id,
+         CAST(ROUND(-ln(cnt / total) * 1000000) AS BIGINT) AS nll_q
+       FROM toks JOIN freqs USING (word) CROSS JOIN tot)
 SELECT doc_id, COUNT(*) AS n_tokens,
-       ROUND(AVG(-ln(cnt / total)), 4) AS mean_nll
-FROM toks JOIN freqs USING (word) CROSS JOIN tot
-GROUP BY doc_id
+       ROUND(CAST(SUM(nll_q) AS DOUBLE) / (COUNT(*) * 1000000.0), 4) AS mean_nll
+FROM sc GROUP BY doc_id
 """)(lambda s, d: SP.unigram_logprob(docs(s, d)))
 
 q("tq_repetition_signals", f"""
@@ -2073,19 +2079,24 @@ vt AS (SELECT COUNT(DISTINCT word) AS v
        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
              FROM documents)),
 sc AS (SELECT b.doc_id,
-         ln(CAST(c1.c1 + vt.v AS DOUBLE) / (c2.c2 + 1)) AS nll
+         CAST(ROUND(ln(CAST(c1.c1 + vt.v AS DOUBLE) / (c2.c2 + 1)) * 1000000)
+              AS BIGINT) AS nll_q
        FROM big b JOIN c2 USING (prev, w) JOIN c1 USING (prev) CROSS JOIN vt)"""
+
+# order-free per-doc mean of the micro-unit NLLs (the FXP contract; see
+# operators/sampling.py) — shared by the scorer and both bucketers
+_BIGRAM_MEAN = "ROUND(CAST(SUM(nll_q) AS DOUBLE) / (COUNT(*) * 1000000.0), 4)"
 
 q("lm_bigram_logprob", f"""
 WITH {_BIGRAM_SC}
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       ROUND(AVG(nll), 4) AS mean_nll
+       {_BIGRAM_MEAN} AS mean_nll
 FROM sc GROUP BY doc_id
 """)(lambda s, d: SP.bigram_logprob(docs(s, d)))
 
 q("lm_perplexity_buckets", f"""
 WITH {_BIGRAM_SC},
-s AS (SELECT doc_id, ROUND(AVG(nll), 4) AS mean_nll FROM sc GROUP BY doc_id),
+s AS (SELECT doc_id, {_BIGRAM_MEAN} AS mean_nll FROM sc GROUP BY doc_id),
 nn AS (SELECT COUNT(*) AS c FROM s),
 h AS (SELECT mean_nll, COUNT(*) AS cnt FROM s GROUP BY 1),
 cum AS (SELECT mean_nll, SUM(cnt) OVER (ORDER BY mean_nll) AS cum FROM h),
@@ -2102,7 +2113,7 @@ FROM s CROSS JOIN cut
 
 q("lm_perplexity_buckets_by_lang", f"""
 WITH {_BIGRAM_SC},
-s AS (SELECT sc.doc_id, d.lang, ROUND(AVG(nll), 4) AS mean_nll
+s AS (SELECT sc.doc_id, d.lang, {_BIGRAM_MEAN} AS mean_nll
       FROM sc JOIN documents d ON sc.doc_id = d.doc_id
       WHERE d.lang IS NOT NULL
       GROUP BY sc.doc_id, d.lang),
@@ -2553,7 +2564,8 @@ sc AS (SELECT e.doc_id,
        CROSS JOIN nv
        WHERE e.doc_id % {SP.TRIGRAM_TRAIN_MOD} != 0)
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
-       ROUND(AVG(-ln(s)), 4) AS mean_nll
+       ROUND(CAST(SUM(CAST(ROUND(-ln(s) * 1000000) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 1000000.0), 4) AS mean_nll
 FROM sc GROUP BY doc_id
 """)(lambda s, d: SP.trigram_backoff_logprob(docs(s, d)))
 
@@ -2580,10 +2592,11 @@ c AS (SELECT word, COUNT(*) AS cc, SUM(in_target) AS ct FROM tok GROUP BY word),
 t AS (SELECT CAST(SUM(cc) AS BIGINT) AS tc, CAST(SUM(ct) AS BIGINT) AS tt,
              COUNT(*) AS v FROM c),
 w AS (SELECT word,
-        ln(((ct + 1) * (tc + v)) / (CAST((cc + 1) AS DOUBLE) * (tt + v))) AS lr
+        CAST(ROUND(ln(((ct + 1) * (tc + v)) / (CAST((cc + 1) AS DOUBLE) * (tt + v)))
+                   * 1000000) AS BIGINT) AS lr_q
       FROM c CROSS JOIN t)
 SELECT doc_id, in_target, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       ROUND(AVG(lr), 4) AS mean_log_ratio
+       ROUND(CAST(SUM(lr_q) AS DOUBLE) / (COUNT(*) * 1000000.0), 4) AS mean_log_ratio
 FROM tok JOIN w USING (word)
 GROUP BY doc_id, in_target
 """)(lambda s, d: SP.importance_weights(docs(s, d)))
@@ -3246,14 +3259,31 @@ q("tq_zipf_fit", f"""
 WITH c AS (SELECT w AS word, COUNT(*) AS cnt
            FROM (SELECT unnest({TOKS}) AS w FROM documents) GROUP BY 1),
 t AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT {Q.ZIPF_TOP_N}),
-r AS (SELECT ln(ROW_NUMBER() OVER (ORDER BY cnt DESC, word)) AS x,
-             ln(cnt) AS y
-      FROM t)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_ranked,
-       ROUND(covar_pop(x, y) / var_pop(x), 4) AS slope,
-       ROUND(AVG(y) - covar_pop(x, y) / var_pop(x) * AVG(x), 4) AS intercept,
-       ROUND(corr(x, y), 4) AS pearson_r
-FROM r
+r AS (SELECT CAST(ROUND(ln(ROW_NUMBER() OVER (ORDER BY cnt DESC, word))
+                        * 1000000) AS BIGINT) AS xq,
+             CAST(ROUND(ln(cnt) * 1000000) AS BIGINT) AS yq
+      FROM t),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+             CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+             CAST(SUM(xq * xq) AS BIGINT) AS sxx,
+             CAST(SUM(yq * yq) AS BIGINT) AS syy
+      FROM r),
+m AS (SELECT n,
+             sx / (n * 1000000.0) AS mx, sy / (n * 1000000.0) AS my,
+             sxy / (n * 1000000000000.0)
+               - (sx / (n * 1000000.0)) * (sy / (n * 1000000.0)) AS cov,
+             sxx / (n * 1000000000000.0)
+               - (sx / (n * 1000000.0)) * (sx / (n * 1000000.0)) AS varx,
+             syy / (n * 1000000000000.0)
+               - (sy / (n * 1000000.0)) * (sy / (n * 1000000.0)) AS vary
+      FROM s)
+SELECT n AS n_ranked,
+       ROUND(cov / varx, 4) AS slope,
+       ROUND(my - (cov / varx) * mx, 4) AS intercept,
+       ROUND(CASE WHEN varx * vary > 0 THEN cov / sqrt(varx * vary) END, 4)
+         AS pearson_r
+FROM m
 """)(lambda s, d: Q.zipf_fit(docs(s, d)))
 
 

@@ -369,6 +369,35 @@ def dataset_card(docs: DataFrame) -> DataFrame:
     )
 
 
+# Fixed-point contract for cross-engine float MEANS (round-5 hardening,
+# the PageRank/HLL pattern from graph.py:80 / sketches.py:85): a float mean
+# AVG(double) is not summation-order-free, so a doc whose mean sits within
+# ~1 ulp of a 4th-decimal boundary can round differently depending on
+# partial-aggregation order — the exact flake the round-4 driver caught on
+# sample_dsir_weights. Every per-item log score is therefore quantized to
+# micro-unit BIGINT (CAST(ROUND(x * 1e6) AS BIGINT), identical in both
+# engines: Spark's BigDecimal HALF_UP and DuckDB's std::round agree at
+# scale 0 because x.5 integer boundaries are exactly representable
+# doubles), SUMmed as integers (associative, order-free), and divided +
+# rounded once at the end. The quantization shifts each mean by < 1e-6 —
+# invisible at the round-4 contract — and makes the hash invariant under
+# any shuffle-partition / input-split configuration.
+FXP = 1_000_000
+
+
+def fxp_q(col):
+    """Quantize a double column to micro-unit BIGINT — the order-free
+    summation contract; SQL mirror: CAST(ROUND(x * 1000000) AS BIGINT)."""
+    return F.round(col * FXP).cast("long")
+
+
+def fxp_mean(qcol: str, ndigits: int = 4):
+    """Order-free mean of a micro-unit column: integer SUM, one double
+    division, final round. SQL mirror:
+    ROUND(CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0), ndigits)."""
+    return F.round(F.sum(qcol) / (F.count(F.lit(1)) * F.lit(float(FXP))), ndigits)
+
+
 def unigram_logprob(docs: DataFrame) -> DataFrame:
     """Unigram-LM quality score: mean -ln p(token) per doc under the
     corpus's OWN unigram distribution (the classic cheap LM filter — docs
@@ -383,8 +412,10 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
          vocab that covers 99.9% of mass);
       3. per-doc partial agg of -ln(cnt/total).
     No OOV handling needed: the vocabulary is built from the same corpus.
-    ln parity: both engines bind IEEE double ln; the result is rounded to
-    4 decimals (the dedup plane's cross-engine float contract)."""
+    ln parity: both engines bind IEEE double ln; the per-token NLL (a
+    pure function of the word's corpus count) quantizes to micro-unit
+    BIGINT so the per-doc mean is an order-free integer sum — see the
+    FXP contract above."""
     toks = docs.select(
         "doc_id",
         F.explode(F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), 0)).alias("word"),
@@ -394,13 +425,13 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     scored = (
         toks.join(freqs, "word")
         .crossJoin(F.broadcast(total))
-        .select("doc_id", (-F.log(F.col("cnt") / F.col("total"))).alias("nll"))
+        .select("doc_id", fxp_q(-F.log(F.col("cnt") / F.col("total"))).alias("nll_q"))
     )
     return (
         scored.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.avg("nll"), 4).alias("mean_nll"),
+            fxp_mean("nll_q").alias("mean_nll"),
         )
     )
 
@@ -469,8 +500,11 @@ def importance_weights(docs: DataFrame, target_lang: str = "en") -> DataFrame:
     token stream, and the per-doc mean partial-aggregates map-side.
     Smoothing uses the raw-corpus vocabulary V for both models (the
     target is a subset, so V covers it); every quantity is an exact
-    integer until the final double division + ln, and the mean rounds
-    to 4 decimals (the repo's cross-engine float contract)."""
+    integer until the per-word division + ln, which quantizes ONCE PER
+    WORD (in the broadcast weight table, before the token-stream join)
+    to micro-unit BIGINT so the per-doc mean is an order-free integer
+    sum — the FXP contract; this was the round-4 driver's one red row
+    (hash flake under a different partial-agg order) before hardening."""
     toks = docs.select(
         "doc_id",
         (F.col("lang") == target_lang).cast("int").alias("in_target"),
@@ -487,17 +521,19 @@ def importance_weights(docs: DataFrame, target_lang: str = "en") -> DataFrame:
     )
     weights = counts.crossJoin(F.broadcast(totals)).select(
         "word",
-        F.log(
-            ((F.col("ct") + 1) * (F.col("tc") + F.col("v")))
-            / ((F.col("cc") + 1) * (F.col("tt") + F.col("v")))
-        ).alias("lr"),
+        fxp_q(
+            F.log(
+                ((F.col("ct") + 1) * (F.col("tc") + F.col("v")))
+                / ((F.col("cc") + 1) * (F.col("tt") + F.col("v")))
+            )
+        ).alias("lr_q"),
     )
     return (
         toks.join(F.broadcast(weights), "word")
         .groupBy("doc_id", "in_target")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.avg("lr"), 4).alias("mean_log_ratio"),
+            fxp_mean("lr_q").alias("mean_log_ratio"),
         )
         .select("doc_id", "in_target", F.col("n_tokens").cast("long").alias("n_tokens"),
                 "mean_log_ratio")
@@ -538,8 +574,9 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
     probe is an equi-join on (prev, w) — both sides narrow — rather than
     a forced broadcast; AQE picks broadcast when it fits (it does at
     sandbox scale). c1 and V are vocabulary-sized and always broadcast.
-    Per-doc mean partial-aggregates map-side; round-4 is the
-    cross-engine float contract."""
+    Per-doc mean partial-aggregates map-side over micro-unit BIGINT NLLs
+    (the FXP contract — order-free, so the perplexity-tercile cutoffs
+    derived from mean_nll are partition-invariant too); round-4 final."""
     toks = F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), 0)
     big = _adjacent_bigrams(docs)
     c2 = big.groupBy("prev", "w").agg(F.count("*").alias("c2"))
@@ -554,12 +591,12 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(v))
         .select(
             "doc_id",
-            F.log((F.col("c1") + F.col("v")) / (F.col("c2") + 1)).alias("nll"),
+            fxp_q(F.log((F.col("c1") + F.col("v")) / (F.col("c2") + 1))).alias("nll_q"),
         )
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
-        F.round(F.avg("nll"), 4).alias("mean_nll"),
+        fxp_mean("nll_q").alias("mean_nll"),
     )
 
 
@@ -694,8 +731,9 @@ def trigram_backoff_logprob(docs: DataFrame, alpha: float = TRIGRAM_ALPHA) -> Da
                     = alpha * c2(w2 w3)/c1(w2)     elif the bigram was seen
                     = alpha^2 * (c1(w3)+1)/(N+V)   else (add-1 unigram floor)
 
-    Per eval doc: mean -ln S over its trigrams (round 4) — the CCNet-style
-    perplexity gate one tier past bigram_logprob.
+    Per eval doc: mean -ln S over its trigrams — micro-unit BIGINT
+    quantized per trigram (the FXP order-free contract), round-4 final —
+    the CCNet-style perplexity gate one tier past bigram_logprob.
 
     Scale shape: the three count tables are n-gram-Zipf-bounded (real
     deployments prune singletons, shrinking c3 by ~half; the plan is
@@ -755,9 +793,9 @@ def trigram_backoff_logprob(docs: DataFrame, alpha: float = TRIGRAM_ALPHA) -> Da
         )
     )
     return (
-        joined.select("doc_id", (-F.log(s)).alias("nll"))
+        joined.select("doc_id", fxp_q(-F.log(s)).alias("nll_q"))
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_trigrams"), F.round(F.avg("nll"), 4).alias("mean_nll"))
+        .agg(F.count("*").alias("n_trigrams"), fxp_mean("nll_q").alias("mean_nll"))
     )
 
 

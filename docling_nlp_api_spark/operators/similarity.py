@@ -300,9 +300,16 @@ def kmeans_fit(emb: DataFrame, n_clusters: int = 8, iters: int = 2) -> list[list
     collected to the driver — the centroid table is tiny by construction,
     the corpus never leaves executors). Centroids are rounded to 6
     decimals each iteration: that is the cross-engine contract that makes
-    the quantizer bit-reproducible in the DuckDB oracle (averaging order
-    differs between engines; 1e-13 float drift would otherwise cascade
-    through assignments)."""
+    the quantizer bit-reproducible in the DuckDB oracle. Round-5
+    hardening: the per-(cluster, dim) mean itself is an order-free
+    fixed-point sum — each component quantizes to pico-unit BIGINT
+    (ROUND(v * 1e12)) before SUMming — because a double AVG is
+    summation-order-dependent and a mean within ~1 ulp of the 6th-decimal
+    boundary could round differently per partition layout and cascade
+    through assignments (the sample_dsir_weights failure mode). 1e12
+    scale holds |cluster| < ~9e6 vectors per int64 at unit-norm inputs;
+    a 100 TB fit would drop to 1e9 quantization (same contract, coarser
+    unit) or per-dim DECIMAL sums."""
     # one shared validity gate for init AND every assignment pass: a
     # NULL/ragged vector would assign to a NULL cluster whose posexplode
     # rows still emit, and the driver-side new[cl] would TypeError on the
@@ -328,7 +335,12 @@ def kmeans_fit(emb: DataFrame, n_clusters: int = 8, iters: int = 2) -> list[list
         means = (
             assigned.select("cl", F.posexplode("embedding").alias("pos", "v"))
             .groupBy("cl", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .agg(
+                (
+                    F.sum(F.round(F.col("v").cast("double") * F.lit(1e12)).cast("long"))
+                    / (F.count(F.lit(1)) * F.lit(1e12))
+                ).alias("m")
+            )
             .collect()
         )
         new = [list(c) for c in cents]  # clusters that lost all members keep position

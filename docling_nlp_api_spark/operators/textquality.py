@@ -941,13 +941,22 @@ def zipf_fit(docs: DataFrame) -> DataFrame:
     over N=1000 rows: rank window + covar_pop/var_pop/corr aggregates,
     all bounded by N regardless of corpus size.
 
-    Cross-engine contract: ranks pinned by (cnt DESC, word ASC); slope/
-    intercept/pearson_r rounded to 4 (stable: the regression inputs are
-    integer counts and exact ranks, so engine summation-order drift is
-    ~1e-12 against round-4 quantization)."""
+    Cross-engine contract (round-5 FXP hardening): ranks pinned by
+    (cnt DESC, word ASC); ln(rank)/ln(cnt) quantize to micro-unit BIGINT
+    and the five regression sums (Sx Sy Sxy Sxx Syy) accumulate as
+    integers — order-free, so the fit is invariant under any partition
+    layout (covar_pop/var_pop over doubles were not: the merge order of
+    the 1000 rows across partitions perturbed the ~1e-12 tail, a latent
+    round-4-boundary flake). The slope/intercept/pearson scalars are then
+    ONE identical double expression over identical integers in both
+    engines; round-4 final. NULL parity on degenerate input: DuckDB
+    float division by zero yields NULL, mirrored by try_divide; the
+    pearson denominator is guarded (varx*vary > 0) both sides because a
+    zero-variance corpus can cancel to a tiny negative."""
     from pyspark.sql import Window
 
     from .nlp import tokens_col
+    from .sampling import FXP, fxp_q
 
     counts = (
         docs.select(F.explode(tokens_col()).alias("word"))
@@ -957,20 +966,31 @@ def zipf_fit(docs: DataFrame) -> DataFrame:
     topn = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(ZIPF_TOP_N)
     w = Window.orderBy(F.desc("cnt"), F.asc("word"))
     ranked = topn.withColumn("rank", F.row_number().over(w)).select(
-        F.log("rank").alias("x"), F.log("cnt").alias("y")
+        fxp_q(F.log("rank")).alias("xq"), fxp_q(F.log("cnt")).alias("yq")
     )
-    # try_divide + explicit corr: under ANSI, F.corr THROWS on a
-    # zero-variance side (a uniform corpus has constant ln(cnt)) where
-    # DuckDB's corr returns NULL — the manual covar/sqrt(var*var) form
-    # with try_divide reproduces DuckDB's NULL exactly and is identical
-    # elsewhere
-    slope = F.try_divide(F.covar_pop("x", "y"), F.var_pop("x"))
-    pearson = F.try_divide(
-        F.covar_pop("x", "y"), F.sqrt(F.var_pop("x") * F.var_pop("y"))
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.sum(F.col("yq") * F.col("yq")).alias("syy"),
     )
-    return ranked.agg(
-        F.count("*").cast("long").alias("n_ranked"),
+    # scalar double math over the 1-row integer sums — written with the
+    # exact same operand grouping as the SQL oracle so both engines
+    # evaluate the identical IEEE expression
+    nf = F.col("n") * F.lit(float(FXP))
+    nf2 = F.col("n") * F.lit(float(FXP) * FXP)
+    mx = F.col("sx") / nf
+    my = F.col("sy") / nf
+    cov = F.col("sxy") / nf2 - mx * my
+    varx = F.col("sxx") / nf2 - mx * mx
+    vary = F.col("syy") / nf2 - my * my
+    slope = F.try_divide(cov, varx)
+    pearson = F.when(varx * vary > 0, cov / F.sqrt(varx * vary))
+    return sums.select(
+        F.col("n").alias("n_ranked"),
         F.round(slope, 4).alias("slope"),
-        F.round(F.avg("y") - slope * F.avg("x"), 4).alias("intercept"),
+        F.round(my - slope * mx, 4).alias("intercept"),
         F.round(pearson, 4).alias("pearson_r"),
     )

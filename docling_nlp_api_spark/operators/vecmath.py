@@ -43,32 +43,47 @@ def _mat(s: pd.Series) -> np.ndarray:
     return np.stack(s.to_numpy()).astype(np.float64, copy=False)
 
 
-def _mat_masked(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+def _mat_masked(
+    s: pd.Series, expect_dim: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     """(M, valid): stack with a per-row validity mask. A NULL row or a
-    row whose length differs from the batch's modal dim is invalid and
-    zero-filled; callers emit NULL for (or drop) those rows — the SQL
-    scorer tier's NULL-propagation semantics, where a bare np.stack
-    would instead abort the whole task on one corrupt row. NULL
-    *elements* inside a vector arrive as NaN from Arrow and stay NaN
-    (same contaminate-the-result behavior as the SQL fold). The
-    all-valid fast path is the plain _mat stack — zero overhead for
-    clean batches."""
+    row of the wrong length is invalid and zero-filled; callers emit
+    NULL for (or drop) those rows — the SQL scorer tier's
+    NULL-propagation semantics, where a bare np.stack would instead
+    abort the whole task on one corrupt row. NULL *elements* inside a
+    vector arrive as NaN from Arrow and stay NaN (same
+    contaminate-the-result behavior as the SQL fold). The all-valid fast
+    path is the plain _mat stack — zero overhead for clean batches.
+
+    expect_dim pins the valid dimension deterministically — every
+    factory UDF whose closure fixes the geometry (planes, centroids,
+    query matrices) passes it, so validity is a pure per-row function.
+    Without it the valid dim falls back to the batch's MODAL length:
+    with genuinely mixed-dim input the same row can then be valid in one
+    Arrow batch and NULL in another depending on partitioning/batch
+    boundaries (bincount.argmax ties resolve to the smaller dim) — the
+    generic pair_dot/vec_norm case keeps the heuristic only because it
+    has no declared geometry to pin against (round-5 advice)."""
     n = len(s)
     if n == 0:
-        return np.zeros((0, 1), dtype=np.float64), np.zeros(0, dtype=bool)
+        return np.zeros((0, expect_dim or 1), dtype=np.float64), np.zeros(0, dtype=bool)
     arr = s.to_numpy()
     try:
-        return (
-            np.stack(arr).astype(np.float64, copy=False),
-            np.ones(n, dtype=bool),
-        )
+        M = np.stack(arr).astype(np.float64, copy=False)
+        if expect_dim is None or M.shape[1] == expect_dim:
+            return M, np.ones(n, dtype=bool)
+        # uniform batch of a foreign dim: every row invalid
+        return np.zeros((n, expect_dim), dtype=np.float64), np.zeros(n, dtype=bool)
     except (ValueError, TypeError):
         pass  # NULL row or ragged dims: guarded slow path below
     lens = np.array([-1 if v is None else len(v) for v in arr], dtype=np.int64)
-    pos = lens[lens > 0]
-    if pos.size == 0:
-        return np.zeros((n, 1), dtype=np.float64), np.zeros(n, dtype=bool)
-    dim = int(np.bincount(pos).argmax())
+    if expect_dim is not None:
+        dim = expect_dim
+    else:
+        pos = lens[lens > 0]
+        if pos.size == 0:
+            return np.zeros((n, 1), dtype=np.float64), np.zeros(n, dtype=bool)
+        dim = int(np.bincount(pos).argmax())
     valid = lens == dim
     M = np.zeros((n, dim), dtype=np.float64)
     idx = np.flatnonzero(valid)
@@ -128,9 +143,7 @@ def plane_bits_udf(planes: list[list[float]]) -> "F.pandas_udf":
     def bits(col: pd.Series) -> pd.Series:
         if len(col) == 0:
             return pd.Series([], dtype="int32")
-        M, valid = _mat_masked(col)
-        if M.shape[1] != P.shape[0]:  # foreign dim: no bucket for anyone
-            return pd.Series(np.full(len(col), np.nan))
+        M, valid = _mat_masked(col, P.shape[0])  # pinned geometry dim
         signs = M @ P > 0  # (n, k) bool
         vals = (signs * weights).sum(axis=1).astype(np.int32)
         if valid.all():
@@ -158,9 +171,7 @@ def assign_udf(centroids: list[list[float]]) -> "F.pandas_udf":
     def assign(col: pd.Series) -> pd.Series:
         if len(col) == 0:
             return pd.Series([], dtype="int32")
-        M, valid = _mat_masked(col)
-        if M.shape[1] != C.shape[1]:
-            return pd.Series(np.full(len(col), np.nan))
+        M, valid = _mat_masked(col, C.shape[1])  # pinned geometry dim
         vals = np.argmin(_dists_to(C, M), axis=1).astype(np.int32)
         if valid.all():
             return pd.Series(vals)
@@ -179,8 +190,8 @@ def probe_list_udf(centroids: list[list[float]], nprobe: int) -> "F.pandas_udf":
     def probes(col: pd.Series) -> pd.Series:
         if len(col) == 0:
             return pd.Series([], dtype="object")
-        M, valid = _mat_masked(col)
-        if M.shape[1] != C.shape[1]:
+        M, valid = _mat_masked(col, C.shape[1])  # pinned geometry dim
+        if not valid.any():
             return pd.Series([None] * len(col), dtype="object")
         order = np.argsort(_dists_to(C, M), axis=1, kind="stable")
         lists = list(order[:, :nprobe].astype(np.int32))
@@ -277,6 +288,10 @@ def group_topk_kernel(groups, k: int, key_fn=None):
     end, so a partition returns ~|queries| x k rows to the JVM no matter
     how many Arrow batches it contains."""
 
+    # the query matrices fix the geometry: corpus rows of any other dim
+    # are invalid deterministically (round-5 advice: never the batch mode)
+    exp_dim = next(iter(groups.values()))[1].shape[1] if groups else None
+
     def gen(batches):
         out_q: list[np.ndarray] = []
         out_c: list[np.ndarray] = []
@@ -295,7 +310,7 @@ def group_topk_kernel(groups, k: int, key_fn=None):
             if len(pdf) == 0:
                 continue
             cids = pdf["cand_id"].to_numpy().astype(np.int64, copy=False)
-            C, cvalid = _mat_masked(pdf["embedding"])
+            C, cvalid = _mat_masked(pdf["embedding"], exp_dim)
             if not cvalid.all():  # NULL/ragged corpus rows can never rank
                 cids, C = cids[cvalid], C[cvalid]
                 pdf = pdf.iloc[np.flatnonzero(cvalid)]
@@ -363,6 +378,10 @@ def gram_pairs_kernel(threshold: float, margin: float = 1e-4):
                     "cos": np.array([], dtype=np.float64),
                 }
             )
+        # modal-dim fallback is deterministic HERE (unlike a scalar-UDF
+        # Arrow batch): applyInPandas delivers the WHOLE bucket group as
+        # one pdf, so validity is a function of group content only, never
+        # of partition/batch boundaries
         V, gvalid = _mat_masked(pdf["embedding"])
         if not gvalid.all():  # NULL/ragged rows pair with nothing (SQL parity)
             ids, V = ids[gvalid], V[gvalid]
@@ -447,6 +466,8 @@ def gram_star_kernel(threshold: float, margin: float = 1e-4):
         n = ids.shape[0]
         if n < 2:
             return empty
+        # whole-group pdf: modal-dim fallback is deterministic (see
+        # gram_pairs_kernel note)
         V, svalid = _mat_masked(pdf["embedding"])
         if not svalid.all():  # NULL/ragged rows pair with nothing (SQL parity)
             ids, V = ids[svalid], V[svalid]

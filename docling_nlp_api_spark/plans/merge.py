@@ -53,6 +53,25 @@ def ttl_delete_sql(target: str = "analytics.sessions", now_ts: str = "2024-01-30
     return f"DELETE FROM {target} WHERE expires_at < TIMESTAMP '{now_ts}'"
 
 
+def _require_local(state_dir: str) -> None:
+    """The swap/recovery protocol below is LOCAL-FILESYSTEM-ONLY by
+    design: it leans on os.rename being atomic, which holds for a POSIX
+    dir and for file:// but not for object stores (S3A rename is
+    copy+delete) — unlike the jobs' Hadoop-FS output helpers
+    (session.write_text_file), which are scheme-agnostic. A cluster
+    deployment points state_dir at a driver-local or NFS path (or swaps
+    this module for a transactional table format); passing hdfs://s3a://
+    here would silently lose the protocol's crash guarantees, so it is
+    rejected loudly instead (round-5 advice)."""
+    scheme = state_dir.split("://", 1)[0] if "://" in state_dir else ""
+    if scheme and scheme != "file":
+        raise ValueError(
+            f"state_dir must be a local path (got scheme {scheme!r}): the "
+            "merge-state swap protocol relies on atomic os.rename; use a "
+            "local/NFS path or a transactional table format for remote state"
+        )
+
+
 def _recover_state(state_dir: str) -> None:
     """Crash recovery for the swap protocol below. Two windows exist:
     (a) died between rename(cur -> _old) and rename(_staged -> cur):
@@ -62,6 +81,7 @@ def _recover_state(state_dir: str) -> None:
     swap but before rmtree(_old): _old/ is a stale backup beside a live
     current/ — clear it so the next rename(cur, _old) cannot fail
     ENOTEMPTY. Called at the top of every state operation."""
+    _require_local(state_dir)
     cur = os.path.join(state_dir, "current")
     old = os.path.join(state_dir, "_old")
     if os.path.isdir(old):

@@ -70,10 +70,17 @@ def write_text_file(spark: SparkSession, path: str, content: str) -> None:
     raise AFTER the job's expensive work succeeded, failing the run on
     its very last (and cheapest) step.
 
-    ATOMIC for marker semantics: content lands in a sibling temp file
-    that is renamed over the destination, so a crash mid-write leaves
-    either the old marker or none — never an empty/truncated one that
-    would strand a fully-committed staging behind a layout-check error."""
+    Marker semantics: content lands in a sibling temp file that is
+    renamed over the destination, so a crash mid-write leaves either the
+    old marker or none — never an empty/truncated one that would strand
+    a fully-committed staging behind a layout-check error. On HDFS and
+    local filesystems the rename step is atomic; on object stores (S3A
+    renames are copy+delete) the delete→rename window can briefly expose
+    a missing marker, which degrades to a restage on resume — never a
+    torn marker, because the content is fully durable before the swap.
+    FileSystem.rename reports failure by RETURNING FALSE rather than
+    raising, so the return value is checked and raised here — a silent
+    false would otherwise commit a job with no marker at all."""
     P = spark._jvm.org.apache.hadoop.fs.Path
     dst = P(path)
     tmp = P(path + "._tmp")
@@ -85,7 +92,8 @@ def write_text_file(spark: SparkSession, path: str, content: str) -> None:
         out.close()
     if fs.exists(dst):
         fs.delete(dst, False)
-    fs.rename(tmp, dst)
+    if not fs.rename(tmp, dst):
+        raise IOError(f"write_text_file: rename {path}._tmp -> {path} failed")
 
 
 def read_text_file(spark: SparkSession, path: str) -> str | None:

@@ -79,41 +79,45 @@ def stage_event_chunks(
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).withColumn(
         "_rn", F.row_number().over(Window.orderBy("ts", "event_id")) - 1
     ).persist()
-    n = ev.count()
-    per = (n + n_chunks - 1) // n_chunks
-    os.makedirs(out_dir, exist_ok=True)
-    for k in range(n_chunks):
-        tmp = os.path.join(out_dir, "_stage_tmp")
-        (
-            ev.filter((F.col("_rn") >= k * per) & (F.col("_rn") < (k + 1) * per))
-            .drop("_rn")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
-        shutil.move(part, os.path.join(out_dir, f"chunk_{k:03d}.parquet"))
-        shutil.rmtree(tmp)
-    if flush_horizon_days is not None:
-        tmp = os.path.join(out_dir, "_stage_tmp")
-        (
-            ev.agg(F.max("ts").alias("mx"))
-            .select(
-                F.lit(n).cast("long").alias("event_id"),
-                (F.col("mx") + F.expr(f"INTERVAL {flush_horizon_days} DAYS")).alias("ts"),
-                F.lit(-1).cast("long").alias("user_id"),
-                F.lit("_flush").alias("event_type"),
-                F.lit(0.0).alias("value"),
-                F.lit("{}").alias("props"),
+    # try/finally: a failed chunk write must not leak the cached frame
+    # for the session lifetime (same guard as curation_job/dedup_job)
+    try:
+        n = ev.count()
+        per = (n + n_chunks - 1) // n_chunks
+        os.makedirs(out_dir, exist_ok=True)
+        for k in range(n_chunks):
+            tmp = os.path.join(out_dir, "_stage_tmp")
+            (
+                ev.filter((F.col("_rn") >= k * per) & (F.col("_rn") < (k + 1) * per))
+                .drop("_rn")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
             )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
-        shutil.move(part, os.path.join(out_dir, f"chunk_{n_chunks:03d}.parquet"))
-        shutil.rmtree(tmp)
-    ev.unpersist()
+            (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+            shutil.move(part, os.path.join(out_dir, f"chunk_{k:03d}.parquet"))
+            shutil.rmtree(tmp)
+        if flush_horizon_days is not None:
+            tmp = os.path.join(out_dir, "_stage_tmp")
+            (
+                ev.agg(F.max("ts").alias("mx"))
+                .select(
+                    F.lit(n).cast("long").alias("event_id"),
+                    (F.col("mx") + F.expr(f"INTERVAL {flush_horizon_days} DAYS")).alias("ts"),
+                    F.lit(-1).cast("long").alias("user_id"),
+                    F.lit("_flush").alias("event_type"),
+                    F.lit(0.0).alias("value"),
+                    F.lit("{}").alias("props"),
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+            shutil.move(part, os.path.join(out_dir, f"chunk_{n_chunks:03d}.parquet"))
+            shutil.rmtree(tmp)
+    finally:
+        ev.unpersist()
     return out_dir
 
 

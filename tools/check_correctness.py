@@ -94,7 +94,17 @@ def main() -> int:
     from docling_nlp_api_spark.session import get_spark
 
     only = set(sys.argv[1:])
-    spark = get_spark("check_correctness", cores=16, shuffle_partitions=16)
+    # sweep knobs (round-5 hash-invariance audit): vary parallelism /
+    # shuffle fan-out / input split size and re-run — every oracle hash
+    # must be identical because DuckDB's side is fixed, so a PASS at each
+    # setting proves the Spark result is partition-layout-invariant
+    cores = int(os.environ.get("SPARK_GRAFT_CHECK_CORES", "16"))
+    shuffle = int(os.environ.get("SPARK_GRAFT_CHECK_SHUFFLE", "16"))
+    split = os.environ.get("SPARK_GRAFT_CHECK_SPLIT_BYTES")
+    extra = {"spark.sql.files.maxPartitionBytes": split} if split else None
+    spark = get_spark(
+        "check_correctness", cores=cores, shuffle_partitions=shuffle, extra_conf=extra
+    )
     unknown = only - set(entrymod.queries())
     if unknown:
         # a typo'd filter must not produce a green "0 pass, 0 fail" run
