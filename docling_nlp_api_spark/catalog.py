@@ -3289,7 +3289,7 @@ FROM m
 
 
 # ---------------------------------------------------------------------------
-# driver-window ordering — ROUND-4 ROTATION
+# driver-window ordering — ROUND-5 ROTATION
 #
 # The driver's correctness gate checks only the FIRST ``DRIVER_WINDOW``
 # insertion-order entries of queries(); every demoted oracle-backed entry is
@@ -3297,20 +3297,62 @@ FROM m
 # (tests/test_catalog_oracle_tail.py), so each operator ID keeps green
 # evidence either way.
 #
-# Round-3 verdict asked for a window ROTATION: rounds 1-3 drove 65 distinct
-# entries; this round's window is exactly 50 oracle-backed entries that have
-# NEVER had a driver row (the round-3 additions: clf_*, url_*, graph/snap,
-# a13-a18, lm_*, sk_*, t5-t7 streaming, sampling/tq planes).  Everything
-# previously driver-green moves to the pytest tail, plus 16 never-driven
-# close variants whose siblings are in-window (e.g. ann_ivf_kmeans_topk vs
-# ann_ivf_nprobe2_topk, snap_diff_delta vs snap_diff_summary, pii_signals vs
-# pii_redact, nlp_inverted_index vs nlp_index_search) — tail membership, not
-# weaker evidence: the tail runs the identical exact-type DuckDB comparison.
-# Rows-only entries (extraction/streaming/BPE-learn) stay demoted; their
-# gates are the span-equality / resume / property pytests.
+# Round-4 verdict asked for the final rotation: driver rounds 1-4 covered
+# 115 of 155 catalog entries; this window is exactly the 40 entries that
+# have NEVER had a driver row (computed from CORRECTNESS_r01-r04, incl. the
+# rows-only extraction/streaming/BPE-learn entries, which get the driver's
+# weaker rows-only record on top of their pytest gates) PLUS 10 repeats:
+# the six hardened float-mean contracts (sample_dsir_weights — round 4's
+# one red row — lm_bigram_logprob, lm_trigram_backoff, both perplexity
+# bucketers, nlp_tfidf_top_terms; see operators/sampling.py FXP) so the
+# fixed-point rework is re-proven under the driver's own environment, and
+# four scale-critical anchors (t5_stream_user_state, j_salted_skew_join,
+# dedup_lsh_buckets, ann_bruteforce_topk).
 
 DRIVER_WINDOW = 50
 DEMOTED = [
+    "tq_lang_confusion",
+    "dedup_exact_normalized",
+    "dedup_lsh_recall",
+    "dedup_incremental",
+    "ann_lsh_multiprobe_topk",
+    "ann_ivf_nprobe2_topk",
+    "mm_resize_images",
+    "sample_mix_summary",
+    "tq_repetition_signals",
+    "decon_ngram_overlap",
+    "pii_redact",
+    "url_parse_normalize",
+    "url_domain_rollup",
+    "tq_filter_funnel",
+    "tq_gopher_rules",
+    "tq_c4_line_filters",
+    "graph_pagerank_topk",
+    "snap_diff_summary",
+    "url_blocklist_summary",
+    "dedup_segment_boilerplate",
+    "dedup_passages",
+    "dedup_passage_rewrite",
+    "a18_first_touch",
+    "a17_last_touch",
+    "sk_rolling_wau",
+    "a16_daily_anomalies",
+    "a15_event_funnel",
+    "a14_cohort_retention",
+    "nlp_index_search",
+    "sample_stratified_exact",
+    "lm_pmi_collocations",
+    "sk_cms_word_counts",
+    "decon_bloom_overlap",
+    "clf_nb_class_stats",
+    "clf_nb_predict",
+    "t6_stream_sessions",
+    "t7_stream_first_seen",
+    "a13_sessionize",
+    "clf_lr_weights",
+    "clf_lr_scores",
+    "sample_length_trim",
+    "sample_temperature_resample",
     "q1_pricing_summary",
     "q5_revenue_by_nation",
     "j_semi_big_items",
@@ -3362,62 +3404,18 @@ DEMOTED = [
     "tq_fingerprint",
     "dedup_exact",
     "dedup_minhash_signatures",
-    "dedup_lsh_buckets",
     "dedup_jaccard_pairs",
     "dedup_resolve_clusters",
-    "dedup_keep_corpus",
     "dedup_simhash",
-    "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_lsh_buckets",
     "dedup_embedding_cosine",
-    "dedup_embedding_clusters",
     "mm_media_metadata",
     "mm_decode_mapinpandas",
-    "ann_ivf_kmeans_topk",
-    "mm_frame_sample",
-    "sample_split_summary",
-    "lm_unigram_logprob",
-    "pii_signals",
-    "snap_diff_delta",
-    "sk_hll_distinct",
-    "nlp_inverted_index",
-    "sample_chunk_overlap",
-    "sample_length_buckets",
-    "lm_bpe_pair_stats",
-    "sample_temperature_weights",
-    "sample_pack_sequences",
-    "tq_charset_signals",
-    "sample_dataset_card",
     "t3_stream_daily_counts",
     "t4_stream_sliding_rate",
-    "lm_bpe_learn",
-    "lm_bpe_token_counts",
     "u1_u3_extract_spans",
     "s4_s8_extract_render",
-    "s1_s3_binaryfile_ingest",
-    "a12_pipeline_metrics",
-    "s3_stream_extract",
-    "u1_span_boilerplate",
-    # round-4 late addition: tail membership keeps the rotated driver
-    # window stable; the tail oracle suite runs the identical comparison
-    "sample_pack_materialize",
-    "dedup_semdedup",
-    "nlp_bm25_topk",
-    "tq_char_entropy",
-    "dedup_containment",
-    "snap_corpus_overlap",
-    "sample_token_budget",
-    "tq_normalize_text",
-    "tq_lang_mix",
-    "tq_badwords_gate",
-    "mm_caption_pairs",
-    "sample_split_leakage",
-    "tq_token_fertility",
-    "j6_asof_view_purchase",
-    "tq_winnowing",
-    "tq_zipf_fit",
-    "j7_range_join_nearby",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -7,9 +7,13 @@ Spark lists + reads files in parallel across executors, the guards become
 filters, and rejects land in a quarantine split instead of an HTTP 400 —
 the pipeline never dies on a bad input (docling_service.py:82-91 semantics).
 
-URL fetch (S2, file_utils.py:46-89) stays out-of-engine per SURVEY §2.1: a
-driver-side fetcher materializes objects to storage first; the engine only
-ever scans storage.
+URL fetch (S2, file_utils.py:46-89) stays out-of-engine per SURVEY §2.1 —
+network I/O is a fetch tier, not an engine operator — and is shipped as
+`tools/fetch_to_landing.py`: a driver-side chunked fetcher (pre +
+in-flight size abort, content-disposition naming, md5-prefixed landing
+names, per-URL error rows) whose landing directory this module's
+binaryfile_ingest then scans (tests/test_fetch_to_landing.py covers the
+handoff end-to-end).
 """
 
 from __future__ import annotations
