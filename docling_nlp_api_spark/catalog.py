@@ -1049,6 +1049,29 @@ FROM geo LEFT JOIN mp ON geo.doc_id = mp.doc_id
     )
 )
 
+# round 5: the baseline-JPEG decode path (multimodal.decode_jpeg — real
+# Huffman entropy decode + IDCT, no codec lib) against its own planted
+# fixture: 8-row constant bands, row r = (fill + 8*(r//8)) % 256, all-ones
+# quantization => EXACT reconstruction, so the oracle's AVG over per-row
+# band values bit-matches the engine's decoded-pixel mean (same
+# integer-sum/one-division argument as mm_decode_mapinpandas). Dims come
+# from the SOF marker walk (sniff_jpeg_dims) on the engine side.
+q("mm_decode_jpeg", """
+WITH geo AS (SELECT doc_id, 64 + doc_id % 192 AS w, 64 + (doc_id * 7) % 192 AS h,
+                    doc_id % 251 AS fill
+             FROM documents WHERE doc_id % 3 = 0),
+px AS (SELECT doc_id, fill, unnest(generate_series(0, h - 1)) AS r FROM geo),
+mp AS (SELECT doc_id, AVG((fill + 8 * (r // 8)) % 256) AS mean_pixel
+       FROM px GROUP BY doc_id)
+SELECT geo.doc_id, CAST(geo.w AS INT) AS width, CAST(geo.h AS INT) AS height,
+       mp.mean_pixel
+FROM geo JOIN mp USING (doc_id)
+""")(
+    lambda s, d: M.extract_media_metadata(
+        M.as_jpeg_media_table(docs(s, d)), decode_pixels=True
+    ).select("doc_id", "width", "height", "mean_pixel")
+)
+
 # ---------------------------------------------------------------------------
 # extraction plane (non-SQL-expressible: rows-only driver check; exactness
 # is guaranteed by the pytest span-equality suite vs the single-node oracle)
@@ -3416,6 +3439,8 @@ DEMOTED = [
     "t4_stream_sliding_rate",
     "u1_u3_extract_spans",
     "s4_s8_extract_render",
+    # round-5 late addition: tail membership keeps the rotated window stable
+    "mm_decode_jpeg",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -11,6 +11,12 @@ container bytes, never from a hash of them:
   from a full PNG decode — zlib inflate + inverse scanline filtering
   (all five filter types) — implemented on numpy (`decode_png`).
   `resize_images` does a real nearest-neighbor resample of those pixels.
+  Round 5 adds baseline JPEG: a genuine Huffman+DCT codec pair
+  (`encode_jpeg_gray`/`decode_jpeg` — entropy coding, byte stuffing,
+  restart markers, dequantize, vectorized IDCT) with a planted
+  8-row-band fixture whose all-ones quantization makes the roundtrip
+  EXACT (`jpeg_bytes`; oracle mm_decode_jpeg), closing the last stubbed
+  decode path.
 - audio: genuine RIFF/WAVE containers; duration is parsed from the
   `fmt ` byte-rate and `data` chunk size (`sniff_wav_duration_ms`).
 - video: genuine ISO-BMFF (MP4) containers; duration is parsed from the
@@ -305,6 +311,414 @@ def try_decode_png(b: bytes) -> np.ndarray | None:
         return None
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (round 5 — closes the last stubbed data path):
+# a REAL Huffman + DCT decode with no codec library, mirroring the PNG
+# approach. Scope: baseline/extended sequential (SOF0/SOF1), 8-bit,
+# SINGLE-component (grayscale), single scan, restart markers supported;
+# progressive and multi-component color raise (degrade-to-NULL via
+# try_decode_image). The fixture encoder plants 8-row constant bands so
+# the all-ones quantization table makes the roundtrip EXACT (a constant
+# block's only nonzero coefficient is the integer DC = 8*(v-128)), giving
+# SQL oracles a closed-form pixel ground truth through a genuine
+# entropy-decode + IDCT path.
+
+_JPG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]  # 12 cat codes, len 4
+_JPG_DC_VALS = list(range(12))
+# AC: EOB at 2 bits; ZRL + every (run 0-15, size 1-10) symbol at 9 bits.
+# Kraft 2^-2 + 161*2^-9 < 1 and canonical assignment never reaches the
+# all-ones code, so the table is spec-valid; the decoder reads whatever
+# DHT declares, so nothing depends on these being the Annex K tables.
+_JPG_AC_VALS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+_JPG_AC_BITS = [0, 1, 0, 0, 0, 0, 0, 0, len(_JPG_AC_VALS) - 1, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _zigzag_rc() -> list[tuple[int, int]]:
+    """The JPEG zigzag scan as (row, col) pairs: diagonals of constant
+    r+c, odd diagonals walked row-increasing (top-right -> bottom-left),
+    even ones row-decreasing (pinned by test_jpeg_decode's literal
+    prefix check)."""
+    out = []
+    for s in range(15):
+        rows = [r for r in range(8) if 0 <= s - r < 8]
+        out += [(r, s - r) for r in (rows if s % 2 else rows[::-1])]
+    return out
+
+
+_ZIGZAG = _zigzag_rc()
+# orthonormal DCT-II basis: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16);
+# coeffs = A @ X @ A.T, pixels = A.T @ C @ A
+_DCT_A = np.array(
+    [
+        [
+            (np.sqrt(0.125) if u == 0 else 0.5) * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """JPEG canonical Huffman assignment: value -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.put(0xFF, 8 - self.nbits)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _dc_category(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def encode_jpeg_gray(px: np.ndarray, restart_interval: int = 0) -> bytes:
+    """General baseline grayscale JPEG encoder (all-ones quantization
+    table — the fixture's lossless-for-constant-blocks configuration;
+    general pixel content roundtrips within DCT float rounding, i.e.
+    +/-1 gray level). Edge blocks replicate the last row/column, the
+    standard encoder padding. restart_interval > 0 emits DRI + RSTn
+    markers every N MCUs (exercises the decoder's resync path)."""
+    h, w = px.shape
+    if not (1 <= h <= 65535 and 1 <= w <= 65535):
+        raise ValueError("encode_jpeg_gray: dims out of range")
+    h8, w8 = (h + 7) // 8, (w + 7) // 8
+    padded = np.zeros((h8 * 8, w8 * 8), dtype=np.float64)
+    padded[:h, :w] = px
+    padded[h:, :w] = px[h - 1 :, :]  # replicate bottom row
+    padded[:, w:] = padded[:, w - 1 : w]  # replicate right column
+    dc_codes = _canonical_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_codes = _canonical_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+
+    bw = _BitWriter()
+    segments = []
+    prev_dc, mcu = 0, 0
+    rst = 0
+    for by in range(h8):
+        for bx in range(w8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                segments.append(bw.flush())
+                segments.append(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+                bw = _BitWriter()
+                prev_dc = 0
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coeffs = _DCT_A @ block @ _DCT_A.T
+            q = np.rint(coeffs).astype(np.int64)  # all-ones quant table
+            zz = [int(q[r, c]) for r, c in _ZIGZAG]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            s = _dc_category(diff)
+            code, ln = dc_codes[s]
+            bw.put(code, ln)
+            if s:
+                bw.put(diff if diff >= 0 else diff - 1 + (1 << s), s)
+            # AC run-length coding
+            run = 0
+            for v in zz[1:]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    bw.put(code, ln)
+                    run -= 16
+                s = _dc_category(v)
+                if s > 10:
+                    raise ValueError("encode_jpeg_gray: AC coefficient too large")
+                code, ln = ac_codes[(run << 4) | s]
+                bw.put(code, ln)
+                bw.put(v if v >= 0 else v - 1 + (1 << s), s)
+                run = 0
+            if run:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.put(code, ln)
+            mcu += 1
+    segments.append(bw.flush())
+    entropy = b"".join(segments)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, b"\x00" + bytes(64 * [1]))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)
+        + b"\x10" + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS),
+    )
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + entropy + b"\xff\xd9"
+
+
+def jpeg_bytes(width: int, height: int, fill: int) -> bytes:
+    """Fixture JPEG: 8-row constant bands — row r has value
+    (fill + 8*(r//8)) % 256 — so every 8x8 block is constant and the
+    all-ones quantization makes decode EXACT (closed-form oracle:
+    catalog mm_decode_jpeg). The container is a genuine baseline JFIF
+    stream: real Huffman tables, real entropy coding, real IDCT on the
+    way back."""
+    rows = (np.full(width, 1, dtype=np.int64) * 0)[None, :] + (
+        (fill + 8 * (np.arange(height, dtype=np.int64)[:, None] // 8)) % 256
+    )
+    return encode_jpeg_gray(rows.astype(np.uint8))
+
+
+class _BitReader:
+    """MSB-first reader over JPEG entropy bytes. Handles 0xFF00 stuffing
+    and surfaces RSTn markers to the caller via align_to_marker()."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.buf
+        if self.pos >= len(b):
+            raise ValueError("decode_jpeg: entropy stream truncated")
+        byte = b[self.pos]
+        if byte == 0xFF:
+            nxt = b[self.pos + 1] if self.pos + 1 < len(b) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                # restart marker mid-read: only legal at MCU boundaries,
+                # which align_to_marker consumes — hitting one here means
+                # the stream lied about MCU counts
+                raise ValueError("decode_jpeg: unexpected RST marker")
+            else:
+                raise ValueError("decode_jpeg: unexpected marker in scan")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def align_to_marker(self) -> None:
+        """Consume the byte-aligned RSTn marker between restart intervals."""
+        self.acc, self.nbits = 0, 0
+        b = self.buf
+        while self.pos + 1 < len(b) and not (
+            b[self.pos] == 0xFF and 0xD0 <= b[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 1
+        if self.pos + 1 >= len(b):
+            raise ValueError("decode_jpeg: missing RST marker")
+        self.pos += 2
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | self.bits(1)
+            ln += 1
+            v = table.get((ln, code))
+            if v is not None:
+                return v
+        raise ValueError("decode_jpeg: invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """JPEG EXTEND: map the s low bits back to the signed coefficient."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """REAL baseline JPEG pixel decode with no codec library: marker
+    walk -> DQT/DHT/SOF0/SOF1/DRI/SOS parse -> Huffman entropy decode
+    (byte unstuffing, restart resync) -> dequantize -> de-zigzag ->
+    one vectorized IDCT matmul over all blocks -> level shift, returning
+    an (h, w) uint8 matrix. Scope mirrors decode_png's: 8-bit
+    SINGLE-COMPONENT (grayscale) sequential streams; progressive (SOF2)
+    and multi-component color raise rather than mis-decode (they degrade
+    to NULL rows through try_decode_image — dims still real via the SOF
+    sniffer). Reference delegates pixel decode to its docling/PIL stack;
+    this is that capability rebuilt on numpy for the sandbox."""
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        raise ValueError("decode_jpeg: not a JPEG")
+    i = 2
+    qts: dict[int, np.ndarray] = {}
+    hts: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    dri = 0
+    scan_at = None
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("decode_jpeg: marker desync")
+        m = b[i + 1]
+        if m == 0xFF:  # fill byte
+            i += 1
+            continue
+        if m in (0x01,) or 0xD0 <= m <= 0xD9:
+            i += 2
+            continue
+        ln = int.from_bytes(b[i + 2 : i + 4], "big")
+        data = b[i + 4 : i + 2 + ln]
+        if len(data) != ln - 2:
+            raise ValueError("decode_jpeg: truncated segment")
+        if m == 0xDB:  # DQT (possibly several tables per segment)
+            j = 0
+            while j < len(data):
+                prec, tid = data[j] >> 4, data[j] & 0x0F
+                j += 1
+                n = 64 * (2 if prec else 1)
+                raw = data[j : j + n]
+                if len(raw) != n:
+                    raise ValueError("decode_jpeg: short DQT")
+                vals = (
+                    np.frombuffer(raw, dtype=">u2").astype(np.int64)
+                    if prec
+                    else np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                )
+                qts[tid] = vals
+                j += n
+        elif m == 0xC4:  # DHT (possibly several tables per segment)
+            j = 0
+            while j + 17 <= len(data):
+                cls, tid = data[j] >> 4, data[j] & 0x0F
+                bits = list(data[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(data[j + 17 : j + 17 + nv])
+                if len(vals) != nv:
+                    raise ValueError("decode_jpeg: short DHT")
+                dec: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for L in range(1, 17):
+                    for _ in range(bits[L - 1]):
+                        dec[(L, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                hts[(cls, tid)] = dec
+                j += 17 + nv
+        elif m in (0xC0, 0xC1):  # baseline / extended sequential
+            prec, fh, fw, nc = struct.unpack(">BHHB", data[:6])
+            if prec != 8:
+                raise ValueError("decode_jpeg: only 8-bit precision")
+            if nc != 1:
+                raise ValueError("decode_jpeg: only single-component (grayscale)")
+            comp_id, sampling, qid = data[6], data[7], data[8]
+            if sampling != 0x11:
+                raise ValueError("decode_jpeg: only 1x1 sampling")
+            frame = (fh, fw, comp_id, qid)
+        elif m == 0xC2:
+            raise ValueError("decode_jpeg: progressive not supported")
+        elif m == 0xDD:
+            dri = int.from_bytes(data[:2], "big")
+        elif m == 0xDA:  # SOS
+            ns = data[0]
+            if ns != 1:
+                raise ValueError("decode_jpeg: only single-scan grayscale")
+            dc_id, ac_id = data[2] >> 4, data[2] & 0x0F
+            scan_at = i + 2 + ln
+            break
+        i += 2 + ln
+    if frame is None or scan_at is None:
+        raise ValueError("decode_jpeg: missing SOF/SOS")
+    fh, fw, _, qid = frame
+    if fh < 1 or fw < 1:
+        raise ValueError("decode_jpeg: dims out of range")
+    qtab = qts.get(qid)
+    dct = hts.get((0, dc_id))
+    act = hts.get((1, ac_id))
+    if qtab is None or dct is None or act is None:
+        raise ValueError("decode_jpeg: missing DQT/DHT tables")
+
+    h8, w8 = (fh + 7) // 8, (fw + 7) // 8
+    nblocks = h8 * w8
+    coeffs = np.zeros((nblocks, 64), dtype=np.int64)
+    br = _BitReader(b, scan_at)
+    prev_dc = 0
+    for n in range(nblocks):
+        if dri and n and n % dri == 0:
+            br.align_to_marker()
+            prev_dc = 0
+        s = br.huff(dct)
+        diff = _extend(br.bits(s), s) if s else 0
+        prev_dc += diff
+        coeffs[n, 0] = prev_dc
+        k = 1
+        while k < 64:
+            rs = br.huff(act)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = rs >> 4, rs & 0x0F
+            k += run
+            if k > 63 or size == 0:
+                raise ValueError("decode_jpeg: AC index overflow")
+            coeffs[n, k] = _extend(br.bits(size), size)
+            k += 1
+    # dequantize (zigzag domain), de-zigzag, one IDCT matmul for all blocks
+    coeffs *= qtab[None, :]
+    blocks = np.zeros((nblocks, 8, 8), dtype=np.float64)
+    for z, (r, c) in enumerate(_ZIGZAG):
+        blocks[:, r, c] = coeffs[:, z]
+    px = np.einsum("ur,nuv,vc->nrc", _DCT_A, blocks, _DCT_A) + 128.0
+    px = np.clip(np.rint(px), 0, 255).astype(np.uint8)
+    out = px.reshape(h8, w8, 8, 8).transpose(0, 2, 1, 3).reshape(h8 * 8, w8 * 8)
+    return out[:fh, :fw]
+
+
+def try_decode_jpeg(b: bytes) -> np.ndarray | None:
+    """decode_jpeg with the row-local degradation contract."""
+    try:
+        return decode_jpeg(b)
+    except (_DECODE_ERRORS + (IndexError,)):
+        return None
+
+
+def try_decode_image(b: bytes) -> np.ndarray | None:
+    """Container dispatch for the pixel-decode operators: PNG first (the
+    dominant fixture share), then baseline JPEG; None when neither
+    decoder can handle the bytes (progressive/color JPEG, odd bit depth,
+    truncated payloads) — the callers' degrade-to-NULL contract."""
+    if b[:8] == PNG_SIG:
+        return try_decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        return try_decode_jpeg(b)
+    return None
+
+
 def _payload_bytes(payloads: pd.Series) -> list[bytes]:
     """Per-row payload bytes with NULL degraded to b'' — a NULL payload
     row must parse to 'unknown everything', not TypeError the task."""
@@ -434,6 +848,31 @@ def as_media_table(docs: DataFrame) -> DataFrame:
     )
 
 
+@F.pandas_udf(T.BinaryType())
+def _jpeg_payload(doc_id: pd.Series) -> pd.Series:
+    """Fixture JPEG payloads: same planted geometry as the PNG share
+    (IMG_W/IMG_H/IMG_FILL) but 8-row constant bands (see jpeg_bytes) so
+    the baseline-JPEG decode path has its own closed-form ground truth."""
+    return pd.Series(
+        [
+            jpeg_bytes(64 + int(d) % 192, 64 + (int(d) * 7) % 192, int(d) % 251)
+            for d in doc_id
+        ]
+    )
+
+
+def as_jpeg_media_table(docs: DataFrame) -> DataFrame:
+    """Image-only media table with baseline-JPEG payloads — the fixture
+    for the JPEG entropy-decode + IDCT path (catalog mm_decode_jpeg).
+    Kept separate from as_media_table so the PNG-plane oracles' byte/
+    pixel closed forms stay untouched."""
+    return docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.lit("image").alias("media_type"),
+        _jpeg_payload(F.col("doc_id")).alias("payload"),
+    )
+
+
 def extract_media_metadata(
     media: DataFrame, with_features: bool = False, decode_pixels: bool = False
 ) -> DataFrame:
@@ -443,9 +882,12 @@ def extract_media_metadata(
     video duration from the MP4 mvhd box walk. decode_pixels=True
     additionally inflates image payloads and reports the true pixel mean
     (decode_png) — off by default so the metadata pass stays header-only
-    at scale. Undecodable image payloads (JPEG, odd bit depth, truncated
-    bytes) degrade to NULL pixel-derived fields row-locally — dims still
-    come from the sniffer, and one bad payload never fails the job."""
+    at scale. Pixel decode dispatches by container (PNG inflate+filter
+    inversion, baseline-JPEG Huffman+IDCT — both real, no codec lib); an
+    undecodable payload (progressive/color JPEG, odd bit depth,
+    truncated bytes) degrades to NULL pixel-derived fields row-locally —
+    dims still come from the sniffer, and one bad payload never fails
+    the job."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -472,12 +914,12 @@ def extract_media_metadata(
             px_cache: dict[int, np.ndarray] = {}
             if decode_pixels or with_features:
                 for i in np.nonzero(is_img)[0]:
-                    # undecodable image (JPEG — dims still real via the
-                    # SOF sniffer above — odd bit depth, truncated or
-                    # corrupt bytes): degrade THIS row's pixel-derived
-                    # fields to NULL instead of failing the task; mirrors
-                    # the dims sniffer's -1 -> NULL rule
-                    px = try_decode_png(blobs[int(i)])
+                    # undecodable image (progressive/color JPEG — dims
+                    # still real via the SOF sniffer above — odd bit
+                    # depth, truncated or corrupt bytes): degrade THIS
+                    # row's pixel-derived fields to NULL instead of
+                    # failing the task; mirrors the sniffer's -1 -> NULL
+                    px = try_decode_image(blobs[int(i)])
                     if px is not None:
                         px_cache[int(i)] = px
             mean_px = [None] * n
@@ -551,9 +993,9 @@ def media_meta_sql_equivalent(docs: DataFrame) -> DataFrame:
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
-        # nullable: a payload the PNG decoder cannot handle (JPEG, odd
-        # bit depth, truncated bytes) degrades that ROW to NULL outputs
-        # — one bad row must never fail the task (and with it the job)
+        # nullable: a payload neither decoder handles (progressive or
+        # color JPEG, odd bit depth, truncated bytes) degrades that ROW
+        # to NULL outputs — one bad row must never fail the task/job
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("out_width", T.IntegerType(), True),
@@ -574,9 +1016,10 @@ def resize_images(media: DataFrame, target_w: int = 64) -> DataFrame:
     (thumb_mean — the decode-path value a SQL oracle predicts from the
     planted gradient). mapInPandas batch shape, filter-before-decode
     (only image rows ever inflate), and the typed output schema are the
-    engine surface. A payload decode_png cannot handle (JPEG — which
-    the DIMS sniffer supports via the SOF walk — odd bit depth,
-    truncated bytes) degrades that row to NULL resize outputs, mirroring
+    engine surface. Decode dispatches by container (PNG or baseline
+    JPEG); a payload neither decoder handles (progressive/color JPEG —
+    whose DIMS the SOF walk still sniffs — odd bit depth, truncated
+    bytes) degrades that row to NULL resize outputs, mirroring
     the sniffer's own -1 -> NULL rule: a single undecodable image in a
     billion-row media table must cost one NULL row, not the job."""
 
@@ -586,10 +1029,10 @@ def resize_images(media: DataFrame, target_w: int = 64) -> DataFrame:
             ws, hs = sniff_image_dims(blobs)
             w_l, h_l, ow_l, oh_l, ob_l, tm_l, th_l = [], [], [], [], [], [], []
             for b, sw, sh in zip(blobs, ws, hs):
-                px = try_decode_png(b)
+                px = try_decode_image(b)
                 if px is None:
-                    # sniffed dims may still be real (e.g. JPEG via the
-                    # SOF walk) even when the PNG decoder can't help
+                    # sniffed dims may still be real (e.g. progressive
+                    # JPEG via the SOF walk) when neither decoder helps
                     sw, sh = int(sw), int(sh)
                     w_l.append(sw if sw >= 0 else None)
                     h_l.append(sh if sh >= 0 else None)

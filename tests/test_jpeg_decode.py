@@ -1,0 +1,145 @@
+"""Baseline-JPEG codec tests (multimodal.encode_jpeg_gray/decode_jpeg) —
+the round-5 closure of the last stubbed pixel path. The decoder is
+validated three independent ways: exact recovery of the planted
+constant-band fixture, a naive O(n^4) IDCT reference for general
+coefficient content, and degradation contracts for everything out of
+scope (progressive, color, truncation)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from docling_nlp_api_spark.operators.multimodal import (
+    _DCT_A,
+    _ZIGZAG,
+    decode_jpeg,
+    encode_jpeg_gray,
+    jpeg_bytes,
+    sniff_jpeg_dims,
+    try_decode_image,
+    try_decode_jpeg,
+)
+
+
+def test_zigzag_is_the_standard_order():
+    assert _ZIGZAG[:10] == [
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2), (2, 1), (3, 0),
+    ]
+    assert _ZIGZAG[-3:] == [(6, 7), (7, 6), (7, 7)]
+    assert len(set(_ZIGZAG)) == 64
+
+
+def test_idct_matches_naive_reference():
+    """The vectorized matmul IDCT against the textbook double-loop
+    definition — an implementation-independent pin."""
+    rng = np.random.RandomState(3)
+    C = rng.randint(-500, 500, (8, 8)).astype(np.float64)
+    fast = _DCT_A.T @ C @ _DCT_A
+    naive = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = np.sqrt(0.5) if u == 0 else 1.0
+                    cv = np.sqrt(0.5) if v == 0 else 1.0
+                    s += (
+                        cu * cv / 4.0 * C[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            naive[x, y] = s
+    assert np.abs(fast - naive).max() < 1e-9
+
+
+@pytest.mark.parametrize(
+    "w,h,fill",
+    [(64, 64, 0), (65, 71, 100), (200, 255, 250), (8, 9, 247), (17, 250, 13), (1, 1, 5)],
+)
+def test_planted_fixture_roundtrip_exact(w, h, fill):
+    """Constant 8x8 blocks + all-ones quantization => bit-exact decode,
+    including non-multiple-of-8 dims (edge-block crop) and mod-256 band
+    wraps. This is the closed form the mm_decode_jpeg oracle predicts."""
+    b = jpeg_bytes(w, h, fill)
+    assert sniff_jpeg_dims(b) == (w, h)
+    px = decode_jpeg(b)
+    exp = ((fill + 8 * (np.arange(h)[:, None] // 8)) % 256) * np.ones((1, w), dtype=np.int64)
+    assert px.shape == (h, w)
+    assert (px == exp).all()
+
+
+def test_general_pixels_roundtrip_within_one_level():
+    """Arbitrary content exercises the AC run-length path (nonzero ACs,
+    ZRL, EOB): with the all-ones table the only loss is DCT float
+    rounding, bounded at +/-1 gray level."""
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (50, 60)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_gray(img))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_restart_markers_resync():
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (33, 41)).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg_gray(img))
+    with_rst = decode_jpeg(encode_jpeg_gray(img, restart_interval=3))
+    assert (plain == with_rst).all()
+
+
+def test_gradient_content_hits_zrl_and_high_categories():
+    """A smooth ramp block has a large DC swing between blocks (high DC
+    categories) and sparse ACs (ZRL runs) — decode must stay within the
+    rounding bound."""
+    img = np.tile(np.arange(256, dtype=np.uint8), (16, 1))[:, :200]
+    out = decode_jpeg(encode_jpeg_gray(img))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_degrade_contracts():
+    good = jpeg_bytes(32, 40, 7)
+    assert try_decode_jpeg(good[:30]) is None         # truncated mid-header
+    assert try_decode_jpeg(good[:-20]) is None        # truncated entropy data
+    assert try_decode_jpeg(b"\xff\xd8\xff\xee\x00\x04ad") is None  # no SOF/SOS
+    assert try_decode_image(b"notanimage") is None
+    # progressive flag (SOF2) raises -> None through the try path
+    prog = bytearray(good)
+    sof_at = prog.find(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2
+    assert try_decode_jpeg(bytes(prog)) is None
+
+
+def test_multicomponent_declines():
+    """A 3-component SOF must refuse (scope: grayscale) rather than
+    mis-decode; dims still sniffable for the metadata plane."""
+    b = bytearray(jpeg_bytes(16, 16, 9))
+    sof_at = b.find(b"\xff\xc0")
+    # component count byte sits 9 bytes after the marker (len2 + P1 + H2 + W2)
+    b[sof_at + 9] = 3
+    assert try_decode_jpeg(bytes(b)) is None
+    assert sniff_jpeg_dims(bytes(b)) == (16, 16)
+
+
+def test_operator_dispatch_over_jpeg_media(spark, sf_dir):
+    """resize_images + extract_media_metadata run the JPEG path through
+    the real mapInPandas operators (decode dispatch by container)."""
+    from docling_nlp_api_spark.operators.multimodal import (
+        as_jpeg_media_table,
+        extract_media_metadata,
+        resize_images,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    media = as_jpeg_media_table(docs)
+    meta = extract_media_metadata(media, decode_pixels=True).collect()
+    assert meta and all(r["mean_pixel"] is not None for r in meta)
+    for r in meta:
+        d = r["doc_id"]
+        h = 64 + (d * 7) % 192
+        fill = d % 251
+        exp = float(np.mean((fill + 8 * (np.arange(h) // 8)) % 256))
+        assert r["mean_pixel"] == exp
+        assert r["width"] == 64 + d % 192 and r["height"] == h
+    rs = resize_images(media).collect()
+    assert rs and all(r["thumb_mean"] is not None for r in rs)
