@@ -16,6 +16,13 @@ commit granularity (restart loses at most that many files of work) at a
 per-batch fixed cost — the bench quantifies that trade so a deployment
 can pick a trigger size from data instead of folklore.
 
+Round-5 accounting fix: the round-4 run charged the stream for parquet
+encoding AND an in-window verification count() that the noop batch
+ceiling never paid, reporting 2.26x as "engine overhead". Now the
+verification read is untimed, and a batch_parquet_same_files variant
+(identical kernel, identical sink format) isolates the streaming
+engine's true cost as vs_batch_parquet.
+
 Usage: python tools/stream_bench.py [--out BENCH/stream_bench.json]
 """
 
@@ -73,6 +80,18 @@ def main() -> None:
 
     seq = [0]
 
+    def run_batch_parquet() -> int:
+        # SAME sink work as the stream variants (full extraction output
+        # written as parquet) minus the streaming engine — this, not the
+        # noop ceiling, is the apples-to-apples base for "what does
+        # Structured Streaming itself cost": the round-4 2.26x number
+        # charged the stream for parquet encoding + an in-window
+        # verification read that the noop batch never paid
+        out_dir = os.path.join(args.scratch, f"bout_{seq[0]}")
+        seq[0] += 1
+        extract(spark.read.parquet(drop)).write.mode("overwrite").parquet(out_dir)
+        return -1
+
     def run_stream(mfpt):
         def go() -> int:
             out_dir = os.path.join(args.scratch, f"out_{seq[0]}")
@@ -80,12 +99,15 @@ def main() -> None:
             seq[0] += 1
             n_batches = run_extract_stream(spark, drop, out_dir, ckpt,
                                            max_files_per_trigger=mfpt)
-            got = spark.read.parquet(out_dir).count()
-            assert got == n_docs, f"sink has {got} docs, expected {n_docs}"
+            # verification is OUTSIDE the caller's timed window (see
+            # verify_dirs) — the timed region is the drain alone
+            verify_dirs.append(out_dir)
             return n_batches
         return go
 
+    verify_dirs: list[str] = []
     variants = {"batch_kernel_same_files": run_batch,
+                "batch_parquet_same_files": run_batch_parquet,
                 "stream_one_batch": run_stream(None),
                 "stream_mfpt8": run_stream(8)}
     run_batch()  # JVM/codegen warmup
@@ -100,11 +122,21 @@ def main() -> None:
                 results[label] = {"sec": sec,
                                   "micro_batches": nb if nb >= 0 else None}
             print(f"[round {rnd + 1}] {label}: {sec}s", flush=True)
+        # untimed: exactly-once verification of every streaming sink
+        # written this round
+        while verify_dirs:
+            d = verify_dirs.pop()
+            got = spark.read.parquet(d).count()
+            assert got == n_docs, f"sink {d} has {got} docs, expected {n_docs}"
     for label, r in results.items():
         r["docs_per_sec"] = round(n_docs / r["sec"])
     base = results["batch_kernel_same_files"]["sec"]
     for label, r in results.items():
         r["vs_batch"] = round(r["sec"] / base, 2)
+    pq = results["batch_parquet_same_files"]["sec"]
+    for label in ("stream_one_batch", "stream_mfpt8"):
+        # the streaming ENGINE's own cost: same kernel, same parquet sink
+        results[label]["vs_batch_parquet"] = round(results[label]["sec"] / pq, 2)
 
     report = {"tier": args.tier, "n_docs": n_docs, "n_files": len(parts),
               "cores": args.cores, "rounds": args.rounds, "results": results}
