@@ -12,11 +12,13 @@ container bytes, never from a hash of them:
   (all five filter types) — implemented on numpy (`decode_png`).
   `resize_images` does a real nearest-neighbor resample of those pixels.
   Round 5 adds baseline JPEG: a genuine Huffman+DCT codec pair
-  (`encode_jpeg_gray`/`decode_jpeg` — entropy coding, byte stuffing,
-  restart markers, dequantize, vectorized IDCT) with a planted
-  8-row-band fixture whose all-ones quantization makes the roundtrip
-  EXACT (`jpeg_bytes`; oracle mm_decode_jpeg), closing the last stubbed
-  decode path.
+  (`encode_jpeg_gray`/`encode_jpeg_color`/`decode_jpeg` — entropy
+  coding, byte stuffing, restart markers, interleaved-MCU color with
+  4:4:4/4:2:2/4:2:0 chroma subsampling and the JFIF BT.601 transform,
+  dequantize, vectorized IDCT) with a planted 8-row-band fixture whose
+  all-ones quantization makes the roundtrip EXACT (`jpeg_bytes`; oracle
+  mm_decode_jpeg), closing the last stubbed decode path; only
+  progressive JPEG remains a documented decline.
 - audio: genuine RIFF/WAVE containers; duration is parsed from the
   `fmt ` byte-rate and `data` chunk size (`sniff_wav_duration_ms`).
 - video: genuine ISO-BMFF (MP4) containers; duration is parsed from the
@@ -315,9 +317,11 @@ def try_decode_png(b: bytes) -> np.ndarray | None:
 # Baseline JPEG codec (round 5 — closes the last stubbed data path):
 # a REAL Huffman + DCT decode with no codec library, mirroring the PNG
 # approach. Scope: baseline/extended sequential (SOF0/SOF1), 8-bit,
-# SINGLE-component (grayscale), single scan, restart markers supported;
-# progressive and multi-component color raise (degrade-to-NULL via
-# try_decode_image). The fixture encoder plants 8-row constant bands so
+# grayscale AND 3-component YCbCr color (4:4:4/4:2:2/4:2:0 chroma
+# subsampling, replication upsample, JFIF BT.601 transform), one
+# interleaved scan, restart markers supported; progressive and
+# multi-scan sequential raise (degrade-to-NULL via try_decode_image).
+# The fixture encoder plants 8-row constant bands so
 # the all-ones quantization table makes the roundtrip EXACT (a constant
 # block's only nonzero coefficient is the integer DC = 8*(v-128)), giving
 # SQL oracles a closed-form pixel ground truth through a genuine
@@ -400,6 +404,80 @@ def _dc_category(v: int) -> int:
     return 0 if v == 0 else int(abs(v)).bit_length()
 
 
+def _pad_plane(px: np.ndarray, bh: int, bw_: int) -> np.ndarray:
+    """Pad a sample plane to a (bh x bw_)-block grid by replicating the
+    last row/column — the standard encoder edge treatment."""
+    h, w = px.shape
+    out = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
+    out[:h, :w] = px
+    out[h:, :w] = px[h - 1 :, :]
+    out[:, w:] = out[:, w - 1 : w]
+    return out
+
+
+def _emit_block(
+    bw: _BitWriter, padded: np.ndarray, by: int, bx: int, pred: int, dc_codes, ac_codes
+) -> int:
+    """Forward-DCT one 8x8 block (all-ones quantization), Huffman-emit
+    DC diff + AC runs, return the new DC predictor."""
+    block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+    q = np.rint(_DCT_A @ block @ _DCT_A.T).astype(np.int64)
+    zz = [int(q[r, c]) for r, c in _ZIGZAG]
+    diff = zz[0] - pred
+    s = _dc_category(diff)
+    code, ln = dc_codes[s]
+    bw.put(code, ln)
+    if s:
+        bw.put(diff if diff >= 0 else diff - 1 + (1 << s), s)
+    run = 0
+    for v in zz[1:]:
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        s = _dc_category(v)
+        if s > 10:
+            raise ValueError("jpeg encode: AC coefficient too large")
+        code, ln = ac_codes[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(v if v >= 0 else v - 1 + (1 << s), s)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.put(code, ln)
+    return zz[0]
+
+
+def _jpeg_headers(h: int, w: int, comp_specs: list[tuple[int, int]], restart: int) -> bytes:
+    """SOI + DQT(all-ones, id 0) + SOF0 + DHT (the minimal tables, ids
+    0) + optional DRI + SOS for `comp_specs` = [(sampling_h, sampling_v),
+    ...] with component ids 1..n, every component on quant/huff table 0."""
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    nc = len(comp_specs)
+    sof_comps = b"".join(
+        bytes([ci + 1, (sh << 4) | sv, 0]) for ci, (sh, sv) in enumerate(comp_specs)
+    )
+    sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + bytes(64 * [1]))
+        + seg(0xC0, struct.pack(">BHHB", 8, h, w, nc) + sof_comps)
+        + seg(
+            0xC4,
+            b"\x00" + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)
+            + b"\x10" + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS),
+        )
+        + (seg(0xDD, struct.pack(">H", restart)) if restart else b"")
+        + seg(0xDA, bytes([nc]) + sos_comps + bytes([0, 63, 0]))
+    )
+
+
 def encode_jpeg_gray(px: np.ndarray, restart_interval: int = 0) -> bytes:
     """General baseline grayscale JPEG encoder (all-ones quantization
     table — the fixture's lossless-for-constant-blocks configuration;
@@ -411,17 +489,13 @@ def encode_jpeg_gray(px: np.ndarray, restart_interval: int = 0) -> bytes:
     if not (1 <= h <= 65535 and 1 <= w <= 65535):
         raise ValueError("encode_jpeg_gray: dims out of range")
     h8, w8 = (h + 7) // 8, (w + 7) // 8
-    padded = np.zeros((h8 * 8, w8 * 8), dtype=np.float64)
-    padded[:h, :w] = px
-    padded[h:, :w] = px[h - 1 :, :]  # replicate bottom row
-    padded[:, w:] = padded[:, w - 1 : w]  # replicate right column
+    padded = _pad_plane(px, h8, w8)
     dc_codes = _canonical_codes(_JPG_DC_BITS, _JPG_DC_VALS)
     ac_codes = _canonical_codes(_JPG_AC_BITS, _JPG_AC_VALS)
 
     bw = _BitWriter()
     segments = []
-    prev_dc, mcu = 0, 0
-    rst = 0
+    prev_dc, mcu, rst = 0, 0, 0
     for by in range(h8):
         for bx in range(w8):
             if restart_interval and mcu and mcu % restart_interval == 0:
@@ -430,54 +504,69 @@ def encode_jpeg_gray(px: np.ndarray, restart_interval: int = 0) -> bytes:
                 rst = (rst + 1) % 8
                 bw = _BitWriter()
                 prev_dc = 0
-            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coeffs = _DCT_A @ block @ _DCT_A.T
-            q = np.rint(coeffs).astype(np.int64)  # all-ones quant table
-            zz = [int(q[r, c]) for r, c in _ZIGZAG]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            s = _dc_category(diff)
-            code, ln = dc_codes[s]
-            bw.put(code, ln)
-            if s:
-                bw.put(diff if diff >= 0 else diff - 1 + (1 << s), s)
-            # AC run-length coding
-            run = 0
-            for v in zz[1:]:
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    bw.put(code, ln)
-                    run -= 16
-                s = _dc_category(v)
-                if s > 10:
-                    raise ValueError("encode_jpeg_gray: AC coefficient too large")
-                code, ln = ac_codes[(run << 4) | s]
-                bw.put(code, ln)
-                bw.put(v if v >= 0 else v - 1 + (1 << s), s)
-                run = 0
-            if run:
-                code, ln = ac_codes[0x00]  # EOB
-                bw.put(code, ln)
+            prev_dc = _emit_block(bw, padded, by, bx, prev_dc, dc_codes, ac_codes)
             mcu += 1
     segments.append(bw.flush())
-    entropy = b"".join(segments)
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
-    dqt = seg(0xDB, b"\x00" + bytes(64 * [1]))
-    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    dht = seg(
-        0xC4,
-        b"\x00" + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)
-        + b"\x10" + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS),
+    return (
+        _jpeg_headers(h, w, [(1, 1)], restart_interval)
+        + b"".join(segments)
+        + b"\xff\xd9"
     )
-    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
-    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + dri + sos + entropy + b"\xff\xd9"
+
+
+def encode_jpeg_color(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    sampling: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline 3-component YCbCr encoder (test/fixture counterpart of
+    the color decode path): full-res Y plus chroma planes already
+    subsampled by `sampling` = (sh, sv) — (1,1) = 4:4:4, (2,1) = 4:2:2,
+    (2,2) = 4:2:0. Interleaved MCU order (per MCU: sh*sv Y blocks, one
+    Cb, one Cr), all components on the same all-ones quantization and
+    minimal Huffman tables; restart markers per the MCU interval."""
+    h, w = y.shape
+    sh, sv = sampling
+    ch, cw = (h + sv - 1) // sv, (w + sh - 1) // sh
+    if cb.shape != (ch, cw) or cr.shape != (ch, cw):
+        raise ValueError(f"encode_jpeg_color: chroma planes must be {(ch, cw)}")
+    mcux = (w + 8 * sh - 1) // (8 * sh)
+    mcuy = (h + 8 * sv - 1) // (8 * sv)
+    planes = [
+        (_pad_plane(y, mcuy * sv, mcux * sh), sh, sv),
+        (_pad_plane(cb, mcuy, mcux), 1, 1),
+        (_pad_plane(cr, mcuy, mcux), 1, 1),
+    ]
+    dc_codes = _canonical_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_codes = _canonical_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+
+    bw = _BitWriter()
+    segments = []
+    preds = [0, 0, 0]
+    rst = 0
+    for mcu in range(mcuy * mcux):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            segments.append(bw.flush())
+            segments.append(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) % 8
+            bw = _BitWriter()
+            preds = [0, 0, 0]
+        myi, mxi = divmod(mcu, mcux)
+        for ci, (padded, ph, pv) in enumerate(planes):
+            for by in range(pv):
+                for bx in range(ph):
+                    preds[ci] = _emit_block(
+                        bw, padded, myi * pv + by, mxi * ph + bx, preds[ci],
+                        dc_codes, ac_codes,
+                    )
+    segments.append(bw.flush())
+    return (
+        _jpeg_headers(h, w, [(sh, sv), (1, 1), (1, 1)], restart_interval)
+        + b"".join(segments)
+        + b"\xff\xd9"
+    )
 
 
 def jpeg_bytes(width: int, height: int, fill: int) -> bytes:
@@ -563,14 +652,17 @@ def _extend(v: int, s: int) -> int:
 def decode_jpeg(b: bytes) -> np.ndarray:
     """REAL baseline JPEG pixel decode with no codec library: marker
     walk -> DQT/DHT/SOF0/SOF1/DRI/SOS parse -> Huffman entropy decode
-    (byte unstuffing, restart resync) -> dequantize -> de-zigzag ->
-    one vectorized IDCT matmul over all blocks -> level shift, returning
-    an (h, w) uint8 matrix. Scope mirrors decode_png's: 8-bit
-    SINGLE-COMPONENT (grayscale) sequential streams; progressive (SOF2)
-    and multi-component color raise rather than mis-decode (they degrade
-    to NULL rows through try_decode_image — dims still real via the SOF
-    sniffer). Reference delegates pixel decode to its docling/PIL stack;
-    this is that capability rebuilt on numpy for the sandbox."""
+    (byte unstuffing, restart resync, interleaved MCUs) -> dequantize ->
+    de-zigzag -> one vectorized IDCT matmul per component -> level
+    shift, returning an (h, w) uint8 matrix for grayscale or an
+    (h, w, 3) RGB matrix for 3-component YCbCr (JFIF full-range BT.601
+    conversion; chroma subsampling — 4:4:4 / 4:2:2 / 4:2:0 and any
+    integer-divisor factors — upsampled by replication). Out of scope,
+    raising rather than mis-decoding (degrades to NULL rows through
+    try_decode_image; dims still real via the SOF sniffer): progressive
+    (SOF2), 12-bit precision, non-interleaved multi-scan sequential.
+    Reference delegates pixel decode to its docling/PIL stack; this is
+    that capability rebuilt on numpy for the sandbox."""
     if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
         raise ValueError("decode_jpeg: not a JPEG")
     i = 2
@@ -632,71 +724,118 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             prec, fh, fw, nc = struct.unpack(">BHHB", data[:6])
             if prec != 8:
                 raise ValueError("decode_jpeg: only 8-bit precision")
-            if nc != 1:
-                raise ValueError("decode_jpeg: only single-component (grayscale)")
-            comp_id, sampling, qid = data[6], data[7], data[8]
-            if sampling != 0x11:
-                raise ValueError("decode_jpeg: only 1x1 sampling")
-            frame = (fh, fw, comp_id, qid)
+            if nc not in (1, 3):
+                raise ValueError("decode_jpeg: only grayscale or 3-component YCbCr")
+            comps = []
+            for c in range(nc):
+                cid, samp, qid = data[6 + 3 * c], data[7 + 3 * c], data[8 + 3 * c]
+                comps.append({"cid": cid, "h": samp >> 4, "v": samp & 0x0F, "qid": qid})
+            frame = (fh, fw, comps)
         elif m == 0xC2:
             raise ValueError("decode_jpeg: progressive not supported")
         elif m == 0xDD:
             dri = int.from_bytes(data[:2], "big")
         elif m == 0xDA:  # SOS
             ns = data[0]
-            if ns != 1:
-                raise ValueError("decode_jpeg: only single-scan grayscale")
-            dc_id, ac_id = data[2] >> 4, data[2] & 0x0F
+            scan_tabs: dict[int, tuple[int, int]] = {}
+            for c in range(ns):
+                cid, tt = data[1 + 2 * c], data[2 + 2 * c]
+                scan_tabs[cid] = (tt >> 4, tt & 0x0F)
             scan_at = i + 2 + ln
             break
         i += 2 + ln
     if frame is None or scan_at is None:
         raise ValueError("decode_jpeg: missing SOF/SOS")
-    fh, fw, _, qid = frame
+    fh, fw, comps = frame
     if fh < 1 or fw < 1:
         raise ValueError("decode_jpeg: dims out of range")
-    qtab = qts.get(qid)
-    dct = hts.get((0, dc_id))
-    act = hts.get((1, ac_id))
-    if qtab is None or dct is None or act is None:
-        raise ValueError("decode_jpeg: missing DQT/DHT tables")
+    if len(scan_tabs) != len(comps) or any(c["cid"] not in scan_tabs for c in comps):
+        # the single interleaved scan covering every frame component is
+        # the baseline shape; sequential multi-scan streams are out of
+        # scope alongside progressive
+        raise ValueError("decode_jpeg: only one interleaved scan over all components")
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    for c in comps:
+        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+            raise ValueError("decode_jpeg: sampling factor out of range")
+        if max_h % c["h"] or max_v % c["v"]:
+            # replication upsampling needs integer ratios (true of every
+            # real-world sampling: 4:4:4, 4:2:2, 4:2:0, 4:1:1)
+            raise ValueError("decode_jpeg: non-integer sampling ratio")
+        c["qtab"] = qts.get(c["qid"])
+        c["dct"] = hts.get((0, scan_tabs[c["cid"]][0]))
+        c["act"] = hts.get((1, scan_tabs[c["cid"]][1]))
+        if c["qtab"] is None or c["dct"] is None or c["act"] is None:
+            raise ValueError("decode_jpeg: missing DQT/DHT tables")
 
-    h8, w8 = (fh + 7) // 8, (fw + 7) // 8
-    nblocks = h8 * w8
-    coeffs = np.zeros((nblocks, 64), dtype=np.int64)
+    mcux = (fw + 8 * max_h - 1) // (8 * max_h)
+    mcuy = (fh + 8 * max_v - 1) // (8 * max_v)
+    for c in comps:
+        c["bw"] = mcux * c["h"]  # component block-grid width
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+        c["pred"] = 0
     br = _BitReader(b, scan_at)
-    prev_dc = 0
-    for n in range(nblocks):
-        if dri and n and n % dri == 0:
+    for mcu in range(mcuy * mcux):
+        if dri and mcu and mcu % dri == 0:
             br.align_to_marker()
-            prev_dc = 0
-        s = br.huff(dct)
-        diff = _extend(br.bits(s), s) if s else 0
-        prev_dc += diff
-        coeffs[n, 0] = prev_dc
-        k = 1
-        while k < 64:
-            rs = br.huff(act)
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                k += 16
-                continue
-            run, size = rs >> 4, rs & 0x0F
-            k += run
-            if k > 63 or size == 0:
-                raise ValueError("decode_jpeg: AC index overflow")
-            coeffs[n, k] = _extend(br.bits(size), size)
-            k += 1
-    # dequantize (zigzag domain), de-zigzag, one IDCT matmul for all blocks
-    coeffs *= qtab[None, :]
-    blocks = np.zeros((nblocks, 8, 8), dtype=np.float64)
-    for z, (r, c) in enumerate(_ZIGZAG):
-        blocks[:, r, c] = coeffs[:, z]
-    px = np.einsum("ur,nuv,vc->nrc", _DCT_A, blocks, _DCT_A) + 128.0
-    px = np.clip(np.rint(px), 0, 255).astype(np.uint8)
-    out = px.reshape(h8, w8, 8, 8).transpose(0, 2, 1, 3).reshape(h8 * 8, w8 * 8)
-    return out[:fh, :fw]
+            for c in comps:
+                c["pred"] = 0
+        myi, mxi = divmod(mcu, mcux)
+        for c in comps:
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    n = (myi * c["v"] + by) * c["bw"] + (mxi * c["h"] + bx)
+                    row = c["coef"][n]
+                    s = br.huff(c["dct"])
+                    diff = _extend(br.bits(s), s) if s else 0
+                    c["pred"] += diff
+                    row[0] = c["pred"]
+                    k = 1
+                    while k < 64:
+                        rs = br.huff(c["act"])
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        run, size = rs >> 4, rs & 0x0F
+                        k += run
+                        if k > 63 or size == 0:
+                            raise ValueError("decode_jpeg: AC index overflow")
+                        row[k] = _extend(br.bits(size), size)
+                        k += 1
+
+    def plane_of(c: dict) -> np.ndarray:
+        # dequantize (zigzag domain), de-zigzag, one IDCT matmul for the
+        # component's whole block grid, then replication-upsample to the
+        # frame grid and crop
+        coeffs = c["coef"] * c["qtab"][None, :]
+        blocks = np.zeros((coeffs.shape[0], 8, 8), dtype=np.float64)
+        for z, (r, cc) in enumerate(_ZIGZAG):
+            blocks[:, r, cc] = coeffs[:, z]
+        px = np.einsum("ur,nuv,vc->nrc", _DCT_A, blocks, _DCT_A) + 128.0
+        px = np.clip(np.rint(px), 0, 255)
+        plane = (
+            px.reshape(c["bh"], c["bw"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["bh"] * 8, c["bw"] * 8)
+        )
+        ry, rx = max_v // c["v"], max_h // c["h"]
+        if ry > 1 or rx > 1:
+            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+        return plane[:fh, :fw]
+
+    if len(comps) == 1:
+        return plane_of(comps[0]).astype(np.uint8)
+    y, cb, cr = (plane_of(c) for c in comps)
+    # JFIF full-range BT.601 inverse transform
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, bl], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
 def try_decode_jpeg(b: bytes) -> np.ndarray | None:
@@ -709,9 +848,10 @@ def try_decode_jpeg(b: bytes) -> np.ndarray | None:
 
 def try_decode_image(b: bytes) -> np.ndarray | None:
     """Container dispatch for the pixel-decode operators: PNG first (the
-    dominant fixture share), then baseline JPEG; None when neither
-    decoder can handle the bytes (progressive/color JPEG, odd bit depth,
-    truncated payloads) — the callers' degrade-to-NULL contract."""
+    dominant fixture share), then baseline JPEG (grayscale or color);
+    None when neither decoder can handle the bytes (progressive JPEG,
+    odd bit depth, truncated payloads) — the callers' degrade-to-NULL
+    contract."""
     if b[:8] == PNG_SIG:
         return try_decode_png(b)
     if b[:2] == b"\xff\xd8":
@@ -883,11 +1023,11 @@ def extract_media_metadata(
     additionally inflates image payloads and reports the true pixel mean
     (decode_png) — off by default so the metadata pass stays header-only
     at scale. Pixel decode dispatches by container (PNG inflate+filter
-    inversion, baseline-JPEG Huffman+IDCT — both real, no codec lib); an
-    undecodable payload (progressive/color JPEG, odd bit depth,
-    truncated bytes) degrades to NULL pixel-derived fields row-locally —
-    dims still come from the sniffer, and one bad payload never fails
-    the job."""
+    inversion, baseline-JPEG Huffman+IDCT incl. color — both real, no
+    codec lib); an undecodable payload (progressive JPEG, odd bit
+    depth, truncated bytes) degrades to NULL pixel-derived fields
+    row-locally — dims still come from the sniffer, and one bad payload
+    never fails the job."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -914,11 +1054,11 @@ def extract_media_metadata(
             px_cache: dict[int, np.ndarray] = {}
             if decode_pixels or with_features:
                 for i in np.nonzero(is_img)[0]:
-                    # undecodable image (progressive/color JPEG — dims
-                    # still real via the SOF sniffer above — odd bit
-                    # depth, truncated or corrupt bytes): degrade THIS
-                    # row's pixel-derived fields to NULL instead of
-                    # failing the task; mirrors the sniffer's -1 -> NULL
+                    # undecodable image (progressive JPEG — dims still
+                    # real via the SOF sniffer above — odd bit depth,
+                    # truncated or corrupt bytes): degrade THIS row's
+                    # pixel-derived fields to NULL instead of failing
+                    # the task; mirrors the sniffer's -1 -> NULL
                     px = try_decode_image(blobs[int(i)])
                     if px is not None:
                         px_cache[int(i)] = px
@@ -993,9 +1133,9 @@ def media_meta_sql_equivalent(docs: DataFrame) -> DataFrame:
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
-        # nullable: a payload neither decoder handles (progressive or
-        # color JPEG, odd bit depth, truncated bytes) degrades that ROW
-        # to NULL outputs — one bad row must never fail the task/job
+        # nullable: a payload neither decoder handles (progressive
+        # JPEG, odd bit depth, truncated bytes) degrades that ROW to
+        # NULL outputs — one bad row must never fail the task/job
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("out_width", T.IntegerType(), True),
@@ -1017,9 +1157,9 @@ def resize_images(media: DataFrame, target_w: int = 64) -> DataFrame:
     planted gradient). mapInPandas batch shape, filter-before-decode
     (only image rows ever inflate), and the typed output schema are the
     engine surface. Decode dispatches by container (PNG or baseline
-    JPEG); a payload neither decoder handles (progressive/color JPEG —
-    whose DIMS the SOF walk still sniffs — odd bit depth, truncated
-    bytes) degrades that row to NULL resize outputs, mirroring
+    JPEG incl. color); a payload neither decoder handles (progressive
+    JPEG — whose DIMS the SOF walk still sniffs — odd bit depth,
+    truncated bytes) degrades that row to NULL resize outputs, mirroring
     the sniffer's own -1 -> NULL rule: a single undecodable image in a
     billion-row media table must cost one NULL row, not the job."""
 
@@ -1043,13 +1183,15 @@ def resize_images(media: DataFrame, target_w: int = 64) -> DataFrame:
                 # a non-spec PNG (e.g. IHDR not first) the decoder can
                 # succeed where the header sniff fails, and the resample
                 # must follow the pixels actually decoded
-                h, w = (int(d) for d in px.shape)
+                h, w = (int(d) for d in px.shape[:2])
                 ow = min(target_w, w)
                 oh = max(1, h * ow // w)
                 iy = (np.arange(oh, dtype=np.int64) * h) // oh
                 ix = (np.arange(ow, dtype=np.int64) * w) // ow
                 out = px[iy][:, ix]
-                thumb = np.repeat(out[:, :, None], 3, axis=2)
+                # grayscale decode replicates to 3 channels; a color
+                # (h, w, 3) decode (baseline color JPEG) is already RGB
+                thumb = out if out.ndim == 3 else np.repeat(out[:, :, None], 3, axis=2)
                 w_l.append(w); h_l.append(h); ow_l.append(ow); oh_l.append(oh)
                 ob_l.append(int(thumb.size))
                 tm_l.append(float(out.mean()))  # exact double (see mean_pixel note)

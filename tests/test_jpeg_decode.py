@@ -97,6 +97,81 @@ def test_gradient_content_hits_zrl_and_high_categories():
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
 
 
+def _ref_rgb(y, cb, cr, sh, sv, h, w):
+    """Independent upsample + JFIF BT.601 inverse — what the decoder's
+    color tail must reproduce given exact component recovery."""
+    cbu = cb.repeat(sv, 0).repeat(sh, 1)[:h, :w].astype(np.float64)
+    cru = cr.repeat(sv, 0).repeat(sh, 1)[:h, :w].astype(np.float64)
+    yf = y.astype(np.float64)
+    r = yf + 1.402 * (cru - 128)
+    g = yf - 0.344136 * (cbu - 128) - 0.714136 * (cru - 128)
+    bl = yf + 1.772 * (cbu - 128)
+    return np.clip(np.rint(np.stack([r, g, bl], 2)), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("sh,sv,w,h", [(1, 1, 48, 40), (2, 2, 50, 42), (2, 1, 33, 17)])
+def test_color_constant_blocks_exact(sh, sv, w, h):
+    """4:4:4 / 4:2:0 / 4:2:2 interleaved MCU decode + replication
+    upsample + color transform, EXACT on constant-per-block planes
+    (component recovery is exact, so RGB must equal the reference
+    transform bit-for-bit)."""
+    from docling_nlp_api_spark.operators.multimodal import encode_jpeg_color
+
+    ch, cw = (h + sv - 1) // sv, (w + sh - 1) // sh
+    y = ((np.arange(h)[:, None] // 8 * 8 + 30) % 256) + np.zeros((1, w), dtype=np.int64)
+    cb = ((np.arange(ch)[:, None] // 8 * 8 + 90) % 256) + np.zeros((1, cw), dtype=np.int64)
+    cr = ((np.arange(cw)[None, :] // 8 * 8 + 150) % 256) + np.zeros((ch, 1), dtype=np.int64)
+    out = decode_jpeg(
+        encode_jpeg_color(y.astype(np.uint8), cb.astype(np.uint8), cr.astype(np.uint8), (sh, sv))
+    )
+    assert out.shape == (h, w, 3)
+    assert (out == _ref_rgb(y, cb, cr, sh, sv, h, w)).all()
+
+
+@pytest.mark.parametrize("sh,sv", [(1, 1), (2, 2)])
+def test_color_random_content_with_restarts(sh, sv):
+    """Arbitrary color content (AC paths in all three components,
+    interleaved restart resync): per-component error <= 1 bounds the
+    transformed RGB error at ~4 levels."""
+    from docling_nlp_api_spark.operators.multimodal import encode_jpeg_color
+
+    rng = np.random.RandomState(23)
+    h, w = 37, 45
+    ch, cw = (h + sv - 1) // sv, (w + sh - 1) // sh
+    y = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    cb = rng.randint(0, 256, (ch, cw)).astype(np.uint8)
+    cr = rng.randint(0, 256, (ch, cw)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_color(y, cb, cr, (sh, sv), restart_interval=4))
+    exp = _ref_rgb(y, cb, cr, sh, sv, h, w)
+    assert np.abs(out.astype(int) - exp.astype(int)).max() <= 4
+
+
+def test_color_through_resize_operator(spark):
+    """A color JPEG payload flows through resize_images: real RGB
+    thumbnail (not grayscale-replicated), correct dims."""
+    import pandas as pd
+
+    from docling_nlp_api_spark.operators.multimodal import RESIZE_SCHEMA, encode_jpeg_color, resize_images
+
+    y = np.full((40, 48), 100, dtype=np.uint8)
+    cb = np.full((20, 24), 90, dtype=np.uint8)
+    cr = np.full((20, 24), 150, dtype=np.uint8)
+    payload = encode_jpeg_color(y, cb, cr, (2, 2))
+    media = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "media_type": ["image"], "payload": [payload]})
+    )
+    (row,) = resize_images(media, target_w=16).collect()
+    assert (row["width"], row["height"]) == (48, 40)
+    assert (row["out_width"], row["out_height"]) == (16, 13)
+    assert row["out_bytes"] == 16 * 13 * 3
+    exp = _ref_rgb(y, cb, cr, 2, 2, 40, 48)
+    thumb = np.frombuffer(bytes(row["thumbnail"]), dtype=np.uint8).reshape(13, 16, 3)
+    # constant planes -> constant RGB; thumbnail must carry the three
+    # DISTINCT channel values, proving it is not a replicated gray plane
+    assert (thumb == exp[0, 0]).all()
+    assert len(set(exp[0, 0].tolist())) == 3
+
+
 def test_degrade_contracts():
     good = jpeg_bytes(32, 40, 7)
     assert try_decode_jpeg(good[:30]) is None         # truncated mid-header
@@ -110,9 +185,10 @@ def test_degrade_contracts():
     assert try_decode_jpeg(bytes(prog)) is None
 
 
-def test_multicomponent_declines():
-    """A 3-component SOF must refuse (scope: grayscale) rather than
-    mis-decode; dims still sniffable for the metadata plane."""
+def test_frame_scan_mismatch_declines():
+    """A frame declaring 3 components whose scan only covers 1 (the
+    sequential multi-scan shape) must refuse rather than mis-decode;
+    dims still sniffable for the metadata plane."""
     b = bytearray(jpeg_bytes(16, 16, 9))
     sof_at = b.find(b"\xff\xc0")
     # component count byte sits 9 bytes after the marker (len2 + P1 + H2 + W2)
