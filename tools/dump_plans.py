@@ -121,6 +121,12 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["Generate", "HashAggregate"],
         ["CartesianProduct"],
     ),
+    # zipf fit: top-N via TakeOrderedAndProject (never a global corpus
+    # sort); the regression runs over integer sums of the N-row frame
+    "tq_zipf_fit": (["TakeOrderedAndProject", "HashAggregate"], ["CartesianProduct"]),
+    # JPEG pixel decode: one mapInPandas pass over the image rows — no
+    # exchange anywhere (embarrassingly parallel decode)
+    "mm_decode_jpeg": (["MapInPandas"], ["Exchange", "SortMergeJoin"]),
     # HLL sketch: fixed m register rows per group cross the exchange
     # (max partial-agg map-side), never the value stream
     "sk_hll_distinct": (["HashAggregate"], ["SortMergeJoin", "CartesianProduct"]),
