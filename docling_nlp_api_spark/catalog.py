@@ -1072,6 +1072,28 @@ FROM geo JOIN mp USING (doc_id)
     ).select("doc_id", "width", "height", "mean_pixel")
 )
 
+# round 5: REAL audio decode (multimodal.extract_audio_features) — the
+# WAV data chunk decoded as 8-bit PCM, features over the planted ramp
+# (sample i = i % 256). Every sum is exact int64 and the two doubles are
+# one correctly-rounded division/sqrt of exact integers, so the contract
+# is EXACT equality with the identical SUM/divide/sqrt expression over a
+# generate_series rebuild — no round-4 quantization needed. peak is the
+# constant 128 because sample 0 always exists (|0 - 128|).
+q("mm_audio_features", """
+WITH a AS (SELECT doc_id, CAST(1000 + (doc_id * 13) % 60000 AS BIGINT) AS n
+           FROM documents WHERE doc_id % 3 = 1),
+s AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM a),
+g AS (SELECT doc_id, MAX(n) AS n,
+             CAST(SUM(i % 256) AS BIGINT) AS sm,
+             CAST(SUM((i % 256 - 128) * (i % 256 - 128)) AS BIGINT) AS sq
+      FROM s GROUP BY doc_id)
+SELECT doc_id, n AS n_samples, n AS duration_ms,
+       CAST(sm AS DOUBLE) / n AS mean_level,
+       sqrt(CAST(sq AS DOUBLE) / n) AS rms_amplitude,
+       CAST(128 AS BIGINT) AS peak_amplitude
+FROM g
+""")(lambda s, d: M.extract_audio_features(M.as_media_table(docs(s, d))))
+
 # ---------------------------------------------------------------------------
 # extraction plane (non-SQL-expressible: rows-only driver check; exactness
 # is guaranteed by the pytest span-equality suite vs the single-node oracle)
@@ -3441,6 +3463,7 @@ DEMOTED = [
     "s4_s8_extract_render",
     # round-5 late addition: tail membership keeps the rotated window stable
     "mm_decode_jpeg",
+    "mm_audio_features",
 ]
 
 _head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}

@@ -8,8 +8,10 @@ container bytes, never from a hash of them:
 - images: genuine PNG files (8-bit grayscale, vertical-gradient rows
   encoded with Sub/Up scanline filters, single stored-block zlib
   stream). Dims come from the vectorized IHDR header parse; PIXELS come
-  from a full PNG decode — zlib inflate + inverse scanline filtering
-  (all five filter types) — implemented on numpy (`decode_png`).
+  from a full PNG decode — zlib inflate + bpp-aware inverse scanline
+  filtering (all five filter types; grayscale, RGB, palette,
+  gray+alpha and RGBA color types as of round 5) — implemented on
+  numpy (`decode_png`).
   `resize_images` does a real nearest-neighbor resample of those pixels.
   Round 5 adds baseline JPEG: a genuine Huffman+DCT codec pair
   (`encode_jpeg_gray`/`encode_jpeg_color`/`decode_jpeg` — entropy
@@ -225,30 +227,41 @@ def sniff_image_dims(payloads) -> tuple[np.ndarray, np.ndarray]:
 
 def decode_png(b: bytes) -> np.ndarray:
     """REAL PNG pixel decode with no codec library: chunk walk -> IDAT
-    concat -> zlib inflate -> inverse scanline filtering, returning an
-    (h, w) uint8 matrix. Scope: 8-bit greyscale, non-interlaced (the
-    fixture's shape and the common archival-thumbnail case); anything
-    else raises rather than mis-decoding.
+    concat -> zlib inflate -> inverse scanline filtering (bpp-aware),
+    returning (h, w) uint8 for grayscale and (h, w, 3) for color. Scope:
+    8-bit non-interlaced, all five color types — grayscale (0), RGB (2),
+    palette (3, PLTE lookup), gray+alpha (4) and RGBA (6); the alpha
+    channel is dropped after unfiltering (the pixel operators consume
+    opaque sample planes). 16-bit depth and Adam7 interlacing raise
+    rather than mis-decode.
 
-    Filter inversion (PNG spec §6, bpp=1): None and Up are vectorized per
-    row; Sub is recon[x] = (Σ filt[0..x]) mod 256, i.e. one vectorized
-    cumsum; Average and Paeth carry a left-neighbour dependency so they
-    run per-pixel — correct first, and absent from the fixture's hot
-    path (pytest covers them via an independent forward-filter encoder)."""
+    Filter inversion (PNG spec §6): None and Up are vectorized per row;
+    Sub is a per-channel prefix sum mod 256 (reshape to (w, bpp), cumsum
+    along x — the left neighbour sits bpp bytes back); Average and Paeth
+    carry a left-neighbour dependency so they run per-byte — correct
+    first, and absent from the fixture's hot path (pytest covers them
+    via an independent forward-filter encoder for every color type)."""
     if b[:8] != PNG_SIG:
         raise ValueError("decode_png: not a PNG")
     i, w = 8, None
     idat = []
+    plte = None
     while i + 8 <= len(b):
         ln = int.from_bytes(b[i : i + 4], "big")
         tag = b[i + 4 : i + 8]
         data = b[i + 8 : i + 8 + ln]
         if tag == b"IHDR":
             w, h, depth, ctype, comp, filt, ilace = struct.unpack(">IIBBBBB", data)
-            if (depth, ctype, comp, filt, ilace) != (8, 0, 0, 0, 0):
-                raise ValueError("decode_png: only 8-bit grayscale non-interlaced")
+            if depth != 8 or comp != 0 or filt != 0 or ilace != 0:
+                raise ValueError("decode_png: only 8-bit non-interlaced")
+            if ctype not in (0, 2, 3, 4, 6):
+                raise ValueError(f"decode_png: bad color type {ctype}")
             if w == 0 or h == 0 or w >= 1 << 31 or h >= 1 << 31:
                 raise ValueError("decode_png: dims out of spec range")
+        elif tag == b"PLTE":
+            if ln % 3:
+                raise ValueError("decode_png: bad PLTE length")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(data)
         elif tag == b"IEND":
@@ -256,42 +269,57 @@ def decode_png(b: bytes) -> np.ndarray:
         i += 12 + ln
     if w is None or not idat:
         raise ValueError("decode_png: missing IHDR/IDAT")
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    stride = w * bpp
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if raw.size != h * (w + 1):
+    if raw.size != h * (stride + 1):
         raise ValueError("decode_png: scanline size mismatch")
-    raw = raw.reshape(h, w + 1)
+    raw = raw.reshape(h, stride + 1)
     ftypes, rows = raw[:, 0], raw[:, 1:].astype(np.int64)
-    out = np.zeros((h, w), dtype=np.int64)
-    prev = np.zeros(w, dtype=np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
     for r in range(h):
         f, row = int(ftypes[r]), rows[r]
         if f == 0:      # None
             rec = row
-        elif f == 1:    # Sub: prefix sum mod 256
-            rec = np.cumsum(row) & 0xFF
+        elif f == 1:    # Sub: per-channel prefix sum mod 256
+            rec = np.cumsum(row.reshape(w, bpp), axis=0).reshape(stride) & 0xFF
         elif f == 2:    # Up
             rec = (row + prev) & 0xFF
-        elif f == 3:    # Average (left-dependent: per-pixel)
-            rec = np.empty(w, dtype=np.int64)
-            left = 0
-            for x in range(w):
-                left = (row[x] + (left + prev[x]) // 2) & 0xFF
-                rec[x] = left
-        elif f == 4:    # Paeth (left-dependent: per-pixel)
-            rec = np.empty(w, dtype=np.int64)
-            left = 0
-            for x in range(w):
-                a, bb, c = left, int(prev[x]), int(prev[x - 1]) if x else 0
+        elif f == 3:    # Average (left-dependent: per-byte)
+            rec = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (row[x] + (a + prev[x]) // 2) & 0xFF
+        elif f == 4:    # Paeth (left-dependent: per-byte)
+            rec = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                bb = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 p = a + bb - c
                 pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
-                left = (row[x] + pred) & 0xFF
-                rec[x] = left
+                rec[x] = (row[x] + pred) & 0xFF
         else:
             raise ValueError(f"decode_png: bad filter type {f}")
         out[r] = rec
         prev = rec
-    return out.astype(np.uint8)
+    px = out.astype(np.uint8).reshape(h, w, bpp)
+    if ctype == 0:
+        return px[:, :, 0]
+    if ctype == 2:
+        return px
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("decode_png: palette image without PLTE")
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("decode_png: palette index out of range")
+        return plte[idx]
+    if ctype == 4:
+        return px[:, :, 0]  # drop alpha
+    return px[:, :, :3]     # RGBA: drop alpha
 
 
 # the full set of exceptions a corrupt-but-PNG-signed payload can raise
@@ -883,6 +911,100 @@ def sniff_wav_duration_ms(b: bytes) -> int | None:
     if not byte_rate or data_size is None:
         return None
     return data_size * 1000 // byte_rate
+
+
+def wav_pcm_samples(b: bytes) -> tuple[int, np.ndarray] | None:
+    """REAL audio decode one tier past the duration sniff: return
+    (byte_rate, samples) where samples is the `data` chunk decoded as
+    8-bit unsigned PCM (the fixture format and the classic telephony
+    archival shape). None when the container/format can't be decoded —
+    same chunk walk as sniff_wav_duration_ms, plus a `fmt ` check that
+    the stream really is PCM (tag 1), mono is not required. A data chunk
+    whose declared size overruns the buffer is truncated to the real
+    bytes (row-local degradation, not an abort)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, byte_rate, bits, fmt_tag = 12, None, None, None
+    data_off = data_len = None
+    while i + 8 <= len(b):
+        tag = b[i : i + 4]
+        ln = int.from_bytes(b[i + 4 : i + 8], "little")
+        if tag == b"fmt " and ln >= 16 and i + 24 <= len(b):
+            fmt_tag = int.from_bytes(b[i + 8 : i + 10], "little")
+            byte_rate = int.from_bytes(b[i + 16 : i + 20], "little")
+            bits = int.from_bytes(b[i + 22 : i + 24], "little")
+        elif tag == b"data":
+            data_off, data_len = i + 8, ln
+        i += 8 + ln + (ln & 1)
+    if fmt_tag != 1 or bits != 8 or not byte_rate or data_off is None:
+        return None
+    raw = b[data_off : data_off + data_len]
+    return byte_rate, np.frombuffer(raw, dtype=np.uint8)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        # nullable: a payload wav_pcm_samples can't decode (non-PCM,
+        # 16-bit, corrupt) emits ONE row with NULL features — the doc
+        # stays visible downstream (same degradation rule as images)
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("mean_level", T.DoubleType(), True),
+        T.StructField("rms_amplitude", T.DoubleType(), True),
+        T.StructField("peak_amplitude", T.LongType(), True),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over mapInPandas (the audio twin of
+    resize_images): decode the WAV data chunk as 8-bit PCM and compute
+    the features a speech-data curation pass gates on — sample count,
+    duration, DC level (mean of raw 0-255 levels), RMS amplitude around
+    the 128 bias, and peak absolute amplitude. All sums are exact int64
+    (order-free by construction); the two emitted doubles are EXACT —
+    one correctly-rounded division (and sqrt) of exact integers, so the
+    oracle (mm_audio_features: a generate_series ramp rebuilt with the
+    identical SUM/divide/sqrt expression) must bit-match with no
+    round-4 quantization at all.
+
+    Scale shape: filter-before-decode (only audio rows ship payload
+    bytes into Arrow), one mapInPandas pass, no exchange — the same
+    embarrassingly-parallel profile as the pixel decoders."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = _payload_bytes(pdf["payload"])
+            ns_l, dur_l, mean_l, rms_l, peak_l = [], [], [], [], []
+            for b in blobs:
+                got = wav_pcm_samples(b)
+                if got is None or got[1].size == 0:
+                    ns_l.append(None); dur_l.append(None); mean_l.append(None)
+                    rms_l.append(None); peak_l.append(None)
+                    continue
+                byte_rate, s = got
+                n = int(s.size)
+                amp = s.astype(np.int64) - 128
+                ns_l.append(n)
+                dur_l.append(n * 1000 // byte_rate)
+                mean_l.append(float(int(s.astype(np.int64).sum()) / n))
+                rms_l.append(float(np.sqrt(int((amp * amp).sum()) / n)))
+                peak_l.append(int(np.abs(amp).max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_samples": pd.array(ns_l, dtype="Int64"),
+                    "duration_ms": pd.array(dur_l, dtype="Int64"),
+                    "mean_level": pd.array(mean_l, dtype="Float64"),
+                    "rms_amplitude": pd.array(rms_l, dtype="Float64"),
+                    "peak_amplitude": pd.array(peak_l, dtype="Int64"),
+                }
+            )
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
+    )
 
 
 def sniff_mp4_duration_ms(b: bytes) -> int | None:

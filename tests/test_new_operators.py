@@ -203,6 +203,135 @@ def test_png_decode_all_filter_types():
     assert (got == exp).all()
 
 
+def test_png_decode_color_types():
+    """Round-5 color PNG scope: RGB / palette / gray+alpha / RGBA decode
+    through bpp-aware inverse filtering. The forward-filter encoder here
+    is independent of the decoder and works per BYTE with the left
+    neighbour bpp bytes back (spec §6), exercising every filter type on
+    every color type."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from docling_nlp_api_spark.operators.multimodal import PNG_SIG, decode_png
+
+    def encode(samples: np.ndarray, ctype: int, plte: bytes = b"") -> bytes:
+        h, w, bpp = samples.shape
+        p = samples.astype(int)
+        raw = bytearray()
+        flat = p.reshape(h, w * bpp)
+        for r in range(h):
+            ftype = r % 5  # cycle every filter type through the image
+            raw.append(ftype)
+            for x in range(w * bpp):
+                a = flat[r, x - bpp] if x >= bpp else 0
+                b_ = flat[r - 1, x] if r else 0
+                c = flat[r - 1, x - bpp] if (r and x >= bpp) else 0
+                v = flat[r, x]
+                if ftype == 0:
+                    f = v
+                elif ftype == 1:
+                    f = v - a
+                elif ftype == 2:
+                    f = v - b_
+                elif ftype == 3:
+                    f = v - (a + b_) // 2
+                else:
+                    q = a + b_ - c
+                    pa, pb, pc = abs(q - a), abs(q - b_), abs(q - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+                    f = v - pred
+                raw.append(f % 256)
+
+        def chunk(tag, data):
+            return struct.pack(">I", len(data)) + tag + data + struct.pack(
+                ">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        body = chunk(b"IHDR", ihdr)
+        if plte:
+            body += chunk(b"PLTE", plte)
+        return PNG_SIG + body + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+    rs = np.random.RandomState(11)
+    h, w = 11, 9
+
+    rgb = rs.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    assert (decode_png(encode(rgb, 2)) == rgb).all()
+
+    rgba = rs.randint(0, 256, size=(h, w, 4)).astype(np.uint8)
+    assert (decode_png(encode(rgba, 6)) == rgba[:, :, :3]).all()  # alpha dropped
+
+    ga = rs.randint(0, 256, size=(h, w, 2)).astype(np.uint8)
+    assert (decode_png(encode(ga, 4)) == ga[:, :, 0]).all()
+
+    palette = rs.randint(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rs.randint(0, 16, size=(h, w, 1)).astype(np.uint8)
+    got = decode_png(encode(idx, 3, plte=palette.tobytes()))
+    assert (got == palette[idx[:, :, 0]]).all()
+
+    # palette index out of range / missing PLTE must refuse, not wrap
+    import pytest as _pytest
+
+    bad_idx = np.full((4, 4, 1), 200, dtype=np.uint8)
+    with _pytest.raises(ValueError):
+        decode_png(encode(bad_idx, 3, plte=palette.tobytes()))
+    with _pytest.raises(ValueError):
+        decode_png(encode(idx, 3))
+
+
+def test_audio_feature_extraction(spark):
+    """extract_audio_features decodes the WAV data chunk as real 8-bit
+    PCM: ramp ground truth for mean/RMS/peak, NULL degradation for
+    non-PCM and truncated payloads, image/video rows filtered out before
+    any byte ships into Arrow."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from docling_nlp_api_spark.operators.multimodal import (
+        extract_audio_features,
+        wav_bytes,
+        wav_pcm_samples,
+    )
+
+    n = 5000
+    good = wav_bytes(n)
+    br, samples = wav_pcm_samples(good)
+    assert br == 1000 and samples.size == n
+    assert (samples == (np.arange(n) % 256)).all()
+
+    # non-PCM fmt tag must refuse (row-local None, not garbage)
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, 20, 3)  # fmt tag -> IEEE float
+    assert wav_pcm_samples(bytes(bad)) is None
+    # declared data size overrunning the buffer truncates to real bytes
+    trunc = good[: 44 + 100]
+    _, ts = wav_pcm_samples(trunc)
+    assert ts.size == 100
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "media_type": ["audio", "audio", "image"],
+                "payload": [good, bytes(bad), b"\x89PNGxxxx"],
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in extract_audio_features(media).collect()}
+    assert set(rows) == {1, 2}  # image row filtered before decode
+    r1 = rows[1]
+    amp = samples.astype(np.int64) - 128
+    assert r1["n_samples"] == n and r1["duration_ms"] == n
+    assert r1["mean_level"] == float(int(samples.astype(np.int64).sum()) / n)
+    assert r1["rms_amplitude"] == float(np.sqrt(int((amp * amp).sum()) / n))
+    assert r1["peak_amplitude"] == 128
+    assert rows[2]["n_samples"] is None and rows[2]["rms_amplitude"] is None
+
+
 def test_wav_mp4_duration_and_demux():
     """Audio/video durations are REAL container-header parses: WAV fmt
     byte_rate + data size, MP4 moov/mvhd timescale + duration (v0 and
