@@ -913,15 +913,19 @@ def sniff_wav_duration_ms(b: bytes) -> int | None:
     return data_size * 1000 // byte_rate
 
 
-def wav_pcm_samples(b: bytes) -> tuple[int, np.ndarray] | None:
+def wav_pcm_samples(b: bytes) -> tuple[int, np.ndarray, int, int] | None:
     """REAL audio decode one tier past the duration sniff: return
-    (byte_rate, samples) where samples is the `data` chunk decoded as
-    8-bit unsigned PCM (the fixture format and the classic telephony
-    archival shape). None when the container/format can't be decoded —
-    same chunk walk as sniff_wav_duration_ms, plus a `fmt ` check that
-    the stream really is PCM (tag 1), mono is not required. A data chunk
-    whose declared size overruns the buffer is truncated to the real
-    bytes (row-local degradation, not an abort)."""
+    (byte_rate, levels, bias, bits) where levels is the `data` chunk decoded
+    as PCM sample values (int64) and bias is the silence level —
+    8-bit PCM is UNSIGNED with bias 128 (the fixture format and the
+    classic telephony archival shape), 16-bit PCM is SIGNED
+    little-endian with bias 0 (the dominant real-world format).
+    Multi-channel streams decode as the interleaved sample stream.
+    None when the container/format can't be decoded — same chunk walk
+    as sniff_wav_duration_ms, plus a `fmt ` check that the stream
+    really is PCM (tag 1). A data chunk whose declared size overruns
+    the buffer is truncated to the real bytes (row-local degradation,
+    not an abort); a trailing odd byte on a 16-bit stream is dropped."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     i, byte_rate, bits, fmt_tag = 12, None, None, None
@@ -936,10 +940,13 @@ def wav_pcm_samples(b: bytes) -> tuple[int, np.ndarray] | None:
         elif tag == b"data":
             data_off, data_len = i + 8, ln
         i += 8 + ln + (ln & 1)
-    if fmt_tag != 1 or bits != 8 or not byte_rate or data_off is None:
+    if fmt_tag != 1 or bits not in (8, 16) or not byte_rate or data_off is None:
         return None
     raw = b[data_off : data_off + data_len]
-    return byte_rate, np.frombuffer(raw, dtype=np.uint8)
+    if bits == 8:
+        return byte_rate, np.frombuffer(raw, dtype=np.uint8).astype(np.int64), 128, 8
+    raw = raw[: len(raw) - (len(raw) % 2)]
+    return byte_rate, np.frombuffer(raw, dtype="<i2").astype(np.int64), 0, 16
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType(
@@ -983,12 +990,12 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                     ns_l.append(None); dur_l.append(None); mean_l.append(None)
                     rms_l.append(None); peak_l.append(None)
                     continue
-                byte_rate, s = got
+                byte_rate, s, bias, bits = got
                 n = int(s.size)
-                amp = s.astype(np.int64) - 128
+                amp = s - bias
                 ns_l.append(n)
-                dur_l.append(n * 1000 // byte_rate)
-                mean_l.append(float(int(s.astype(np.int64).sum()) / n))
+                dur_l.append(n * (bits // 8) * 1000 // byte_rate)
+                mean_l.append(float(int(s.sum()) / n))
                 rms_l.append(float(np.sqrt(int((amp * amp).sum()) / n)))
                 peak_l.append(int(np.abs(amp).max()))
             yield pd.DataFrame(

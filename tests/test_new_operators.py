@@ -299,8 +299,8 @@ def test_audio_feature_extraction(spark):
 
     n = 5000
     good = wav_bytes(n)
-    br, samples = wav_pcm_samples(good)
-    assert br == 1000 and samples.size == n
+    br, samples, bias, bits = wav_pcm_samples(good)
+    assert (br, bias, bits) == (1000, 128, 8) and samples.size == n
     assert (samples == (np.arange(n) % 256)).all()
 
     # non-PCM fmt tag must refuse (row-local None, not garbage)
@@ -309,8 +309,20 @@ def test_audio_feature_extraction(spark):
     assert wav_pcm_samples(bytes(bad)) is None
     # declared data size overrunning the buffer truncates to real bytes
     trunc = good[: 44 + 100]
-    _, ts = wav_pcm_samples(trunc)
+    _, ts, _, _ = wav_pcm_samples(trunc)
     assert ts.size == 100
+
+    # 16-bit signed PCM (the dominant real-world format): hand-built
+    # canonical header, signed ramp payload incl. negatives
+    vals16 = (np.arange(400, dtype=np.int64) * 97 % 65536) - 32768
+    data16 = vals16.astype("<i2").tobytes()
+    fmt16 = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    body16 = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt16)) + fmt16
+              + b"data" + struct.pack("<I", len(data16)) + data16)
+    wav16 = b"RIFF" + struct.pack("<I", len(body16)) + body16
+    br16, s16, bias16, bits16 = wav_pcm_samples(wav16)
+    assert (br16, bias16, bits16) == (32000, 0, 16)
+    assert (s16 == vals16).all()
 
     media = spark.createDataFrame(
         pd.DataFrame(
@@ -321,6 +333,15 @@ def test_audio_feature_extraction(spark):
             }
         )
     )
+    media16 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "media_type": ["audio"], "payload": [wav16]})
+    )
+    (r16,) = extract_audio_features(media16).collect()
+    assert r16["n_samples"] == 400
+    assert r16["duration_ms"] == 400 * 2 * 1000 // 32000  # 25 ms
+    assert r16["mean_level"] == float(int(vals16.sum()) / 400)
+    assert r16["peak_amplitude"] == int(np.abs(vals16).max())
+
     rows = {r["doc_id"]: r for r in extract_audio_features(media).collect()}
     assert set(rows) == {1, 2}  # image row filtered before decode
     r1 = rows[1]
