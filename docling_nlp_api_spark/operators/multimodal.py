@@ -17,10 +17,13 @@ container bytes, never from a hash of them:
   (`encode_jpeg_gray`/`encode_jpeg_color`/`decode_jpeg` — entropy
   coding, byte stuffing, restart markers, interleaved-MCU color with
   4:4:4/4:2:2/4:2:0 chroma subsampling and the JFIF BT.601 transform,
-  dequantize, vectorized IDCT) with a planted 8-row-band fixture whose
-  all-ones quantization makes the roundtrip EXACT (`jpeg_bytes`; oracle
-  mm_decode_jpeg), closing the last stubbed decode path; only
-  progressive JPEG remains a documented decline.
+  dequantize, vectorized IDCT — plus full PROGRESSIVE decode: spectral
+  selection, successive approximation, EOB runs, refinement bits, with
+  progressive encoders as test counterparts) with a planted 8-row-band
+  fixture whose all-ones quantization makes the roundtrip EXACT
+  (`jpeg_bytes`; oracle mm_decode_jpeg), closing the last stubbed
+  decode path; the remaining declines are 12-bit precision, arithmetic
+  coding and hierarchical mode.
 - audio: genuine RIFF/WAVE containers; duration is parsed from the
   `fmt ` byte-rate and `data` chunk size (`sniff_wav_duration_ms`).
 - video: genuine ISO-BMFF (MP4) containers; duration is parsed from the
@@ -346,9 +349,11 @@ def try_decode_png(b: bytes) -> np.ndarray | None:
 # a REAL Huffman + DCT decode with no codec library, mirroring the PNG
 # approach. Scope: baseline/extended sequential (SOF0/SOF1), 8-bit,
 # grayscale AND 3-component YCbCr color (4:4:4/4:2:2/4:2:0 chroma
-# subsampling, replication upsample, JFIF BT.601 transform), one
-# interleaved scan, restart markers supported; progressive and
-# multi-scan sequential raise (degrade-to-NULL via try_decode_image).
+# subsampling, replication upsample, JFIF BT.601 transform), restart
+# markers, and PROGRESSIVE streams (spectral selection + successive
+# approximation, EOB runs, refinement correction bits — round 5);
+# 12-bit precision / arithmetic coding / hierarchical mode raise
+# (degrade-to-NULL via try_decode_image).
 # The fixture encoder plants 8-row constant bands so
 # the all-ones quantization table makes the roundtrip EXACT (a constant
 # block's only nonzero coefficient is the integer DC = 8*(v-128)), giving
@@ -357,11 +362,16 @@ def try_decode_png(b: bytes) -> np.ndarray | None:
 
 _JPG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]  # 12 cat codes, len 4
 _JPG_DC_VALS = list(range(12))
-# AC: EOB at 2 bits; ZRL + every (run 0-15, size 1-10) symbol at 9 bits.
-# Kraft 2^-2 + 161*2^-9 < 1 and canonical assignment never reaches the
-# all-ones code, so the table is spec-valid; the decoder reads whatever
-# DHT declares, so nothing depends on these being the Annex K tables.
-_JPG_AC_VALS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+# AC: EOB at 2 bits; ZRL, the progressive EOBn symbols (r<<4, r=1..14)
+# and every (run 0-15, size 1-10) symbol at 9 bits. Kraft 2^-2 +
+# 175*2^-9 < 1 and canonical assignment never reaches the all-ones
+# code, so the table is spec-valid; the decoder reads whatever DHT
+# declares, so nothing depends on these being the Annex K tables.
+_JPG_AC_VALS = (
+    [0x00, 0xF0]
+    + [r << 4 for r in range(1, 15)]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
 _JPG_AC_BITS = [0, 1, 0, 0, 0, 0, 0, 0, len(_JPG_AC_VALS) - 1, 0, 0, 0, 0, 0, 0, 0]
 
 
@@ -597,6 +607,331 @@ def encode_jpeg_color(
     )
 
 
+def _ac_trunc(v: int, a: int) -> int:
+    """AC successive-approximation point transform: divide by 2^a
+    truncating TOWARD ZERO (T.81 §G.1.2.2 — unlike DC's arithmetic
+    shift)."""
+    return -((-v) >> a) if v < 0 else v >> a
+
+
+def _emit_ac_first_scan(zzs: list, ss: int, se: int, a: int, ac_codes) -> bytes:
+    """Progressive AC first scan (Ah=0) over zz blocks in scan order:
+    run-length coding of the point-transformed band with EOB-run
+    accumulation across blocks."""
+    bw = _BitWriter()
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            bw.put(code, ln)
+            if r:
+                bw.put(eobrun & ((1 << r) - 1), r)
+        eobrun = 0
+
+    for zz in zzs:
+        vals = [_ac_trunc(zz[k], a) for k in range(ss, se + 1)]
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                bw.put(code, ln)
+                run -= 16
+            s = _dc_category(v)
+            code, ln = ac_codes[(run << 4) | s]
+            bw.put(code, ln)
+            bw.put(v if v >= 0 else v - 1 + (1 << s), s)
+            run = 0
+        if nz[-1] + 1 < len(vals):  # zero tail: this block starts an EOB run
+            eobrun += 1
+    flush_eob()
+    return bw.flush()
+
+
+def _emit_ac_refine_scan(zzs: list, ss: int, se: int, a: int, ac_codes) -> bytes:
+    """Progressive AC refinement scan (Ah=a+1 -> Al=a) — T.81 §G.1.2.3:
+    newly-significant coefficients emit (run, 1)+sign with correction
+    bits for passed nonzero-history positions riding immediately after;
+    EOB runs buffer the covered blocks' correction bits and flush them
+    with the EOBn symbol."""
+    bw = _BitWriter()
+    eobrun = 0
+    pend: list[int] = []
+
+    def hist(v: int) -> int:
+        return abs(v) >> (a + 1)
+
+    def corrbit(v: int) -> int:
+        return (abs(v) >> a) & 1
+
+    def flush_eob() -> None:
+        nonlocal eobrun, pend
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            bw.put(code, ln)
+            if r:
+                bw.put(eobrun & ((1 << r) - 1), r)
+            for bit in pend:
+                bw.put(bit, 1)
+        eobrun = 0
+        pend = []
+
+    for zz in zzs:
+        band = range(ss, se + 1)
+        newly = [k for k in band if hist(zz[k]) == 0 and (abs(zz[k]) >> a) == 1]
+        if not newly:
+            eobrun += 1
+            pend += [corrbit(zz[k]) for k in band if hist(zz[k])]
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        pos = ss
+        for t in newly:
+            while True:
+                zeros = [p for p in range(pos, t) if hist(zz[p]) == 0]
+                if len(zeros) > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL: 16 zero-history skips
+                    bw.put(code, ln)
+                    consumed, p = 0, pos
+                    while consumed < 16:
+                        if hist(zz[p]):
+                            bw.put(corrbit(zz[p]), 1)
+                        else:
+                            consumed += 1
+                        p += 1
+                    pos = p
+                    continue
+                code, ln = ac_codes[(len(zeros) << 4) | 1]
+                bw.put(code, ln)
+                bw.put(1 if zz[t] > 0 else 0, 1)  # sign of the new coefficient
+                for p in range(pos, t):
+                    if hist(zz[p]):
+                        bw.put(corrbit(zz[p]), 1)
+                pos = t + 1
+                break
+        if pos <= se:  # correction-only tail folds into the next EOB run
+            eobrun += 1
+            pend += [corrbit(zz[p]) for p in range(pos, se + 1) if hist(zz[p])]
+    flush_eob()
+    return bw.flush()
+
+
+def encode_jpeg_gray_progressive(
+    px: np.ndarray, ac_bands: tuple = ((1, 5), (6, 63)), al: int = 1
+) -> bytes:
+    """Progressive (SOF2) grayscale encoder — the test counterpart of
+    decode_jpeg's progressive path, emitting the classic scan script:
+    DC first at successive-approximation Al=`al`, DC refinement down to
+    0, then per spectral band an AC first scan at Al=`al` followed by
+    its refinement scan (Ah=Al+1 -> Al), with EOB-run coding and the
+    T.81 §G.1.2.3 correction-bit ordering (bits ride immediately after
+    the symbol whose traversal passes their position; EOB-run bits are
+    buffered and flushed with the EOBn symbol). All-ones quantization,
+    same minimal Huffman tables as the sequential encoder."""
+    h, w = px.shape
+    if not (1 <= h <= 65535 and 1 <= w <= 65535):
+        raise ValueError("encode_jpeg_gray_progressive: dims out of range")
+    h8, w8 = (h + 7) // 8, (w + 7) // 8
+    padded = _pad_plane(px, h8, w8)
+    zzs = []
+    for by in range(h8):
+        for bx in range(w8):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            q = np.rint(_DCT_A @ block @ _DCT_A.T).astype(np.int64)
+            zzs.append([int(q[r, c]) for r, c in _ZIGZAG])
+    dc_codes = _canonical_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_codes = _canonical_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+
+    def emit_dc_first(a: int) -> bytes:
+        bw = _BitWriter()
+        pred = 0
+        for zz in zzs:
+            v = zz[0] >> a  # DC point transform is an ARITHMETIC shift
+            diff = v - pred
+            pred = v
+            s = _dc_category(diff)
+            code, ln = dc_codes[s]
+            bw.put(code, ln)
+            if s:
+                bw.put(diff if diff >= 0 else diff - 1 + (1 << s), s)
+        return bw.flush()
+
+    def emit_dc_refine(a: int) -> bytes:
+        bw = _BitWriter()
+        for zz in zzs:
+            bw.put((zz[0] >> a) & 1, 1)
+        return bw.flush()
+
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def sos(ss: int, se: int, ah: int, a: int) -> bytes:
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | a]))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + bytes(64 * [1]))
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(
+        0xC4,
+        b"\x00" + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)
+        + b"\x10" + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS),
+    )
+    out += sos(0, 0, 0, al) + emit_dc_first(al)
+    for a in range(al - 1, -1, -1):
+        out += sos(0, 0, a + 1, a) + emit_dc_refine(a)
+    for ss, se in ac_bands:
+        out += sos(ss, se, 0, al) + _emit_ac_first_scan(zzs, ss, se, al, ac_codes)
+    for a in range(al - 1, -1, -1):
+        for ss, se in ac_bands:
+            out += sos(ss, se, a + 1, a) + _emit_ac_refine_scan(zzs, ss, se, a, ac_codes)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_color_progressive(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    sampling: tuple[int, int] = (1, 1),
+    ac_bands: tuple = ((1, 5), (6, 63)),
+    al: int = 1,
+) -> bytes:
+    """Progressive 3-component YCbCr encoder: one INTERLEAVED DC first
+    scan (MCU order, per-component predictors) + DC refinements, then
+    per-COMPONENT AC band scans (progressive AC scans are
+    non-interleaved by spec, walking the component's TRUE block grid —
+    interleaved-padding blocks carry DC only, exactly what a real
+    progressive stream does). Inputs as encode_jpeg_color: full-res Y,
+    chroma planes pre-subsampled by `sampling`."""
+    h, w = y.shape
+    sh, sv = sampling
+    ch, cw = (h + sv - 1) // sv, (w + sh - 1) // sh
+    if cb.shape != (ch, cw) or cr.shape != (ch, cw):
+        raise ValueError(f"encode_jpeg_color_progressive: chroma planes must be {(ch, cw)}")
+    mcux = (w + 8 * sh - 1) // (8 * sh)
+    mcuy = (h + 8 * sv - 1) // (8 * sv)
+    dc_codes = _canonical_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_codes = _canonical_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+
+    def zz_grid(plane: np.ndarray, bh: int, bw_: int) -> list:
+        padded = _pad_plane(plane, bh, bw_)
+        grid = []
+        for by in range(bh):
+            for bx in range(bw_):
+                block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                q = np.rint(_DCT_A @ block @ _DCT_A.T).astype(np.int64)
+                grid.append([int(q[r, c]) for r, c in _ZIGZAG])
+        return grid
+
+    comps = [
+        {
+            "zz": zz_grid(y, mcuy * sv, mcux * sh), "h": sh, "v": sv,
+            "bw": mcux * sh,
+            "nbx": (w * sh + 8 * sh - 1) // (8 * sh), "nby": (h * sv + 8 * sv - 1) // (8 * sv),
+        },
+        {
+            "zz": zz_grid(cb, mcuy, mcux), "h": 1, "v": 1, "bw": mcux,
+            "nbx": (cw + 7) // 8, "nby": (ch + 7) // 8,
+        },
+        {
+            "zz": zz_grid(cr, mcuy, mcux), "h": 1, "v": 1, "bw": mcux,
+            "nbx": (cw + 7) // 8, "nby": (ch + 7) // 8,
+        },
+    ]
+    # Y's true block dims against max sampling: component width in
+    # samples is ceil(w * h_c / max_h) = w (Y IS the max), so nbx/nby
+    # reduce to ceil(w/8), ceil(h/8)
+    comps[0]["nbx"] = (w + 7) // 8
+    comps[0]["nby"] = (h + 7) // 8
+
+    def mcu_blocks():
+        for mcu in range(mcuy * mcux):
+            myi, mxi = divmod(mcu, mcux)
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        yield c, (myi * c["v"] + by) * c["bw"] + (mxi * c["h"] + bx)
+
+    def emit_dc_first(a: int) -> bytes:
+        bw = _BitWriter()
+        preds = {id(c): 0 for c in comps}
+        for c, n in mcu_blocks():
+            v = c["zz"][n][0] >> a  # DC point transform: arithmetic shift
+            diff = v - preds[id(c)]
+            preds[id(c)] = v
+            s = _dc_category(diff)
+            code, ln = dc_codes[s]
+            bw.put(code, ln)
+            if s:
+                bw.put(diff if diff >= 0 else diff - 1 + (1 << s), s)
+        return bw.flush()
+
+    def emit_dc_refine(a: int) -> bytes:
+        bw = _BitWriter()
+        for c, n in mcu_blocks():
+            bw.put((c["zz"][n][0] >> a) & 1, 1)
+        return bw.flush()
+
+    def comp_scan_order(c: dict) -> list:
+        return [c["zz"][by * c["bw"] + bx] for by in range(c["nby"]) for bx in range(c["nbx"])]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def sos_hdr(comp_ids: list[int], ss: int, se: int, ah: int, a: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | a]))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + bytes(64 * [1]))
+    out += seg(
+        0xC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (sh << 4) | sv, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += seg(
+        0xC4,
+        b"\x00" + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)
+        + b"\x10" + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS),
+    )
+    out += sos_hdr([1, 2, 3], 0, 0, 0, al) + emit_dc_first(al)
+    for a in range(al - 1, -1, -1):
+        out += sos_hdr([1, 2, 3], 0, 0, a + 1, a) + emit_dc_refine(a)
+    for ci, c in enumerate(comps):
+        order = comp_scan_order(c)
+        for ss, se in ac_bands:
+            out += sos_hdr([ci + 1], ss, se, 0, al) + _emit_ac_first_scan(
+                order, ss, se, al, ac_codes
+            )
+    for a in range(al - 1, -1, -1):
+        for ci, c in enumerate(comps):
+            order = comp_scan_order(c)
+            for ss, se in ac_bands:
+                out += sos_hdr([ci + 1], ss, se, a + 1, a) + _emit_ac_refine_scan(
+                    order, ss, se, a, ac_codes
+                )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def jpeg_bytes(width: int, height: int, fill: int) -> bytes:
     """Fixture JPEG: 8-row constant bands — row r has value
     (fill + 8*(r//8)) % 256 — so every 8x8 block is constant and the
@@ -678,17 +1013,19 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """REAL baseline JPEG pixel decode with no codec library: marker
-    walk -> DQT/DHT/SOF0/SOF1/DRI/SOS parse -> Huffman entropy decode
-    (byte unstuffing, restart resync, interleaved MCUs) -> dequantize ->
-    de-zigzag -> one vectorized IDCT matmul per component -> level
-    shift, returning an (h, w) uint8 matrix for grayscale or an
-    (h, w, 3) RGB matrix for 3-component YCbCr (JFIF full-range BT.601
-    conversion; chroma subsampling — 4:4:4 / 4:2:2 / 4:2:0 and any
-    integer-divisor factors — upsampled by replication). Out of scope,
-    raising rather than mis-decoding (degrades to NULL rows through
-    try_decode_image; dims still real via the SOF sniffer): progressive
-    (SOF2), 12-bit precision, non-interleaved multi-scan sequential.
+    """REAL JPEG pixel decode with no codec library — sequential AND
+    progressive: marker walk -> DQT/DHT/SOF/DRI/SOS parse -> Huffman
+    entropy decode per scan (byte unstuffing, restart resync,
+    interleaved MCUs; progressive spectral selection + successive
+    approximation with EOB-run and refinement-bit semantics per
+    T.81 §G.2) -> dequantize -> de-zigzag -> one vectorized IDCT matmul
+    per component -> level shift, returning an (h, w) uint8 matrix for
+    grayscale or an (h, w, 3) RGB matrix for 3-component YCbCr (JFIF
+    full-range BT.601 conversion; chroma subsampling — 4:4:4 / 4:2:2 /
+    4:2:0 and any integer-divisor factors — upsampled by replication).
+    Out of scope, raising rather than mis-decoding (degrades to NULL
+    rows through try_decode_image; dims still real via the SOF
+    sniffer): 12-bit precision, arithmetic coding, hierarchical mode.
     Reference delegates pixel decode to its docling/PIL stack; this is
     that capability rebuilt on numpy for the sandbox."""
     if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
@@ -697,18 +1034,201 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     qts: dict[int, np.ndarray] = {}
     hts: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
+    progressive = False
     dri = 0
-    scan_at = None
-    while i + 4 <= len(b):
+    comps: list[dict] = []
+    mcux = mcuy = max_h = max_v = 0
+
+    def init_frame() -> None:
+        nonlocal mcux, mcuy, max_h, max_v
+        fh, fw = frame
+        max_h = max(c["h"] for c in comps)
+        max_v = max(c["v"] for c in comps)
+        for c in comps:
+            if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+                raise ValueError("decode_jpeg: sampling factor out of range")
+            if max_h % c["h"] or max_v % c["v"]:
+                # replication upsampling needs integer ratios (true of
+                # every real-world sampling: 4:4:4, 4:2:2, 4:2:0, 4:1:1)
+                raise ValueError("decode_jpeg: non-integer sampling ratio")
+        mcux = (fw + 8 * max_h - 1) // (8 * max_h)
+        mcuy = (fh + 8 * max_v - 1) // (8 * max_v)
+        for c in comps:
+            c["bw"] = mcux * c["h"]   # interleaved (padded) block grid
+            c["bh"] = mcuy * c["v"]
+            # TRUE component block dims (non-interleaved scans use these,
+            # not the interleaved padding — the classic progressive trap)
+            c["nbx"] = (fw * c["h"] + 8 * max_h - 1) // (8 * max_h)
+            c["nby"] = (fh * c["v"] + 8 * max_v - 1) // (8 * max_v)
+            c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+
+    def decode_scan(scan_comps: list[dict], tabs, at: int, ss: int, se: int,
+                    ah: int, al: int) -> int:
+        """Entropy-decode one scan starting at byte `at`; returns the
+        byte offset just past the scan's entropy data. scan_comps in
+        scan order; tabs[cid] = (dc_id, ac_id)."""
+        br = _BitReader(b, at)
+        for c in scan_comps:
+            c["pred"] = 0
+        eobrun = 0
+        interleaved = len(scan_comps) > 1
+
+        def units() -> list[list[tuple[dict, int]]]:
+            """Restart units: each inner list is one MCU (interleaved)
+            or one block (non-interleaved) as (comp, coef_index)."""
+            out = []
+            if interleaved:
+                for mcu in range(mcuy * mcux):
+                    myi, mxi = divmod(mcu, mcux)
+                    blocks = []
+                    for c in scan_comps:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                n = (myi * c["v"] + by) * c["bw"] + (mxi * c["h"] + bx)
+                                blocks.append((c, n))
+                    out.append(blocks)
+            else:
+                c = scan_comps[0]
+                for by in range(c["nby"]):
+                    for bx in range(c["nbx"]):
+                        out.append([(c, by * c["bw"] + bx)])
+            return out
+
+        def dc_first(c: dict, row: np.ndarray) -> None:
+            s = br.huff(c["dct"])
+            diff = _extend(br.bits(s), s) if s else 0
+            c["pred"] += diff
+            row[0] = c["pred"] << al
+
+        def dc_refine(row: np.ndarray) -> None:
+            if br.bits(1):
+                row[0] |= 1 << al
+
+        def ac_first(c: dict, row: np.ndarray) -> None:
+            nonlocal eobrun
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = br.huff(c["act"])
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r < 15:   # EOBn: run of (1<<r)-1+bits more EOB blocks
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        return
+                    k += 16      # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("decode_jpeg: AC index overflow")
+                row[k] = _extend(br.bits(s), s) << al
+                k += 1
+
+        p1 = 1 << al
+        m1 = -1 << al
+
+        def refine_nonzero(row: np.ndarray, k: int) -> None:
+            if br.bits(1) and (row[k] & p1) == 0:
+                row[k] += p1 if row[k] > 0 else m1
+
+        def ac_refine(c: dict, row: np.ndarray) -> None:
+            """T.81 §G.1.2.3 AC successive-approximation refinement:
+            correction bits interleave with newly-significant +-1<<al
+            placements; EOB runs carry correction bits for the whole
+            remaining band."""
+            nonlocal eobrun
+            if eobrun > 0:
+                eobrun -= 1
+                for k in range(ss, se + 1):
+                    if row[k]:
+                        refine_nonzero(row, k)
+                return
+            k = ss
+            while k <= se:
+                rs = br.huff(c["act"])
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        while k <= se:
+                            if row[k]:
+                                refine_nonzero(row, k)
+                            k += 1
+                        return
+                    val = 0      # ZRL: pass 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("decode_jpeg: bad AC refinement size")
+                    val = p1 if br.bits(1) else m1
+                while k <= se:
+                    if row[k]:
+                        refine_nonzero(row, k)
+                    else:
+                        if r == 0:
+                            if val:
+                                row[k] = val
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+
+        us = units()
+        for n, unit in enumerate(us):
+            if dri and n and n % dri == 0:
+                br.align_to_marker()
+                for c in scan_comps:
+                    c["pred"] = 0
+                eobrun = 0
+            for c, idx in unit:
+                row = c["coef"][idx]
+                if not progressive:
+                    # sequential: DC + full AC band in one pass
+                    dc_first(c, row)
+                    k = 1
+                    while k <= 63:
+                        rs = br.huff(c["act"])
+                        if rs == 0x00:
+                            break
+                        if rs == 0xF0:
+                            k += 16
+                            continue
+                        r, s = rs >> 4, rs & 0x0F
+                        k += r
+                        if k > 63 or s == 0:
+                            raise ValueError("decode_jpeg: AC index overflow")
+                        row[k] = _extend(br.bits(s), s)
+                        k += 1
+                elif ss == 0:
+                    dc_first(c, row) if ah == 0 else dc_refine(row)
+                else:
+                    ac_first(c, row) if ah == 0 else ac_refine(c, row)
+        # skip pad bits / trailing RST, land on the next marker
+        j = br.pos
+        while j + 1 < len(b) and not (
+            b[j] == 0xFF and b[j + 1] != 0x00 and not (0xD0 <= b[j + 1] <= 0xD7)
+        ):
+            j += 1
+        return j
+
+    while i + 2 <= len(b):
         if b[i] != 0xFF:
             raise ValueError("decode_jpeg: marker desync")
         m = b[i + 1]
         if m == 0xFF:  # fill byte
             i += 1
             continue
-        if m in (0x01,) or 0xD0 <= m <= 0xD9:
+        if m == 0xD9:  # EOI
+            break
+        if m in (0x01,) or 0xD0 <= m <= 0xD8:
             i += 2
             continue
+        if i + 4 > len(b):
+            raise ValueError("decode_jpeg: truncated marker")
         ln = int.from_bytes(b[i + 2 : i + 4], "big")
         data = b[i + 4 : i + 2 + ln]
         if len(data) != ln - 2:
@@ -729,7 +1249,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 )
                 qts[tid] = vals
                 j += n
-        elif m == 0xC4:  # DHT (possibly several tables per segment)
+        elif m == 0xC4:  # DHT (possibly several tables; redefinable per scan)
             j = 0
             while j + 17 <= len(data):
                 cls, tid = data[j] >> 4, data[j] & 0x0F
@@ -748,7 +1268,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                     code <<= 1
                 hts[(cls, tid)] = dec
                 j += 17 + nv
-        elif m in (0xC0, 0xC1):  # baseline / extended sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # sequential / progressive frames
+            progressive = m == 0xC2
             prec, fh, fw, nc = struct.unpack(">BHHB", data[:6])
             if prec != 8:
                 raise ValueError("decode_jpeg: only 8-bit precision")
@@ -758,82 +1279,69 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, samp, qid = data[6 + 3 * c], data[7 + 3 * c], data[8 + 3 * c]
                 comps.append({"cid": cid, "h": samp >> 4, "v": samp & 0x0F, "qid": qid})
-            frame = (fh, fw, comps)
-        elif m == 0xC2:
-            raise ValueError("decode_jpeg: progressive not supported")
+            frame = (fh, fw)
+            init_frame()
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("decode_jpeg: unsupported frame type")
         elif m == 0xDD:
             dri = int.from_bytes(data[:2], "big")
-        elif m == 0xDA:  # SOS
+        elif m == 0xDA:  # SOS — decode this scan's entropy data inline
+            if frame is None:
+                raise ValueError("decode_jpeg: SOS before SOF")
             ns = data[0]
-            scan_tabs: dict[int, tuple[int, int]] = {}
+            tabs: dict[int, tuple[int, int]] = {}
+            order: list[int] = []
             for c in range(ns):
                 cid, tt = data[1 + 2 * c], data[2 + 2 * c]
-                scan_tabs[cid] = (tt >> 4, tt & 0x0F)
-            scan_at = i + 2 + ln
-            break
+                tabs[cid] = (tt >> 4, tt & 0x0F)
+                order.append(cid)
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            ahl = data[3 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 0x0F
+            if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("decode_jpeg: banded scan in sequential frame")
+            if progressive:
+                # T.81 §G.1: a DC scan is exactly (0, 0); AC bands live
+                # in 1..63; refinement steps one bit at a time. Anything
+                # else would mis-decode silently — refuse instead.
+                if not ((ss == 0 and se == 0) or (1 <= ss <= se <= 63)):
+                    raise ValueError("decode_jpeg: bad spectral selection")
+                if ah not in (0, al + 1) or al > 13:
+                    raise ValueError("decode_jpeg: bad successive approximation")
+            by_cid = {c["cid"]: c for c in comps}
+            scan_comps = []
+            for cid in order:
+                c = by_cid.get(cid)
+                if c is None:
+                    raise ValueError("decode_jpeg: scan names unknown component")
+                c["dct"] = hts.get((0, tabs[cid][0]))
+                c["act"] = hts.get((1, tabs[cid][1]))
+                # DC-only scans need no AC table and vice versa
+                if (ss == 0 and ah == 0 and c["dct"] is None) or (
+                    (not progressive or ss > 0) and c["act"] is None
+                ):
+                    raise ValueError("decode_jpeg: missing DHT tables")
+                scan_comps.append(c)
+            if progressive and ss > 0 and len(scan_comps) != 1:
+                raise ValueError("decode_jpeg: progressive AC scans are per-component")
+            if not progressive and len(scan_comps) != len(comps):
+                raise ValueError(
+                    "decode_jpeg: only one interleaved scan over all components"
+                )
+            i = decode_scan(scan_comps, tabs, i + 2 + ln, ss, se, ah, al)
+            continue
         i += 2 + ln
-    if frame is None or scan_at is None:
+    if frame is None:
         raise ValueError("decode_jpeg: missing SOF/SOS")
-    fh, fw, comps = frame
+    fh, fw = frame
     if fh < 1 or fw < 1:
         raise ValueError("decode_jpeg: dims out of range")
-    if len(scan_tabs) != len(comps) or any(c["cid"] not in scan_tabs for c in comps):
-        # the single interleaved scan covering every frame component is
-        # the baseline shape; sequential multi-scan streams are out of
-        # scope alongside progressive
-        raise ValueError("decode_jpeg: only one interleaved scan over all components")
-    max_h = max(c["h"] for c in comps)
-    max_v = max(c["v"] for c in comps)
     for c in comps:
-        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
-            raise ValueError("decode_jpeg: sampling factor out of range")
-        if max_h % c["h"] or max_v % c["v"]:
-            # replication upsampling needs integer ratios (true of every
-            # real-world sampling: 4:4:4, 4:2:2, 4:2:0, 4:1:1)
-            raise ValueError("decode_jpeg: non-integer sampling ratio")
         c["qtab"] = qts.get(c["qid"])
-        c["dct"] = hts.get((0, scan_tabs[c["cid"]][0]))
-        c["act"] = hts.get((1, scan_tabs[c["cid"]][1]))
-        if c["qtab"] is None or c["dct"] is None or c["act"] is None:
-            raise ValueError("decode_jpeg: missing DQT/DHT tables")
-
-    mcux = (fw + 8 * max_h - 1) // (8 * max_h)
-    mcuy = (fh + 8 * max_v - 1) // (8 * max_v)
-    for c in comps:
-        c["bw"] = mcux * c["h"]  # component block-grid width
-        c["bh"] = mcuy * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
-        c["pred"] = 0
-    br = _BitReader(b, scan_at)
-    for mcu in range(mcuy * mcux):
-        if dri and mcu and mcu % dri == 0:
-            br.align_to_marker()
-            for c in comps:
-                c["pred"] = 0
-        myi, mxi = divmod(mcu, mcux)
-        for c in comps:
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    n = (myi * c["v"] + by) * c["bw"] + (mxi * c["h"] + bx)
-                    row = c["coef"][n]
-                    s = br.huff(c["dct"])
-                    diff = _extend(br.bits(s), s) if s else 0
-                    c["pred"] += diff
-                    row[0] = c["pred"]
-                    k = 1
-                    while k < 64:
-                        rs = br.huff(c["act"])
-                        if rs == 0x00:  # EOB
-                            break
-                        if rs == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        run, size = rs >> 4, rs & 0x0F
-                        k += run
-                        if k > 63 or size == 0:
-                            raise ValueError("decode_jpeg: AC index overflow")
-                        row[k] = _extend(br.bits(size), size)
-                        k += 1
+        if c["qtab"] is None:
+            raise ValueError("decode_jpeg: missing DQT table")
+        if "coef" not in c:
+            raise ValueError("decode_jpeg: no scan decoded")
 
     def plane_of(c: dict) -> np.ndarray:
         # dequantize (zigzag domain), de-zigzag, one IDCT matmul for the
@@ -877,9 +1385,9 @@ def try_decode_jpeg(b: bytes) -> np.ndarray | None:
 def try_decode_image(b: bytes) -> np.ndarray | None:
     """Container dispatch for the pixel-decode operators: PNG first (the
     dominant fixture share), then baseline JPEG (grayscale or color);
-    None when neither decoder can handle the bytes (progressive JPEG,
-    odd bit depth, truncated payloads) — the callers' degrade-to-NULL
-    contract."""
+    None when neither decoder can handle the bytes (12-bit or
+    arithmetic-coded JPEG, odd bit depth, truncated payloads) — the
+    callers' degrade-to-NULL contract."""
     if b[:8] == PNG_SIG:
         return try_decode_png(b)
     if b[:2] == b"\xff\xd8":
@@ -1152,11 +1660,11 @@ def extract_media_metadata(
     additionally inflates image payloads and reports the true pixel mean
     (decode_png) — off by default so the metadata pass stays header-only
     at scale. Pixel decode dispatches by container (PNG inflate+filter
-    inversion, baseline-JPEG Huffman+IDCT incl. color — both real, no
-    codec lib); an undecodable payload (progressive JPEG, odd bit
-    depth, truncated bytes) degrades to NULL pixel-derived fields
-    row-locally — dims still come from the sniffer, and one bad payload
-    never fails the job."""
+    inversion, JPEG Huffman+IDCT incl. color and progressive — both
+    real, no codec lib); an undecodable payload (12-bit or
+    arithmetic-coded JPEG, odd bit depth, truncated bytes) degrades to
+    NULL pixel-derived fields row-locally — dims still come from the
+    sniffer, and one bad payload never fails the job."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1183,11 +1691,11 @@ def extract_media_metadata(
             px_cache: dict[int, np.ndarray] = {}
             if decode_pixels or with_features:
                 for i in np.nonzero(is_img)[0]:
-                    # undecodable image (progressive JPEG — dims still
-                    # real via the SOF sniffer above — odd bit depth,
-                    # truncated or corrupt bytes): degrade THIS row's
-                    # pixel-derived fields to NULL instead of failing
-                    # the task; mirrors the sniffer's -1 -> NULL
+                    # undecodable image (12-bit/arithmetic JPEG — dims
+                    # still real via the SOF sniffer above — odd bit
+                    # depth, truncated or corrupt bytes): degrade THIS
+                    # row's pixel-derived fields to NULL instead of
+                    # failing the task; mirrors the sniffer's -1 -> NULL
                     px = try_decode_image(blobs[int(i)])
                     if px is not None:
                         px_cache[int(i)] = px
@@ -1262,9 +1770,9 @@ def media_meta_sql_equivalent(docs: DataFrame) -> DataFrame:
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
-        # nullable: a payload neither decoder handles (progressive
-        # JPEG, odd bit depth, truncated bytes) degrades that ROW to
-        # NULL outputs — one bad row must never fail the task/job
+        # nullable: a payload neither decoder handles (12-bit or
+        # arithmetic-coded JPEG, odd bit depth, truncated bytes)
+        # degrades that ROW to NULL outputs — never fails the task/job
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("out_width", T.IntegerType(), True),
@@ -1285,10 +1793,11 @@ def resize_images(media: DataFrame, target_w: int = 64) -> DataFrame:
     (thumb_mean — the decode-path value a SQL oracle predicts from the
     planted gradient). mapInPandas batch shape, filter-before-decode
     (only image rows ever inflate), and the typed output schema are the
-    engine surface. Decode dispatches by container (PNG or baseline
-    JPEG incl. color); a payload neither decoder handles (progressive
-    JPEG — whose DIMS the SOF walk still sniffs — odd bit depth,
-    truncated bytes) degrades that row to NULL resize outputs, mirroring
+    engine surface. Decode dispatches by container (PNG or JPEG incl.
+    color and progressive); a payload neither decoder handles (12-bit
+    or arithmetic-coded JPEG — whose DIMS the SOF walk still sniffs —
+    odd bit depth, truncated bytes) degrades that row to NULL resize
+    outputs, mirroring
     the sniffer's own -1 -> NULL rule: a single undecodable image in a
     billion-row media table must cost one NULL row, not the job."""
 

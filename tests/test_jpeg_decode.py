@@ -172,13 +172,64 @@ def test_color_through_resize_operator(spark):
     assert len(set(exp[0, 0].tolist())) == 3
 
 
+def test_progressive_bit_identical_to_sequential():
+    """Progressive decode (DC successive approximation + per-band AC
+    first/refinement scans with EOB runs and correction bits) must
+    reconstruct the EXACT coefficients of the sequential stream — the
+    IDCT outputs are therefore bit-identical, across refinement depths
+    and band splits."""
+    from docling_nlp_api_spark.operators.multimodal import encode_jpeg_gray_progressive
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (50, 60)).astype(np.uint8)
+    seq = decode_jpeg(encode_jpeg_gray(img))
+    assert (decode_jpeg(encode_jpeg_gray_progressive(img)) == seq).all()
+    assert (decode_jpeg(encode_jpeg_gray_progressive(img, al=2)) == seq).all()
+    assert (
+        decode_jpeg(
+            encode_jpeg_gray_progressive(img, ac_bands=((1, 1), (2, 9), (10, 35), (36, 63)))
+        )
+        == seq
+    ).all()
+    # sparse content drives long EOB runs (many all-zero high bands)
+    smooth = np.tile(np.arange(64, dtype=np.uint8).repeat(4)[:200], (48, 1))
+    assert (
+        decode_jpeg(encode_jpeg_gray_progressive(smooth))
+        == decode_jpeg(encode_jpeg_gray(smooth))
+    ).all()
+
+
+@pytest.mark.parametrize("sh,sv", [(1, 1), (2, 2), (2, 1)])
+def test_color_progressive_bit_identical(sh, sv):
+    """Color progressive (interleaved DC scans + per-component AC band
+    scans over the component's TRUE block grid — the non-interleaved
+    subtlety) reconstructs exactly the sequential stream's output,
+    subsampled chroma included."""
+    from docling_nlp_api_spark.operators.multimodal import (
+        encode_jpeg_color,
+        encode_jpeg_color_progressive,
+    )
+
+    rng = np.random.RandomState(31)
+    h, w = 37, 45
+    ch, cw = (h + sv - 1) // sv, (w + sh - 1) // sh
+    y = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    cb = rng.randint(0, 256, (ch, cw)).astype(np.uint8)
+    cr = rng.randint(0, 256, (ch, cw)).astype(np.uint8)
+    seq = decode_jpeg(encode_jpeg_color(y, cb, cr, (sh, sv)))
+    prog = decode_jpeg(encode_jpeg_color_progressive(y, cb, cr, (sh, sv)))
+    assert (seq == prog).all()
+
+
 def test_degrade_contracts():
     good = jpeg_bytes(32, 40, 7)
     assert try_decode_jpeg(good[:30]) is None         # truncated mid-header
     assert try_decode_jpeg(good[:-20]) is None        # truncated entropy data
     assert try_decode_jpeg(b"\xff\xd8\xff\xee\x00\x04ad") is None  # no SOF/SOS
     assert try_decode_image(b"notanimage") is None
-    # progressive flag (SOF2) raises -> None through the try path
+    # flipping a sequential frame's marker to SOF2 makes its (0,63)
+    # full-band scan ILLEGAL progressive spectral selection — must
+    # refuse (None), never silently mis-decode
     prog = bytearray(good)
     sof_at = prog.find(b"\xff\xc0")
     prog[sof_at + 1] = 0xC2
