@@ -228,55 +228,19 @@ def sniff_image_dims(payloads) -> tuple[np.ndarray, np.ndarray]:
     return w, h
 
 
-def decode_png(b: bytes) -> np.ndarray:
-    """REAL PNG pixel decode with no codec library: chunk walk -> IDAT
-    concat -> zlib inflate -> inverse scanline filtering (bpp-aware),
-    returning (h, w) uint8 for grayscale and (h, w, 3) for color. Scope:
-    8-bit non-interlaced, all five color types — grayscale (0), RGB (2),
-    palette (3, PLTE lookup), gray+alpha (4) and RGBA (6); the alpha
-    channel is dropped after unfiltering (the pixel operators consume
-    opaque sample planes). 16-bit depth and Adam7 interlacing raise
-    rather than mis-decode.
+# Adam7 pass lattice: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Filter inversion (PNG spec §6): None and Up are vectorized per row;
-    Sub is a per-channel prefix sum mod 256 (reshape to (w, bpp), cumsum
-    along x — the left neighbour sits bpp bytes back); Average and Paeth
-    carry a left-neighbour dependency so they run per-byte — correct
-    first, and absent from the fixture's hot path (pytest covers them
-    via an independent forward-filter encoder for every color type)."""
-    if b[:8] != PNG_SIG:
-        raise ValueError("decode_png: not a PNG")
-    i, w = 8, None
-    idat = []
-    plte = None
-    while i + 8 <= len(b):
-        ln = int.from_bytes(b[i : i + 4], "big")
-        tag = b[i + 4 : i + 8]
-        data = b[i + 8 : i + 8 + ln]
-        if tag == b"IHDR":
-            w, h, depth, ctype, comp, filt, ilace = struct.unpack(">IIBBBBB", data)
-            if depth != 8 or comp != 0 or filt != 0 or ilace != 0:
-                raise ValueError("decode_png: only 8-bit non-interlaced")
-            if ctype not in (0, 2, 3, 4, 6):
-                raise ValueError(f"decode_png: bad color type {ctype}")
-            if w == 0 or h == 0 or w >= 1 << 31 or h >= 1 << 31:
-                raise ValueError("decode_png: dims out of spec range")
-        elif tag == b"PLTE":
-            if ln % 3:
-                raise ValueError("decode_png: bad PLTE length")
-            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        elif tag == b"IDAT":
-            idat.append(data)
-        elif tag == b"IEND":
-            break
-        i += 12 + ln
-    if w is None or not idat:
-        raise ValueError("decode_png: missing IHDR/IDAT")
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
+    """Invert PNG scanline filters over an (h, w*bpp+1) byte grid (spec
+    §6; the left neighbour sits bpp bytes back). Returns (h, w*bpp)
+    uint8. None/Up vectorize per row, Sub is a per-channel cumsum;
+    Average/Paeth run per byte."""
     stride = w * bpp
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if raw.size != h * (stride + 1):
-        raise ValueError("decode_png: scanline size mismatch")
     raw = raw.reshape(h, stride + 1)
     ftypes, rows = raw[:, 0], raw[:, 1:].astype(np.int64)
     out = np.zeros((h, stride), dtype=np.int64)
@@ -308,7 +272,80 @@ def decode_png(b: bytes) -> np.ndarray:
             raise ValueError(f"decode_png: bad filter type {f}")
         out[r] = rec
         prev = rec
-    px = out.astype(np.uint8).reshape(h, w, bpp)
+    return out.astype(np.uint8)
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """REAL PNG pixel decode with no codec library: chunk walk -> IDAT
+    concat -> zlib inflate -> inverse scanline filtering (bpp-aware),
+    returning (h, w) uint8 for grayscale and (h, w, 3) for color. Scope:
+    8-bit, all five color types — grayscale (0), RGB (2), palette (3,
+    PLTE lookup), gray+alpha (4) and RGBA (6) — both non-interlaced and
+    Adam7-interlaced (seven independently-filtered sub-images scattered
+    back by the spec lattice); the alpha channel is dropped after
+    unfiltering (the pixel operators consume opaque sample planes).
+    16-bit depth raises rather than mis-decodes.
+
+    Filter inversion (PNG spec §6): None and Up are vectorized per row;
+    Sub is a per-channel prefix sum mod 256 (reshape to (w, bpp), cumsum
+    along x — the left neighbour sits bpp bytes back); Average and Paeth
+    carry a left-neighbour dependency so they run per-byte — correct
+    first, and absent from the fixture's hot path (pytest covers them
+    via an independent forward-filter encoder for every color type)."""
+    if b[:8] != PNG_SIG:
+        raise ValueError("decode_png: not a PNG")
+    i, w = 8, None
+    idat = []
+    plte = None
+    while i + 8 <= len(b):
+        ln = int.from_bytes(b[i : i + 4], "big")
+        tag = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, ilace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or comp != 0 or filt != 0 or ilace not in (0, 1):
+                raise ValueError("decode_png: only 8-bit, filter method 0")
+            if ctype not in (0, 2, 3, 4, 6):
+                raise ValueError(f"decode_png: bad color type {ctype}")
+            if w == 0 or h == 0 or w >= 1 << 31 or h >= 1 << 31:
+                raise ValueError("decode_png: dims out of spec range")
+        elif tag == b"PLTE":
+            if ln % 3:
+                raise ValueError("decode_png: bad PLTE length")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        i += 12 + ln
+    if w is None or not idat:
+        raise ValueError("decode_png: missing IHDR/IDAT")
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if ilace == 0:
+        if raw.size != h * (w * bpp + 1):
+            raise ValueError("decode_png: scanline size mismatch")
+        px = _png_unfilter(raw, h, w, bpp).reshape(h, w, bpp)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered back
+        # by the spec's fixed offset/stride lattice; empty passes carry
+        # no bytes at all (not even filter bytes)
+        px = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            n = ph * (pw * bpp + 1)
+            chunk_ = raw[off : off + n]
+            if chunk_.size != n:
+                raise ValueError("decode_png: interlaced scanline size mismatch")
+            off += n
+            sub = _png_unfilter(chunk_, ph, pw, bpp).reshape(ph, pw, bpp)
+            px[y0::dy, x0::dx] = sub
+        if off != raw.size:
+            raise ValueError("decode_png: trailing interlaced data")
     if ctype == 0:
         return px[:, :, 0]
     if ctype == 2:

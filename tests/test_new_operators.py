@@ -281,6 +281,66 @@ def test_png_decode_color_types():
         decode_png(encode(idx, 3))
 
 
+def test_png_decode_adam7_interlaced():
+    """Adam7-interlaced PNGs decode exactly: seven independently
+    filtered sub-images scattered by the spec lattice, degenerate
+    shapes (some passes empty) included. The forward encoder is
+    independent of the decoder and cycles every filter type."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from docling_nlp_api_spark.operators.multimodal import _ADAM7, PNG_SIG, decode_png
+
+    def encode_adam7(px, ctype):
+        h, w, bpp = px.shape
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            flat = sub.reshape(ph, pw * bpp).astype(int)
+            for r in range(ph):
+                ft = r % 5
+                raw.append(ft)
+                for x in range(pw * bpp):
+                    a = flat[r, x - bpp] if x >= bpp else 0
+                    b_ = flat[r - 1, x] if r else 0
+                    c = flat[r - 1, x - bpp] if (r and x >= bpp) else 0
+                    v = flat[r, x]
+                    if ft == 0:
+                        f = v
+                    elif ft == 1:
+                        f = v - a
+                    elif ft == 2:
+                        f = v - b_
+                    elif ft == 3:
+                        f = v - (a + b_) // 2
+                    else:
+                        q = a + b_ - c
+                        pa, pb, pc = abs(q - a), abs(q - b_), abs(q - c)
+                        pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+                        f = v - pred
+                    raw.append(f % 256)
+
+        def chunk(tag, data):
+            return struct.pack(">I", len(data)) + tag + data + struct.pack(
+                ">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)  # interlace = 1
+        return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(bytes(raw))) \
+            + chunk(b"IEND", b"")
+
+    rs = np.random.RandomState(3)
+    for hh, ww in [(13, 17), (8, 8), (1, 1), (3, 20), (33, 2)]:
+        g = rs.randint(0, 256, (hh, ww, 1)).astype(np.uint8)
+        assert (decode_png(encode_adam7(g, 0)) == g[:, :, 0]).all()
+        rgb = rs.randint(0, 256, (hh, ww, 3)).astype(np.uint8)
+        assert (decode_png(encode_adam7(rgb, 2)) == rgb).all()
+
+
 def test_audio_feature_extraction(spark):
     """extract_audio_features decodes the WAV data chunk as real 8-bit
     PCM: ramp ground truth for mean/RMS/peak, NULL degradation for
