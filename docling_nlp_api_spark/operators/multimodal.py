@@ -283,8 +283,10 @@ def decode_png(b: bytes) -> np.ndarray:
     PLTE lookup), gray+alpha (4) and RGBA (6) — both non-interlaced and
     Adam7-interlaced (seven independently-filtered sub-images scattered
     back by the spec lattice); the alpha channel is dropped after
-    unfiltering (the pixel operators consume opaque sample planes).
-    16-bit depth raises rather than mis-decodes.
+    unfiltering (the pixel operators consume opaque sample planes);
+    16-bit samples unfilter at their true 2-byte pixel stride and reduce
+    to the high byte (the standard 8-bit reduction — the operators
+    consume uint8 planes).
 
     Filter inversion (PNG spec §6): None and Up are vectorized per row;
     Sub is a per-channel prefix sum mod 256 (reshape to (w, bpp), cumsum
@@ -303,9 +305,9 @@ def decode_png(b: bytes) -> np.ndarray:
         data = b[i + 8 : i + 8 + ln]
         if tag == b"IHDR":
             w, h, depth, ctype, comp, filt, ilace = struct.unpack(">IIBBBBB", data)
-            if depth != 8 or comp != 0 or filt != 0 or ilace not in (0, 1):
-                raise ValueError("decode_png: only 8-bit, filter method 0")
-            if ctype not in (0, 2, 3, 4, 6):
+            if depth not in (8, 16) or comp != 0 or filt != 0 or ilace not in (0, 1):
+                raise ValueError("decode_png: only 8/16-bit, filter method 0")
+            if ctype not in (0, 2, 3, 4, 6) or (depth == 16 and ctype == 3):
                 raise ValueError(f"decode_png: bad color type {ctype}")
             if w == 0 or h == 0 or w >= 1 << 31 or h >= 1 << 31:
                 raise ValueError("decode_png: dims out of spec range")
@@ -320,7 +322,9 @@ def decode_png(b: bytes) -> np.ndarray:
         i += 12 + ln
     if w is None or not idat:
         raise ValueError("decode_png: missing IHDR/IDAT")
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    # filter bpp is in BYTES: 16-bit samples double it (PNG spec §6 —
+    # the left neighbour sits one whole pixel back)
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype] * (depth // 8)
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     if ilace == 0:
         if raw.size != h * (w * bpp + 1):
@@ -346,6 +350,11 @@ def decode_png(b: bytes) -> np.ndarray:
             px[y0::dy, x0::dx] = sub
         if off != raw.size:
             raise ValueError("decode_png: trailing interlaced data")
+    if depth == 16:
+        # 16-bit samples are big-endian: the HIGH byte is the standard
+        # 8-bit reduction (what thumbnailers keep); the pixel operators
+        # consume uint8 planes
+        px = px.reshape(h, w, bpp // 2, 2)[:, :, :, 0]
     if ctype == 0:
         return px[:, :, 0]
     if ctype == 2:

@@ -281,6 +281,54 @@ def test_png_decode_color_types():
         decode_png(encode(idx, 3))
 
 
+def test_png_decode_16bit_high_byte_reduction():
+    """16-bit PNGs unfilter at their true 2-byte pixel stride (Sub/Up
+    left neighbour one whole pixel back) and reduce to the high byte —
+    the standard 8-bit reduction the pixel operators consume."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from docling_nlp_api_spark.operators.multimodal import PNG_SIG, decode_png
+
+    def encode16(samples16, ctype):
+        h, w, nch = samples16.shape
+        arr = np.frombuffer(
+            samples16.astype(">u2").tobytes(), dtype=np.uint8
+        ).reshape(h, w * nch * 2).astype(int)
+        bpp = nch * 2
+        raw = bytearray()
+        prev = np.zeros(w * nch * 2, dtype=int)
+        for r in range(h):
+            ft = 2 if r else 1  # Sub on row 0, Up after — bpp-aware paths
+            raw.append(ft)
+            row = arr[r]
+            if ft == 1:
+                out = []
+                for x in range(len(row)):
+                    a = row[x - bpp] if x >= bpp else 0
+                    out.append((row[x] - a) % 256)
+                raw += bytes(out)
+            else:
+                raw += bytes(((row - prev) % 256).astype(np.uint8))
+            prev = row
+
+        def chunk(tag, data):
+            return struct.pack(">I", len(data)) + tag + data + struct.pack(
+                ">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, 0)
+        return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(bytes(raw))) \
+            + chunk(b"IEND", b"")
+
+    rs = np.random.RandomState(5)
+    g16 = rs.randint(0, 65536, (11, 9, 1)).astype(np.uint16)
+    assert (decode_png(encode16(g16, 0)) == (g16[:, :, 0] >> 8).astype(np.uint8)).all()
+    rgb16 = rs.randint(0, 65536, (7, 12, 3)).astype(np.uint16)
+    assert (decode_png(encode16(rgb16, 2)) == (rgb16 >> 8).astype(np.uint8)).all()
+
+
 def test_png_decode_adam7_interlaced():
     """Adam7-interlaced PNGs decode exactly: seven independently
     filtered sub-images scattered by the spec lattice, degenerate
