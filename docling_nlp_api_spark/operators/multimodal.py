@@ -660,11 +660,16 @@ def _ac_trunc(v: int, a: int) -> int:
     return -((-v) >> a) if v < 0 else v >> a
 
 
-def _emit_ac_first_scan(zzs: list, ss: int, se: int, a: int, ac_codes) -> bytes:
+def _emit_ac_first_scan(
+    zzs: list, ss: int, se: int, a: int, ac_codes, restart_interval: int = 0
+) -> bytes:
     """Progressive AC first scan (Ah=0) over zz blocks in scan order:
     run-length coding of the point-transformed band with EOB-run
-    accumulation across blocks."""
+    accumulation across blocks (flushed at restart boundaries — EOB
+    runs cannot cross a restart interval)."""
     bw = _BitWriter()
+    segments: list[bytes] = []
+    rst = 0
     eobrun = 0
 
     def flush_eob() -> None:
@@ -677,7 +682,13 @@ def _emit_ac_first_scan(zzs: list, ss: int, se: int, a: int, ac_codes) -> bytes:
                 bw.put(eobrun & ((1 << r) - 1), r)
         eobrun = 0
 
-    for zz in zzs:
+    for bi, zz in enumerate(zzs):
+        if restart_interval and bi and bi % restart_interval == 0:
+            flush_eob()
+            segments.append(bw.flush())
+            segments.append(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) % 8
+            bw = _BitWriter()
         vals = [_ac_trunc(zz[k], a) for k in range(ss, se + 1)]
         nz = [i for i, v in enumerate(vals) if v]
         if not nz:
@@ -704,16 +715,21 @@ def _emit_ac_first_scan(zzs: list, ss: int, se: int, a: int, ac_codes) -> bytes:
         if nz[-1] + 1 < len(vals):  # zero tail: this block starts an EOB run
             eobrun += 1
     flush_eob()
-    return bw.flush()
+    segments.append(bw.flush())
+    return b"".join(segments)
 
 
-def _emit_ac_refine_scan(zzs: list, ss: int, se: int, a: int, ac_codes) -> bytes:
+def _emit_ac_refine_scan(
+    zzs: list, ss: int, se: int, a: int, ac_codes, restart_interval: int = 0
+) -> bytes:
     """Progressive AC refinement scan (Ah=a+1 -> Al=a) — T.81 §G.1.2.3:
     newly-significant coefficients emit (run, 1)+sign with correction
     bits for passed nonzero-history positions riding immediately after;
     EOB runs buffer the covered blocks' correction bits and flush them
     with the EOBn symbol."""
     bw = _BitWriter()
+    segments: list[bytes] = []
+    rst = 0
     eobrun = 0
     pend: list[int] = []
 
@@ -736,7 +752,13 @@ def _emit_ac_refine_scan(zzs: list, ss: int, se: int, a: int, ac_codes) -> bytes
         eobrun = 0
         pend = []
 
-    for zz in zzs:
+    for bi, zz in enumerate(zzs):
+        if restart_interval and bi and bi % restart_interval == 0:
+            flush_eob()
+            segments.append(bw.flush())
+            segments.append(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) % 8
+            bw = _BitWriter()
         band = range(ss, se + 1)
         newly = [k for k in band if hist(zz[k]) == 0 and (abs(zz[k]) >> a) == 1]
         if not newly:
@@ -774,11 +796,15 @@ def _emit_ac_refine_scan(zzs: list, ss: int, se: int, a: int, ac_codes) -> bytes
             eobrun += 1
             pend += [corrbit(zz[p]) for p in range(pos, se + 1) if hist(zz[p])]
     flush_eob()
-    return bw.flush()
+    segments.append(bw.flush())
+    return b"".join(segments)
 
 
 def encode_jpeg_gray_progressive(
-    px: np.ndarray, ac_bands: tuple = ((1, 5), (6, 63)), al: int = 1
+    px: np.ndarray,
+    ac_bands: tuple = ((1, 5), (6, 63)),
+    al: int = 1,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive (SOF2) grayscale encoder — the test counterpart of
     decode_jpeg's progressive path, emitting the classic scan script:
@@ -805,8 +831,16 @@ def encode_jpeg_gray_progressive(
 
     def emit_dc_first(a: int) -> bytes:
         bw = _BitWriter()
+        segments: list[bytes] = []
+        rst = 0
         pred = 0
-        for zz in zzs:
+        for bi, zz in enumerate(zzs):
+            if restart_interval and bi and bi % restart_interval == 0:
+                segments.append(bw.flush())
+                segments.append(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+                bw = _BitWriter()
+                pred = 0
             v = zz[0] >> a  # DC point transform is an ARITHMETIC shift
             diff = v - pred
             pred = v
@@ -815,13 +849,22 @@ def encode_jpeg_gray_progressive(
             bw.put(code, ln)
             if s:
                 bw.put(diff if diff >= 0 else diff - 1 + (1 << s), s)
-        return bw.flush()
+        segments.append(bw.flush())
+        return b"".join(segments)
 
     def emit_dc_refine(a: int) -> bytes:
         bw = _BitWriter()
-        for zz in zzs:
+        segments: list[bytes] = []
+        rst = 0
+        for bi, zz in enumerate(zzs):
+            if restart_interval and bi and bi % restart_interval == 0:
+                segments.append(bw.flush())
+                segments.append(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+                bw = _BitWriter()
             bw.put((zz[0] >> a) & 1, 1)
-        return bw.flush()
+        segments.append(bw.flush())
+        return b"".join(segments)
 
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -838,14 +881,20 @@ def encode_jpeg_gray_progressive(
         b"\x00" + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)
         + b"\x10" + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS),
     )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     out += sos(0, 0, 0, al) + emit_dc_first(al)
     for a in range(al - 1, -1, -1):
         out += sos(0, 0, a + 1, a) + emit_dc_refine(a)
     for ss, se in ac_bands:
-        out += sos(ss, se, 0, al) + _emit_ac_first_scan(zzs, ss, se, al, ac_codes)
+        out += sos(ss, se, 0, al) + _emit_ac_first_scan(
+            zzs, ss, se, al, ac_codes, restart_interval
+        )
     for a in range(al - 1, -1, -1):
         for ss, se in ac_bands:
-            out += sos(ss, se, a + 1, a) + _emit_ac_refine_scan(zzs, ss, se, a, ac_codes)
+            out += sos(ss, se, a + 1, a) + _emit_ac_refine_scan(
+                zzs, ss, se, a, ac_codes, restart_interval
+            )
     out += b"\xff\xd9"
     return bytes(out)
 

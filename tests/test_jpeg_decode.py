@@ -197,6 +197,10 @@ def test_progressive_bit_identical_to_sequential():
         decode_jpeg(encode_jpeg_gray_progressive(smooth))
         == decode_jpeg(encode_jpeg_gray(smooth))
     ).all()
+    # restart markers inside progressive scans: DC predictors and EOB
+    # runs reset at every interval, byte-aligned RSTn resync
+    for ri in (1, 3, 7):
+        assert (decode_jpeg(encode_jpeg_gray_progressive(img, restart_interval=ri)) == seq).all()
 
 
 @pytest.mark.parametrize("sh,sv", [(1, 1), (2, 2), (2, 1)])
