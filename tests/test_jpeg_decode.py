@@ -225,6 +225,32 @@ def test_color_progressive_bit_identical(sh, sv):
     assert (seq == prog).all()
 
 
+def test_codec_corner_cases():
+    """Adversarial shapes pinned as regressions: the all-EOB image
+    (every coefficient zero in every scan), 1x1 frames, and a 1xN
+    4:2:0 color frame through both sequential and progressive paths."""
+    from docling_nlp_api_spark.operators.multimodal import (
+        encode_jpeg_color,
+        encode_jpeg_color_progressive,
+        encode_jpeg_gray_progressive,
+    )
+
+    flat = np.full((24, 24), 128, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg_gray_progressive(flat)) == flat).all()
+    assert (decode_jpeg(encode_jpeg_gray(flat)) == flat).all()
+
+    one = np.array([[200]], dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg_gray_progressive(one)) == one).all()
+    assert (decode_jpeg(encode_jpeg_gray(one)) == one).all()
+
+    y = (np.arange(16, dtype=np.int64).reshape(1, 16) * 10 % 256).astype(np.uint8)
+    cb = np.full((1, 8), 90, dtype=np.uint8)
+    cr = np.full((1, 8), 150, dtype=np.uint8)
+    s = decode_jpeg(encode_jpeg_color(y, cb, cr, (2, 2)))
+    p = decode_jpeg(encode_jpeg_color_progressive(y, cb, cr, (2, 2)))
+    assert s.shape == (1, 16, 3) and (s == p).all()
+
+
 def test_degrade_contracts():
     good = jpeg_bytes(32, 40, 7)
     assert try_decode_jpeg(good[:30]) is None         # truncated mid-header
